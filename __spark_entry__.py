@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (plus the
+LLM-data-pipeline surface) as (spark, sf_dir) -> DataFrame callables.
+``oracle_sql()`` — DuckDB-equivalent SQL for each hash-checkable query.
 """
 
 from __future__ import annotations
@@ -14,25 +13,30 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _load_registry():
+    # importing the modules populates the central registry
+    import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.visitors  # noqa: F401
+    import flink_realtime_data_warehouse_spark.plans.analytics  # noqa: F401
+    from flink_realtime_data_warehouse_spark.plans.registry import ORACLES, QUERIES
+
+    return QUERIES, ORACLES
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    queries_map, _ = _load_registry()
+    return queries_map["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    queries_map, _ = _load_registry()
+    return dict(queries_map)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, oracles = _load_registry()
+    return dict(oracles)

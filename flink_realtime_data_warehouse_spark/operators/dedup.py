@@ -1,0 +1,382 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design for 100 TB:
+- exact dedup is a hash group-by on a content digest (one shuffle on
+  the digest, never on the raw text);
+- MinHash/LSH and shingle-Jaccard use an *inverted-index join* (explode
+  → join on shingle/band key), never a cross join — candidate pairs
+  scale with shared-key collisions, not |docs|²;
+- all hashing is md5 via built-in expressions, so signatures are
+  deterministic and reproducible on any engine (the DuckDB oracles run
+  the byte-identical construction);
+- embedding near-dup ships a brute-force form (exact, for modest
+  partitions) — the LSH-bucketed scale path lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+MINHASH_K = 12  #: number of hash functions in the MinHash signature
+MINHASH_BAND_ROWS = 3  #: rows per LSH band (→ 4 bands)
+SIMHASH_BITS = 32
+JACCARD_MIN_COMMON = 3  #: minimum shared shingles to report a pair
+EMBED_COS_THRESHOLD = 0.4  #: cosine threshold for near-dup pairs
+
+
+def word_shingles(col_name: str = "text", n: int = 3) -> Column:
+    """word n-gram shingles of single-space-separated text (array<string>).
+
+    SQL-expression form so the construction is byte-identical to the
+    DuckDB oracle: words[i] .. words[i+n-1] joined by ' '.
+    """
+    words = f"split({col_name}, ' ')"
+    parts = ", ".join(f"{words}[i+{j}]" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({words}) >= {n} "
+        f"THEN transform(sequence(0, size({words}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """distinct (doc_id, shingle) pairs — the inverted-index input."""
+    return docs.select("doc_id", F.explode(word_shingles("text")).alias("s")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id.
+
+    The shuffle key is the 16-byte digest, not the document — at 100 TB
+    this moves hashes, not text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard via inverted-index join.
+
+    explode(shingles) → self-equi-join on shingle → per-pair overlap
+    count → Jaccard = c / (|A| + |B| - c). No cross join: candidate
+    generation is proportional to shingle collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            F.round(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig_exprs() -> list[Column]:
+    """k seeded MinHash aggregates: min over shingles of md5('<j>:' || shingle).
+
+    Lexicographic min over lowercase-hex md5 == min over the 128-bit
+    value — deterministic and engine-portable.
+    """
+    return [
+        F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("s")))).alias(f"h{j}")
+        for j in range(MINHASH_K)
+    ]
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    return _shingle_df(docs).groupBy("doc_id").agg(*_minhash_sig_exprs())
+
+
+_SIG_ORACLE_COLS = ",\n           ".join(
+    f"min(md5('{j}:' || s)) AS h{j}" for j in range(MINHASH_K)
+)
+
+_MINHASH_SIG_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i))
+SELECT doc_id,
+       {_SIG_ORACLE_COLS}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("dedup_minhash_signatures", oracle=_MINHASH_SIG_ORACLE)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (k aggregates over one shingle shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs).orderBy("doc_id")
+
+
+_N_BANDS = MINHASH_K // MINHASH_BAND_ROWS
+
+_BAND_KEYS_SQL = ", ".join(
+    "concat_ws('|', "
+    + ", ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
+    + ")"
+    for b in range(_N_BANDS)
+)
+
+_BAND_ORACLE_KEYS = "\n".join(
+    "    SELECT doc_id, {b} AS band, ".format(b=b)
+    + " || '|' || ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
+    + " AS key FROM sig"
+    + ("" if b == _N_BANDS - 1 else " UNION ALL")
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+sig AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_BAND_ORACLE_KEYS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: banded signatures, bucket-join on band key.
+
+    shingle → minhash → band → bucket-join: the classic scale path.
+    Candidates are pairs sharing ≥1 full band; the shuffle key is the
+    band digest, so cost tracks collisions, not |docs|².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', "
+        + ", ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
+        + ")"
+        for b in range(_N_BANDS)
+    )
+    bands = sig.selectExpr("doc_id", f"stack({_N_BANDS}, {stack_args}) AS (band, key)")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_expr() -> list[Column]:
+    """32 per-bit vote aggregates over word hashes (no row blow-up)."""
+    h = F.col("w_hash")
+    return [
+        F.sum(
+            F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{p}")
+        for p in range(SIMHASH_BITS)
+    ]
+
+
+_SIMHASH_VOTES_ORACLE = ",\n           ".join(
+    f"sum(CASE WHEN (w_hash >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS v{p}" for p in range(SIMHASH_BITS)
+)
+_SIMHASH_RECOMBINE = " + ".join(
+    f"(CASE WHEN v{p} > 0 THEN {1 << p}::BIGINT ELSE 0 END)" for p in range(SIMHASH_BITS)
+)
+
+_SIMHASH_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS w_hash FROM words),
+votes AS (
+  SELECT doc_id,
+           {_SIMHASH_VOTES_ORACLE}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_RECOMBINE} AS simhash FROM votes ORDER BY doc_id
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document.
+
+    Token hash = first 8 hex chars of md5 (portable); per-bit majority
+    vote computed as 32 conditional-sum aggregates over one exploded
+    token stream — a single shuffle on doc_id, no position explosion.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    hashed = words.select(
+        "doc_id", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint").alias("w_hash")
+    )
+    votes = hashed.groupBy("doc_id").agg(*_simhash_expr())
+    simhash = None
+    for p in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """cosine similarity of two array<double> columns via built-ins.
+
+    Sequential left-to-right accumulation (F.aggregate) so the float
+    summation order is fixed and reproducible.
+    """
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+_EMBED_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cs, 3) AS cos_sim
+FROM pairs WHERE round(cs, 3) >= {EMBED_COS_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query("dedup_embedding_pairs", oracle=_EMBED_PAIRS_ORACLE)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    Blocked matrix product: one side is gathered into a normalized
+    NumPy matrix and broadcast (like a dimension table); the corpus
+    streams through an Arrow-batched mapInPandas that computes
+    ``block @ matrix.T`` per batch and emits only pairs over the
+    threshold. Payload vectors never shuffle. At 100 TB the gathered
+    side becomes a tile loop (block × block), same kernel.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pdf_all = emb.toPandas()
+    ids_all = pdf_all["vec_id"].to_numpy()
+    mat = np.stack(pdf_all["v"].to_numpy())
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, mat_n))
+    thr = EMBED_COS_THRESHOLD
+
+    schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def _block(batches):
+        import pandas as pd
+
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            block = np.stack(pdf["v"].to_numpy())
+            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block_n @ all_mat.T, 3)
+            # vec_a < vec_b keeps each unordered pair once
+            rows_i, cols_j = np.nonzero((sims >= thr) & (ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids[rows_i],
+                    "vec_b": all_ids[cols_j],
+                    "cos_sim": sims[rows_i, cols_j],
+                }
+            )
+
+    return emb.mapInPandas(_block, schema=schema).orderBy("vec_a", "vec_b")

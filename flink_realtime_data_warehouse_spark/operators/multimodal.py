@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+typed metadata struct. The Spark-side plumbing — schema, partitioning,
+Arrow batch shape, mapInPandas signatures — is real and tested; the
+actual codec calls are stubbed behind ``NotImplementedError`` /
+deterministic fakes because no media libraries ship in this container.
+
+Scale notes: payload bytes never enter a shuffle — derived features are
+computed per-partition with mapInPandas and only the (small) feature
+columns move. Batch size is bounded via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` when payloads are large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+#: canonical multimodal record schema
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),  # image | audio | video
+        StructField("format", StringType(), True),  # png | wav | mp4 | ...
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_sha", StringType(), True),
+        StructField("feature_dim", LongType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload to pixels. STUB — no codec libs in container.
+
+    Real deployment: pillow/torchvision inside the same mapInPandas
+    worker; the Spark-side contract (bytes in, array out) is unchanged.
+    """
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Deterministic fake 'feature': byte length + sha1 — stands in for a
+    decode→resize→embed pipeline while exercising the real Arrow batch
+    path and output schema.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "payload_sha": payloads.map(
+                        lambda b: hashlib.sha1(b).hexdigest() if b is not None else None
+                    ),
+                    "feature_dim": 64,
+                }
+            )
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+           'text' AS media_type
+    FROM documents ORDER BY doc_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata pass: treat document text as an opaque payload.
+
+    Exercises the binary path end-to-end on real data: encode → byte
+    length + digest + typed metadata, all JVM-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        F.md5("text").alias("payload_md5"),
+        F.lit("text").alias("media_type"),
+    ).orderBy("doc_id")

@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in column expressions (JVM, whole-stage
+codegen) — no Python in the loop. Language-ID, the one genuinely
+profile-driven function, is an Arrow-batched pandas UDF in
+``functions/text.py`` with a deterministic built-in profile table.
+
+The ``documents`` table is single-space-separated word text, so
+word = split(text, ' ') is exact on both Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+#: tiny function-word list used by the quality score (deterministic,
+#: matches the vocabulary of the synthetic corpus)
+STOPWORDS = ("the", "a")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)                                  AS n_chars_text,
+           len(string_split(text, ' '))                  AS n_words,
+           len(list_distinct(string_split(text, ' ')))   AS n_distinct_words,
+           round((length(text) - len(string_split(text, ' ')) + 1.0)
+                 / len(string_split(text, ' ')), 4)      AS avg_word_len
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length / token statistics (token counting surface)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_text"),
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_distinct_words"),
+        # single-space separated text: total word chars = chars - (n-1)
+        F.round((F.length("text") - n_words + 1.0) / n_words, 4).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(len(list_filter(string_split(text, ' '),
+                                 w -> w IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 1000 THEN 1 ELSE 0 END AS length_ok
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stop-word ratio + length gate (pretraining-filter style)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_cnt = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    n_words = F.size(words)
+    return docs.select(
+        "doc_id",
+        F.round(stop_cnt * 1.0 / n_words, 4).alias("stopword_ratio"),
+        F.when(n_words.between(5, 1000), F.lit(1)).otherwise(F.lit(0)).alias("length_ok"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct-word set.
+
+    Order-insensitive content hash — the batch analogue of a rolling
+    fingerprint for bucket-level dedup keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    return docs.select("doc_id", F.md5(canon).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "text_token_count_regex",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-z]+'))    AS n_alpha_tokens,
+           len(regexp_extract_all(text, '[0-9]+'))    AS n_num_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenizer counts (BPE-ish pre-tokenization split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), F.lit(0))).cast("bigint").alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), F.lit(0))).cast("bigint").alias("n_num_tokens"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_profile",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile by language × source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
