@@ -20,18 +20,22 @@ from pyspark.sql import functions as F
 #: fixed offset matching DateFormatUtil.java:21
 SHANGHAI_OFFSET_MILLIS = 8 * 3600 * 1000
 
-_NTZ_EPOCH = F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+def _ntz_epoch() -> Column:
+    # built lazily — F.expr needs an active SparkContext
+    return F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
 
 
 def millis_to_ntz(millis: Column, offset_millis: int = 0) -> Column:
-    """epoch millis (bigint) → TIMESTAMP_NTZ wall clock at the given fixed offset."""
-    shifted_secs = (millis + F.lit(offset_millis)).cast("double") / F.lit(1000.0)
-    return _NTZ_EPOCH + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), shifted_secs)
+    """epoch millis (bigint) → TIMESTAMP_NTZ wall clock at the given fixed offset.
+
+    All-integer arithmetic (timestamp_add) so no precision is lost."""
+    shifted = (millis + F.lit(offset_millis)).cast("bigint")
+    return F.timestamp_add("MILLISECOND", shifted, _ntz_epoch())
 
 
 def ntz_to_millis(ts_ntz: Column, offset_millis: int = 0) -> Column:
     """TIMESTAMP_NTZ wall clock at a fixed offset → epoch millis (bigint)."""
-    micros = F.timestamp_diff("MICROSECOND", _NTZ_EPOCH, ts_ntz)
+    micros = F.timestamp_diff("MICROSECOND", _ntz_epoch(), ts_ntz)
     return (micros / F.lit(1000)).cast("bigint") - F.lit(offset_millis)
 
 

@@ -39,6 +39,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 
+    # executor Python workers must be able to import this package (the
+    # stateful streaming functions are pickled by module reference)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pythonpath = ":".join(
+        p for p in (repo_root, os.environ.get("PYTHONPATH", "")) if p
+    )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -57,6 +64,7 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        .config("spark.executorEnv.PYTHONPATH", worker_pythonpath)
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,162 @@
+"""Streaming stateful operators ST1/ST2/ST4 (applyInPandasWithState),
+driven end-to-end through file-drop sources with availableNow triggers.
+
+The ST4 suite replays the reference's only concrete test vectors
+(DwdTrafficUserJumpDetail.java:57-65, quoted in FIXTURES.md §2) and
+exercises the event-time-timeout path across a checkpoint restart.
+"""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.operators.parse import parse_with_dirty
+from flink_realtime_data_warehouse_spark.schemas import BEHAVIOR_LOG_SCHEMA
+from flink_realtime_data_warehouse_spark.sources.streams import read_jsonl_stream
+from flink_realtime_data_warehouse_spark.streaming.jobs import (
+    unique_visitor_job,
+    user_jump_job,
+)
+from flink_realtime_data_warehouse_spark.streaming.state import correct_is_new
+
+DAY_MS = 86_400_000
+# 2022-07-26 00:00:00 UTC → "2022-07-26 08:00" at +8 (same day)
+DAY1 = 1658793600000
+DAY2 = DAY1 + DAY_MS
+
+
+def _page(mid, ts, page_id="home", last=None, is_new="0"):
+    rec = {
+        "common": {"mid": mid, "is_new": is_new},
+        "page": {"page_id": page_id},
+        "ts": ts,
+    }
+    if last is not None:
+        rec["page"]["last_page_id"] = last
+    return json.dumps(rec)
+
+
+def _write_file(dir_, name, lines):
+    os.makedirs(dir_, exist_ok=True)
+    tmp = os.path.join(dir_, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(dir_, name))
+
+
+def test_st1_is_new_correction_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_file(
+        src,
+        "batch1.jsonl",
+        [
+            _page("m1", DAY1, is_new="1"),          # truly new → stays 1
+            _page("m1", DAY1 + 1000, is_new="1"),   # same day → stays 1
+            _page("m2", DAY1, is_new="0"),          # first seen claiming old → backfill
+            _page("m1", DAY2, is_new="1"),          # next day claiming new → corrected 0
+            _page("m2", DAY2, is_new="1"),          # m2 state=yesterday → corrected 0
+        ],
+    )
+    raw = read_jsonl_stream(spark, src)
+    clean, _ = parse_with_dirty(raw, BEHAVIOR_LOG_SCHEMA)
+    flat = clean.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.is_new").alias("is_new"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.col("ts"),
+    )
+    out_path = str(tmp_path / "out")
+    q = (
+        correct_is_new(flat)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["mid"], r["ts"]): r["is_new"] for r in spark.read.parquet(out_path).collect()}
+    assert got[("m1", DAY1)] == "1"
+    assert got[("m1", DAY1 + 1000)] == "1"
+    assert got[("m2", DAY1)] == "0"
+    assert got[("m1", DAY2)] == "0"
+    assert got[("m2", DAY2)] == "0"
+
+
+def test_st2_daily_unique_visitors_stream(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_file(
+        src,
+        "batch1.jsonl",
+        [
+            _page("m1", DAY1),             # day1 first → emit
+            _page("m1", DAY1 + 5000),      # day1 repeat → drop
+            _page("m2", DAY1 + 100),       # emit
+            _page("m1", DAY2 + 50),        # day2 first → emit
+        ],
+    )
+    out_path = str(tmp_path / "uv")
+    q = unique_visitor_job(
+        spark, read_jsonl_stream(spark, src), out_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = sorted((r["mid"], r["ts"]) for r in spark.read.parquet(out_path).collect())
+    assert got == [("m1", DAY1), ("m1", DAY2 + 50), ("m2", DAY1 + 100)]
+
+
+def test_st4_reference_fixture_and_timeout(spark, tmp_path):
+    """Reference fixture: mid=101 lone entry → timeout bounce;
+    mid=102 entry followed in-window by navigation → no bounce."""
+    src = str(tmp_path / "src")
+    _write_file(
+        src,
+        "batch1.jsonl",
+        [
+            _page("101", 10000, page_id="home"),
+            _page("102", 12000, page_id="home"),
+            _page("102", 15000, page_id="good_list", last="home"),
+            _page("102", 30000, page_id="good_list", last="detail"),
+        ],
+    )
+    out_path = str(tmp_path / "bounce")
+    ckpt = str(tmp_path / "ckpt")
+    q = user_jump_job(spark, read_jsonl_stream(spark, src), out_path, ckpt)
+    q.awaitTermination(120)
+
+    # 101's pending entry times out only once the watermark passes
+    # 10000+10s; feed a later event (a non-entry, so it adds no new
+    # pending) and rerun from the same checkpoint — state + watermark
+    # recovery is part of what's under test here
+    _write_file(src, "batch2.jsonl", [_page("999", 120000, page_id="x", last="y")])
+    q2 = user_jump_job(spark, read_jsonl_stream(spark, src), out_path, ckpt)
+    q2.awaitTermination(120)
+
+    got = sorted((r["mid"], r["ts"]) for r in spark.read.parquet(out_path).collect())
+    assert got == [("101", 10000)]
+
+
+def test_st4_match_path_consecutive_entries(spark, tmp_path):
+    """Two entry events within 10s → the first is a bounce (CEP match
+    path); the second times out later → also a bounce."""
+    src = str(tmp_path / "src")
+    _write_file(
+        src,
+        "batch1.jsonl",
+        [
+            _page("7", 1000, page_id="home"),
+            _page("7", 5000, page_id="home"),           # new session-entry 4s later
+            _page("7", 50000, page_id="cart", last="home"),  # breaks nothing: 2nd pending timed out at 15000
+        ],
+    )
+    out_path = str(tmp_path / "bounce")
+    q = user_jump_job(spark, read_jsonl_stream(spark, src), out_path, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = sorted((r["mid"], r["ts"]) for r in spark.read.parquet(out_path).collect())
+    # 1000 bounces via match; 5000 bounces via in-batch timeout (next
+    # event at 50000 is outside the window)
+    assert got == [("7", 1000), ("7", 5000)]
