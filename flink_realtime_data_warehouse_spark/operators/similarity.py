@@ -25,7 +25,8 @@ from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
 TOPK = 5
 N_QUERIES = 10  #: queries() demo uses vec_id < N_QUERIES as the query block
-LSH_PLANES = 8
+LSH_TABLES = 10  #: independent hash tables (recall amplification)
+LSH_ROWS = 5  #: hyperplanes per table (precision per bucket)
 EMBED_DIM = 64
 
 
@@ -77,7 +78,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+def _hyperplanes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
     """Deterministic ±1 hyperplanes from md5(plane:dim) — no RNG state."""
     planes = []
     for p in range(n_planes):
@@ -89,44 +90,61 @@ def _hyperplanes(n_planes: int = LSH_PLANES, dim: int = EMBED_DIM) -> list[list[
     return planes
 
 
-def lsh_bucket_expr(vec: F.Column, planes: list[list[float]]) -> F.Column:
-    """Signed-projection bucket id: bit p = (v · plane_p) > 0."""
-    bucket = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        w = F.array(*[F.lit(x) for x in plane])
-        proj = F.aggregate(F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return bucket
+def lsh_table_buckets(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """array of LSH_TABLES bucket ids — table t uses planes [t*ROWS, (t+1)*ROWS)."""
+    buckets = []
+    for t in range(LSH_TABLES):
+        bucket = F.lit(0).cast("bigint")
+        for i, plane in enumerate(planes[t * LSH_ROWS : (t + 1) * LSH_ROWS]):
+            w = F.array(*[F.lit(x) for x in plane])
+            proj = F.aggregate(F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+            bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        buckets.append(bucket)
+    return F.array(*buckets)
 
 
 @query("ann_lsh_topk")  # approximate — validated by recall test, no SQL oracle
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the scale path).
+    """Multi-table LSH approximate top-k (the scale path).
 
-    Corpus and queries are hashed into 2^LSH_PLANES sign buckets; exact
-    re-scoring runs only inside the query's bucket. At 100 TB the bucket
-    column becomes the partition key, so each query touches one
-    partition instead of the whole corpus. Recall is tested against
-    ``ann_cosine_topk`` in tests/test_similarity.py.
+    Random-hyperplane LSH with L=10 independent tables of 5 sign bits:
+    a neighbor is a candidate if it shares a bucket in ANY table
+    (recall amplification — a single fine table collapses recall for
+    mid-range cosines). Candidates are exact-re-scored and ranked.
+    At 100 TB (table, bucket) becomes the partition key: each query
+    probes L partitions instead of scanning the corpus. Recall vs the
+    brute-force baseline is pinned in tests/test_similarity_dedup.py.
     """
-    planes = _hyperplanes()
+    planes = _hyperplanes(LSH_TABLES * LSH_ROWS)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
-    queries_df = bucketed.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    bucketed = emb.withColumn("buckets", lsh_table_buckets(F.col("v"), planes))
+    corpus = bucketed.select(
+        "vec_id", "v", F.posexplode("buckets").alias("table_id", "bucket")
     )
-    scored = (
-        bucketed.join(
+    queries_df = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("table_id").alias("q_table"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    candidates = (
+        corpus.join(
             F.broadcast(queries_df),
-            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+            (F.col("table_id") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
-        )
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
