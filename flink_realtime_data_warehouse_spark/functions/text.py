@@ -43,7 +43,28 @@ def lang_id_guess(text: str) -> str:
     return best
 
 
-@pandas_udf(StringType())
-def lang_id(texts: pd.Series) -> pd.Series:
-    """Arrow-batched language-ID column function."""
-    return texts.map(lang_id_guess)
+def _make_lang_id():
+    # self-contained closure (profiles captured by value): works on
+    # executors that cannot import this package
+    profiles = dict(PROFILES)
+
+    @pandas_udf(StringType())
+    def lang_id(texts: pd.Series) -> pd.Series:
+        def guess(text):
+            if not text:
+                return "und"
+            padded = f" {text.lower()} "
+            best, best_score = "und", 0
+            for lang, markers in profiles.items():
+                score = sum(padded.count(m) for m in markers)
+                if score > best_score:
+                    best, best_score = lang, score
+            return best
+
+        return texts.map(guess)
+
+    return lang_id
+
+
+#: Arrow-batched language-ID column function
+lang_id = _make_lang_id()

@@ -45,8 +45,20 @@ def word_shingles(col_name: str = "text", n: int = 3) -> Column:
 
 
 def _shingle_df(docs: DataFrame) -> DataFrame:
-    """distinct (doc_id, shingle) pairs — the inverted-index input."""
-    return docs.select("doc_id", F.explode(word_shingles("text")).alias("s")).distinct()
+    """distinct (doc_id, shingle-hash) pairs — the inverted-index input.
+
+    The shingle is reduced to a 60-bit md5-derived bigint immediately:
+    the distinct, the self-join and every downstream shuffle move 8-byte
+    ints instead of ~25-char strings (collision odds at 1M shingles
+    ≈ 4e-7 — and the oracle uses the byte-identical reduction, so
+    parity is exact either way).
+    """
+    s_hash = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    return (
+        docs.select("doc_id", F.explode(word_shingles("text")).alias("s"))
+        .select("doc_id", s_hash.alias("s"))
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -82,7 +94,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
   FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
@@ -137,15 +150,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sig_exprs() -> list[Column]:
-    """k seeded MinHash aggregates: min over shingles of md5('<j>:' || shingle).
+MINHASH_PRIME = 4_294_967_291  #: largest 32-bit prime
 
-    Lexicographic min over lowercase-hex md5 == min over the 128-bit
-    value — deterministic and engine-portable.
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_j odd, 28-bit) from md5 seeds."""
+    import hashlib
+
+    out = []
+    for j in range(MINHASH_K):
+        a = int(hashlib.md5(f"a{j}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"b{j}".encode()).hexdigest()[:7], 16)
+        out.append((a, b))
+    return out
+
+
+def _minhash_sig_exprs() -> list[Column]:
+    """k MinHash aggregates via universal hashing over the shingle hash.
+
+    w = shingle's 60-bit hash folded to 32 bits;
+    h_j = (a_j * w + b_j) mod p — exact integer arithmetic, byte-identical
+    in DuckDB, and one digest per shingle instead of one per (seed,
+    shingle). a_j*w stays under 2^60, so no bigint overflow under ANSI.
     """
+    w = F.pmod(F.col("s"), F.lit(1 << 32))
     return [
-        F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("s")))).alias(f"h{j}")
-        for j in range(MINHASH_K)
+        F.min(F.pmod(F.lit(a) * w + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"h{j}")
+        for j, (a, b) in enumerate(_minhash_coeffs())
     ]
 
 
@@ -154,13 +185,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 _SIG_ORACLE_COLS = ",\n           ".join(
-    f"min(md5('{j}:' || s)) AS h{j}" for j in range(MINHASH_K)
+    f"min(({a} * (s % 4294967296) + {b}) % {MINHASH_PRIME}) AS h{j}"
+    for j, (a, b) in enumerate(_minhash_coeffs())
 )
 
 _MINHASH_SIG_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
   FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i))
 SELECT doc_id,
        {_SIG_ORACLE_COLS}
@@ -195,7 +228,8 @@ _BAND_ORACLE_KEYS = "\n".join(
 _MINHASH_PAIRS_ORACLE = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
-  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
   FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
 sig AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh GROUP BY doc_id),
 bands AS (

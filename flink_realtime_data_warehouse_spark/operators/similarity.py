@@ -48,28 +48,55 @@ WHERE rank <= {TOPK} ORDER BY query_id, rank
 """
 
 
+_SCORED_SCHEMA = "query_id bigint, neighbor_id bigint, cos_sim double"
+
+
+def _score_against_queries(spark: SparkSession, emb: DataFrame, queries_pdf) -> DataFrame:
+    """Stream the corpus through a NumPy block kernel scoring every row
+    against the broadcast query block; emits (query_id, neighbor_id, cos)."""
+    import numpy as np
+
+    q_ids = queries_pdf["vec_id"].to_numpy()
+    q_mat = np.stack(queries_pdf["v"].to_numpy())
+    q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_n))
+
+    def _score(batches):
+        import pandas as pd
+
+        ids_q, qn = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            block = np.stack(pdf["v"].to_numpy())
+            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block_n @ qn.T, 3)  # (batch, n_queries)
+            rows_i, cols_j = np.nonzero(ids[:, None] != ids_q[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[cols_j],
+                    "neighbor_id": ids[rows_i],
+                    "cos_sim": sims[rows_i, cols_j],
+                }
+            )
+
+    return emb.mapInPandas(_score, schema=_SCORED_SCHEMA)
+
+
 @query("ann_cosine_topk", oracle=_ANN_TOPK_ORACLE)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k for a block of query vectors.
 
-    The query block is broadcast (small side); ranking is a window over
-    query_id — ties broken on rounded similarity then neighbor_id so the
-    result is fully deterministic.
+    The query block is broadcast as a normalized NumPy matrix; the
+    corpus streams through an Arrow-batched matmul (payload vectors
+    never shuffle — only (query, neighbor, score) triples do). Ranking
+    is a window over query_id with rounded-score + neighbor_id
+    tie-breaks, so results are fully deterministic.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    queries_df = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        emb.join(F.broadcast(queries_df), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
-        )
-    )
+    queries_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    scored = _score_against_queries(spark, emb, queries_pdf)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -90,19 +117,28 @@ def _hyperplanes(n_planes: int, dim: int = EMBED_DIM) -> list[list[float]]:
     return planes
 
 
-def lsh_table_buckets(vec: F.Column, planes: list[list[float]]) -> F.Column:
-    """array of LSH_TABLES bucket ids — table t uses planes [t*ROWS, (t+1)*ROWS)."""
-    buckets = []
-    for t in range(LSH_TABLES):
-        bucket = F.lit(0).cast("bigint")
-        for i, plane in enumerate(planes[t * LSH_ROWS : (t + 1) * LSH_ROWS]):
-            w = F.array(*[F.lit(x) for x in plane])
-            proj = F.aggregate(F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-            bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
-        buckets.append(bucket)
-    return F.array(*buckets)
+def _make_bucket_matrix(n_tables: int, n_rows: int):
+    """Build the bucket-id kernel as a standalone closure.
+
+    Returned function is self-contained (no references to this module),
+    so cloudpickle ships it BY VALUE to executors — the worker Python
+    processes of a driver-created session cannot import this package.
+    """
+
+    def bucket_matrix(mat, planes):
+        import numpy as np
+
+        proj = mat @ planes.T > 0  # (n, L*ROWS) booleans
+        weights = np.array([1 << i for i in range(n_rows)])
+        return np.stack(
+            [proj[:, t * n_rows : (t + 1) * n_rows] @ weights for t in range(n_tables)],
+            axis=1,
+        )
+
+    return bucket_matrix
+
+
+_bucket_matrix = _make_bucket_matrix(LSH_TABLES, LSH_ROWS)
 
 
 @query("ann_lsh_topk")  # approximate — validated by recall test, no SQL oracle
@@ -112,40 +148,50 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Random-hyperplane LSH with L=10 independent tables of 5 sign bits:
     a neighbor is a candidate if it shares a bucket in ANY table
     (recall amplification — a single fine table collapses recall for
-    mid-range cosines). Candidates are exact-re-scored and ranked.
-    At 100 TB (table, bucket) becomes the partition key: each query
-    probes L partitions instead of scanning the corpus. Recall vs the
-    brute-force baseline is pinned in tests/test_similarity_dedup.py.
+    mid-range cosines). Candidates are exact-re-scored, all inside one
+    NumPy block kernel per Arrow batch. At 100 TB (table, bucket)
+    becomes the partition key: each query probes L partitions instead
+    of scanning the corpus. Recall vs the brute-force baseline is
+    pinned in tests/test_similarity_dedup.py.
     """
-    planes = _hyperplanes(LSH_TABLES * LSH_ROWS)
+    import numpy as np
+
+    planes = np.array(_hyperplanes(LSH_TABLES * LSH_ROWS))
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    bucketed = emb.withColumn("buckets", lsh_table_buckets(F.col("v"), planes))
-    corpus = bucketed.select(
-        "vec_id", "v", F.posexplode("buckets").alias("table_id", "bucket")
-    )
-    queries_df = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("table_id").alias("q_table"),
-        F.col("bucket").alias("q_bucket"),
-    )
-    candidates = (
-        corpus.join(
-            F.broadcast(queries_df),
-            (F.col("table_id") == F.col("q_table"))
-            & (F.col("bucket") == F.col("q_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
-        .dropDuplicates(["query_id", "neighbor_id"])  # union over tables
-    )
-    scored = candidates.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine_expr(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
-    )
+    queries_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = queries_pdf["vec_id"].to_numpy()
+    q_mat = np.stack(queries_pdf["v"].to_numpy())
+    q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_buckets = _bucket_matrix(q_mat, planes)  # (nq, L)
+    bc = spark.sparkContext.broadcast((q_ids, q_n, q_buckets, planes))
+
+    bucket_matrix = _make_bucket_matrix(LSH_TABLES, LSH_ROWS)
+
+    def _probe(batches):
+        import pandas as pd
+
+        ids_q, qn, qb, pl = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            block = np.stack(pdf["v"].to_numpy())
+            bb = bucket_matrix(block, pl)  # (batch, L)
+            # candidate iff any table's bucket matches: (batch, nq)
+            cand = (bb[:, None, :] == qb[None, :, :]).any(axis=2)
+            cand &= ids[:, None] != ids_q[None, :]
+            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block_n @ qn.T, 3)
+            rows_i, cols_j = np.nonzero(cand)
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[cols_j],
+                    "neighbor_id": ids[rows_i],
+                    "cos_sim": sims[rows_i, cols_j],
+                }
+            )
+
+    scored = emb.mapInPandas(_probe, schema=_SCORED_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
