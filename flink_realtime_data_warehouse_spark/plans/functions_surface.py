@@ -1,0 +1,267 @@
+"""Scalar-function and aggregate surface beyond the reference's F1-F6.
+
+The reference's function usage is thin (dates, JSON, string split —
+SURVEY.md §2.6); a replacement engine needs the full warehouse
+function surface. Each family gets an oracle-checked query exercising
+it end-to-end on real tables; approximate sketches (HLL, t-digest)
+are rows-only entries since no exact SQL equivalent exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                       AS name_upper,
+           lower(c_mktsegment)                 AS seg_lower,
+           substr(c_name, 1, 8)                AS name_prefix,
+           length(c_name)                      AS name_len,
+           replace(c_name, '#', '-')           AS name_dashed,
+           concat(c_mktsegment, ':', c_name)   AS seg_name,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has_one
+    FROM customer ORDER BY c_custkey LIMIT 500
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (F5 and beyond): case, substring, pad, replace."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.length("c_name").cast("bigint").alias("name_len"),
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+            F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+            F.when(F.col("c_name").contains("1"), 1).otherwise(0).alias("has_one"),
+        )
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+@query(
+    "fn_math_suite",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 50000), 2)      AS abs_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)      AS qty_ceil,
+           CAST(floor(l_quantity / 7.0) AS BIGINT)     AS qty_floor,
+           round(sqrt(l_extendedprice), 4)             AS price_sqrt,
+           round(ln(l_extendedprice + 1), 4)           AS price_ln,
+           round(power(1 + l_discount, 2), 6)          AS disc_sq,
+           CAST(l_quantity AS BIGINT) % 5              AS qty_mod
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000
+    """,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function family: abs/ceil/floor/sqrt/ln/power/mod."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_dev"),
+            F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_ceil"),
+            F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_floor"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 4).alias("price_ln"),
+            F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("disc_sq"),
+            (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(2000)
+    )
+
+
+@query(
+    "fn_conditional_suite",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING')      AS status_mapped,
+           greatest(o_totalprice, 100000.0)                     AS price_floor100k,
+           least(o_totalprice, 100000.0)                        AS price_cap100k,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 9 END AS prio_rank
+    FROM orders ORDER BY o_orderkey LIMIT 2000
+    """,
+)
+def fn_conditional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional family: nullif/coalesce/greatest/least/case (F6 and beyond)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+                "status_mapped"
+            ),
+            F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor100k"),
+            F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_cap100k"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .when(F.col("o_orderpriority") == "2-HIGH", 2)
+            .otherwise(9)
+            .alias("prio_rank"),
+        )
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+@query(
+    "fn_regex_suite",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[0-9]+')                  AS first_number,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')       AS devoweled,
+           CASE WHEN regexp_matches(p_name, '^[a-z]') THEN 1 ELSE 0 END AS starts_lower
+    FROM part ORDER BY p_partkey LIMIT 1000
+    """,
+)
+def fn_regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family: extract/replace/match."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_name", "[0-9]+", 0).alias("first_number"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+            F.when(F.col("p_name").rlike("^[a-z]"), 1).otherwise(0).alias("starts_lower"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "agg_stats_suite",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+           round(var_samp(l_quantity), 4)         AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_discount, l_tax), 8)     AS disc_tax_covar,
+           round(min(l_extendedprice), 2)         AS min_price,
+           round(max(l_extendedprice), 2)         AS max_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long→wide event counts per user (Spark .pivot())."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent combinations; oracle FILTER yields 0
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).orderBy("user_id")
+
+
+@query(
+    "agg_array_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           CAST(min(event_id) AS BIGINT) AS first_event_id,
+           count(*) AS n
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_set → sorted CSV (hash-stable encoding)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types_csv"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("sketch_approx_distinct")  # approximate (HLL++) — rows-only check
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches: HLL distinct + t-digest percentile.
+
+    No SQL oracle (algorithm-specific estimates); sanity-pinned against
+    exact values in tests/test_sketches.py instead.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
