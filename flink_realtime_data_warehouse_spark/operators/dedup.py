@@ -44,21 +44,32 @@ def word_shingles(col_name: str = "text", n: int = 3) -> Column:
     )
 
 
-def _shingle_df(docs: DataFrame) -> DataFrame:
-    """distinct (doc_id, shingle-hash) pairs — the inverted-index input.
+def _exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle-hash) rows, duplicates included.
 
-    The shingle is reduced to a 60-bit md5-derived bigint immediately:
-    the distinct, the self-join and every downstream shuffle move 8-byte
-    ints instead of ~25-char strings (collision odds at 1M shingles
-    ≈ 4e-7 — and the oracle uses the byte-identical reduction, so
-    parity is exact either way).
+    The words array is materialized in a projection BEFORE the
+    transform lambda — inlining split() into the lambda re-evaluates
+    it per element (O(words²) per document). The shingle is reduced to
+    a 60-bit md5-derived bigint immediately: every downstream shuffle
+    moves 8-byte ints instead of ~25-char strings (collision odds at
+    1M shingles ≈ 4e-7 — and the oracle uses the byte-identical
+    reduction, so parity is exact either way).
     """
-    s_hash = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
-    return (
-        docs.select("doc_id", F.explode(word_shingles("text")).alias("s"))
-        .select("doc_id", s_hash.alias("s"))
-        .distinct()
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    shingle_expr = (
+        "CASE WHEN size(ws) >= 3 "
+        "THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
+        "ELSE CAST(array() AS array<string>) END"
     )
+    s_hash = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
+    return ws.select("doc_id", F.explode(F.expr(shingle_expr)).alias("s")).select(
+        "doc_id", s_hash.alias("s")
+    )
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """distinct (doc_id, shingle-hash) pairs — the inverted-index input."""
+    return _exploded_shingle_hashes(docs).distinct()
 
 
 # ---------------------------------------------------------------------------
@@ -181,7 +192,10 @@ def _minhash_sig_exprs() -> list[Column]:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    return _shingle_df(docs).groupBy("doc_id").agg(*_minhash_sig_exprs())
+    # min() is duplicate-insensitive, so the signature path skips the
+    # distinct() shuffle the Jaccard path needs — one pass less over
+    # ~|docs|·|shingles| rows
+    return _exploded_shingle_hashes(docs).groupBy("doc_id").agg(*_minhash_sig_exprs())
 
 
 _SIG_ORACLE_COLS = ",\n           ".join(
