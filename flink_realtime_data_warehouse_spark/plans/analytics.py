@@ -38,10 +38,10 @@ def _ntz(lit: str) -> F.Column:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,6)), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6)) * (1 + l_tax::DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
@@ -55,15 +55,18 @@ def _ntz(lit: str) -> F.Column:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1: one scan, partial+final hash aggregate on a 2-value key."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums run in exact DECIMAL: float sums are summation-order
+    # dependent and can flip a rounding boundary vs the oracle engine
+    dec = lambda name: F.col(name).cast("decimal(18,6)")  # noqa: E731
+    disc_price_dec = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= _ntz("1998-12-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price_dec), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price_dec * (F.lit(1) + dec("l_tax"))), 2).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -109,7 +112,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_local_supplier",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, CAST(round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer JOIN orders   ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
                   JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -146,7 +149,17 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nat_region), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy(F.desc("revenue"), "n_name")
     )
 

@@ -52,7 +52,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INT) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
                   JOIN customer ON o_custkey = c_custkey
                   JOIN supplier ON l_suppkey = s_suppkey
@@ -85,7 +85,17 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
 
@@ -235,4 +245,153 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'CHINA' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+    FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey
+                  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                  JOIN region   ON n1.n_regionkey = r_regionkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's share of regional revenue by year."""
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation", "region"], register=False
+    )
+    n1 = t["nation"].select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    asia = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= _ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ntz("1998-01-01 00:00:00"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(asia), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "CHINA", rev).otherwise(0.0)) / F.sum(rev), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))
+                          - 0.8::DECIMAL(18,6) * p_retailprice::DECIMAL(18,6) * l_quantity::DECIMAL(18,6)),
+                      2) AS DOUBLE) AS profit
+    FROM lineitem JOIN part     ON l_partkey = p_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+    WHERE contains(p_name, 'a')
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year (retailprice
+    stands in for ps_supplycost — no partsupp table in this schema).
+
+    The revenue−cost cancellation amplifies float summation-order noise
+    across engines, so the money math runs in exact DECIMAL on both
+    sides: the sum is order-independent and rounds identically.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier", "orders", "nation"], register=False)
+    parts = t["part"].filter(F.col("p_name").contains("a")).select("p_partkey", "p_retailprice")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    profit = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount"))) - dec(
+        F.lit(0.8)
+    ) * dec(F.col("p_retailprice")) * dec(F.col("l_quantity"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS correlated on the same fact.
+
+    The sole supplier whose lineitem was returned on a multi-supplier
+    finalized order ('kept others waiting'). Both quantifiers become
+    semi/anti joins on (orderkey) with a supplier-mismatch predicate.
+    """
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"], register=False)
+    li = t["lineitem"]
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .drop("o_orderkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("e_okey"), F.col("l_suppkey").alias("e_skey"))
+    exists_other = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("e_okey")) & (F.col("l_suppkey") != F.col("e_skey")),
+        "left_semi",
+    )
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("n_okey"), F.col("l_suppkey").alias("n_skey"))
+    )
+    sole_returner = exists_other.join(
+        l3,
+        (F.col("l_orderkey") == F.col("n_okey")) & (F.col("l_suppkey") != F.col("n_skey")),
+        "left_anti",
+    )
+    return (
+        sole_returner.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
     )
