@@ -152,3 +152,91 @@ def parse_changelog_stream(raw_stream: DataFrame) -> DataFrame:
     """ODS topic_db → typed changelog stream (DimApp step 3)."""
     clean, _ = parse_with_dirty(raw_stream, TOPIC_DB_SCHEMA)
     return clean
+
+
+def unique_visitor_job_idiomatic(
+    spark: SparkSession,
+    raw_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    watermark: str = "1 day",
+    available_now: bool = True,
+):
+    """ST2 idiomatic variant: watermark + dropDuplicates on (mid, dt).
+
+    Same output as the exact state-machine form under in-order input,
+    but state is bounded by the watermark (the reference keeps per-mid
+    state forever — no TTL, SURVEY.md §7.3). This is the shape to run
+    at 100 TB/day.
+    """
+    from flink_realtime_data_warehouse_spark.functions.timeutil import to_date_str
+
+    clean, _ = parse_with_dirty(raw_stream, BEHAVIOR_LOG_SCHEMA)
+    entries = clean.filter(F.col("page").isNotNull() & F.col("page.last_page_id").isNull())
+    flat = entries.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.is_new").alias("is_new"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("ts"),
+        to_date_str(F.col("ts")).alias("dt"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+    )
+    uv = flat.withWatermark("event_time", watermark).dropDuplicates(["mid", "dt"])
+    return (
+        uv.drop("event_time")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
+def stream_stream_conversion_job(
+    spark: SparkSession,
+    raw_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    window_seconds: int = 3600,
+    available_now: bool = True,
+):
+    """Stream-stream interval join: page views joined to later 'cart'
+    actions of the same device within the window (DWS conversion feed).
+    """
+    from flink_realtime_data_warehouse_spark.streaming.joins import interval_join_streams
+
+    clean, _ = parse_with_dirty(raw_stream, BEHAVIOR_LOG_SCHEMA)
+    pages = clean.filter(F.col("page").isNotNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("ts").alias("view_ts"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+    )
+    actions = (
+        clean.filter(F.col("actions").isNotNull())
+        .select(
+            F.col("common.mid").alias("mid"),
+            F.explode("actions").alias("action"),
+            F.col("ts").alias("action_ts"),
+            F.timestamp_millis(F.col("ts")).alias("r_event_time"),
+        )
+        .filter(F.col("action.action_id") == "cart")
+    )
+    joined = interval_join_streams(
+        pages, actions, key="mid", window_seconds=window_seconds
+    ).select(
+        F.col("l_mid").alias("mid"),
+        "page_id",
+        "view_ts",
+        F.col("action.item").alias("cart_item"),
+        "action_ts",
+    )
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=available_now)
+        .start()
+    )

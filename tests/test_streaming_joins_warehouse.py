@@ -1,0 +1,95 @@
+"""Stream-stream interval join, idiomatic UV variant, and the warehouse
+facade wiring streaming outputs into the SQL layer."""
+
+import json
+import os
+
+from flink_realtime_data_warehouse_spark.sources.streams import read_jsonl_stream
+from flink_realtime_data_warehouse_spark.streaming.jobs import (
+    base_log_job,
+    stream_stream_conversion_job,
+    unique_visitor_job_idiomatic,
+)
+from flink_realtime_data_warehouse_spark.warehouse import Warehouse
+
+BASE = 1658793600000
+DAY = 86_400_000
+
+
+def _rec(mid, ts, page=None, actions=None, is_new="0"):
+    rec = {"common": {"mid": mid, "is_new": is_new}, "ts": ts}
+    if page:
+        rec["page"] = page
+    if actions:
+        rec["actions"] = actions
+    return json.dumps(rec)
+
+
+def _write(dir_, name, lines):
+    os.makedirs(dir_, exist_ok=True)
+    with open(os.path.join(dir_, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "b1.jsonl", [
+        _rec("A", BASE, page={"page_id": "sku_7"}),
+        # cart 10 min later → joins
+        _rec("A", BASE + 600_000, page={"page_id": "cart"},
+             actions=[{"item": "sku_7", "item_type": "sku", "action_id": "cart"}]),
+        # cart 2h later → outside window, no join
+        _rec("A", BASE + 2 * 3600_000, page={"page_id": "cart"},
+             actions=[{"item": "sku_9", "item_type": "sku", "action_id": "cart"}]),
+        _rec("B", BASE + 1000, page={"page_id": "home"}),
+    ])
+    out = str(tmp_path / "out")
+    q = stream_stream_conversion_job(
+        spark, read_jsonl_stream(spark, src), out, str(tmp_path / "ckpt"), window_seconds=3600
+    )
+    q.awaitTermination(150)
+    rows = spark.read.parquet(out).collect()
+    pairs = sorted((r["mid"], r["page_id"], r["cart_item"]) for r in rows)
+    # A's first view joins the 10-min cart; the 2h-later cart joins only
+    # the view at +2h (itself a page event); B never joins
+    assert ("A", "sku_7", "sku_7") in pairs
+    assert all(p[0] == "A" for p in pairs)
+    assert not any(p[1] == "sku_7" and p[2] == "sku_9" for p in pairs)
+
+
+def test_unique_visitor_idiomatic_variant(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "b1.jsonl", [
+        _rec("m1", BASE, page={"page_id": "home"}),
+        _rec("m1", BASE + 5000, page={"page_id": "home"}),       # same day dup
+        _rec("m1", BASE + DAY, page={"page_id": "home"}),        # next day
+        _rec("m2", BASE + 100, page={"page_id": "home"}),
+        _rec("m3", BASE + 100, page={"page_id": "list", "last_page_id": "home"}),  # not entry
+    ])
+    out = str(tmp_path / "uv")
+    q = unique_visitor_job_idiomatic(
+        spark, read_jsonl_stream(spark, src), out, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(150)
+    got = sorted((r["mid"], r["dt"]) for r in spark.read.parquet(out).collect())
+    assert got == [("m1", "2022-07-26"), ("m1", "2022-07-27"), ("m2", "2022-07-26")]
+
+
+def test_warehouse_facade_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write(src, "b1.jsonl", [
+        _rec("A", BASE, page={"page_id": "home"}, is_new="1"),
+        _rec("B", BASE + 1000, page={"page_id": "home"}),
+        _rec("A", BASE + 2000, page={"page_id": "list", "last_page_id": "home"}),
+    ])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    qs = base_log_job(spark, read_jsonl_stream(spark, src), wh.dwd_root, str(tmp_path / "ckpt"))
+    for q in qs:
+        q.awaitTermination(150)
+
+    views = wh.register()
+    assert "dwd_traffic_page_log" in views
+    n = wh.sql(
+        "SELECT count(DISTINCT common.mid) AS uv FROM dwd_traffic_page_log"
+    ).first()["uv"]
+    assert n == 2
