@@ -9,7 +9,7 @@ registered views.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import LongType, StringType
+from pyspark.sql.types import LongType
 
 
 def register_sql_functions(spark: SparkSession) -> list[str]:

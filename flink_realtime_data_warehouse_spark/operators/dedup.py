@@ -353,7 +353,9 @@ def cosine_expr(a: Column, b: Column) -> Column:
     """cosine similarity of two array<double> columns via built-ins.
 
     Sequential left-to-right accumulation (F.aggregate) so the float
-    summation order is fixed and reproducible.
+    summation order is fixed and reproducible. Public utility for
+    expression-level use; the bulk operators use the NumPy block
+    kernels instead (10-50× faster for all-pairs work).
     """
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))

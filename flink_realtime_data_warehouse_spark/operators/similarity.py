@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_realtime_data_warehouse_spark.operators.dedup import cosine_expr
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.sources.tables import load_table
 

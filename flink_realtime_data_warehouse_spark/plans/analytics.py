@@ -624,8 +624,6 @@ def union_signup_error_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_date_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F2/F3 surface (reference DateFormatUtil.java:10-38): formatting + epoch round-trip."""
-    from flink_realtime_data_warehouse_spark.functions.timeutil import ntz_to_millis
-
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
