@@ -40,6 +40,14 @@ HEADLINE = [
     "ann_lsh_topk",
     "text_stats",
     "text_fingerprint",
+    "q7_volume_shipping",
+    "q13_customer_distribution",
+    "win_tumbling_hourly",
+    "win_session_gaps",
+    "join_interval_conversion",
+    "join_asof_last_view",
+    "agg_percentiles",
+    "pipeline_curation_stats",
 ]
 
 
