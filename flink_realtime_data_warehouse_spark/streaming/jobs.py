@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from flink_realtime_data_warehouse_spark.operators.parse import parse_with_dirty
 from flink_realtime_data_warehouse_spark.operators.split import split_log
@@ -34,42 +35,79 @@ def base_log_job(
     """BaseLogApp (reference BaseLogApp.java:22-187): parse with dirty
     side-channel → ST1 is_new correction → five-way split → five tables.
 
-    One source pass per micro-batch: the split happens inside a single
-    foreachBatch over the corrected stream, so err/start/display/action/
-    page are filters over one cached batch (the reference uses one
-    ProcessFunction with 4 OutputTags — same shape).
+    The split runs over the ST1-*corrected* stream (reference order:
+    fixNewFlag at :64-96 precedes the OutputTag split at :98-162), so
+    page/start/display/action/err records carry the corrected is_new.
+    The full record rides through the state op as a serialized payload
+    column — exactly the reference's keyed process function carrying the
+    whole JSONObject — then is re-typed and split inside one
+    foreachBatch (one source pass; the five outputs are filters over a
+    single cached batch).
+
+    Each split write is idempotent per micro-batch: outputs are
+    partitioned by ``_batch_id`` and dynamically overwrite only that
+    partition, so a retried batch replaces its own files instead of
+    appending duplicates.
     """
     clean, dirty = parse_with_dirty(raw_stream, BEHAVIOR_LOG_SCHEMA)
 
+    payload_schema = StructType(
+        [f for f in BEHAVIOR_LOG_SCHEMA.fields if f.name != "ts"]
+    )
     flat = clean.select(
         F.col("common.mid").alias("mid"),
         F.col("common.is_new").alias("is_new"),
         F.col("page.page_id").alias("page_id"),
         F.col("page.last_page_id").alias("last_page_id"),
         F.col("ts"),
-        F.struct("common", "page", "start", "err", "display", "actions").alias("payload"),
+        F.to_json(F.struct("common", "page", "start", "err", "display", "actions")).alias(
+            "payload_json"
+        ),
     )
-    # ST1 needs only the flat visitor columns; re-join payload by (mid, ts)
-    # would shuffle again, so the job keeps the full record through the
-    # state op instead: simplest exact shape is to run ST1 on flat columns
-    # and split from the raw parsed stream within the same batch.
-    corrected = correct_is_new(flat.drop("payload"))
+    corrected = correct_is_new(flat)
 
     def _write_splits(batch: DataFrame, batch_id: int) -> None:
-        streams = split_log(batch)
-        for name, df in streams.items():
-            df.write.mode("append").parquet(os.path.join(out_root, f"dwd_traffic_{name}_log"))
+        restored = batch.withColumn(
+            "payload", F.from_json("payload_json", payload_schema)
+        ).select(
+            # stamp the corrected flag back into the typed record
+            F.col("payload.common").withField("is_new", F.col("is_new")).alias("common"),
+            F.col("payload.page").alias("page"),
+            F.col("payload.start").alias("start"),
+            F.col("payload.err").alias("err"),
+            F.col("payload.display").alias("display"),
+            F.col("payload.actions").alias("actions"),
+            F.col("ts"),
+        )
+        restored.persist()
+        try:
+            streams = split_log(restored)
+            for name, df in streams.items():
+                if df.isEmpty():
+                    # an empty dynamic-overwrite write would leave a
+                    # schemaless directory; nothing to replace either way
+                    continue
+                (
+                    df.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
+                    .parquet(os.path.join(out_root, f"dwd_traffic_{name}_log"))
+                )
+        finally:
+            restored.unpersist()
 
     queries = []
     q1 = (
-        clean.writeStream.foreachBatch(_write_splits)
+        corrected.writeStream.foreachBatch(_write_splits)
         .option("checkpointLocation", os.path.join(checkpoint_root, "split"))
         .trigger(availableNow=available_now)
         .start()
     )
     queries.append(q1)
     q2 = (
-        corrected.writeStream.format("parquet")
+        corrected.drop("payload_json")
+        .writeStream.format("parquet")
         .option("path", os.path.join(out_root, "dwd_traffic_corrected_log"))
         .option("checkpointLocation", os.path.join(checkpoint_root, "corrected"))
         .outputMode("append")
@@ -162,12 +200,17 @@ def unique_visitor_job_idiomatic(
     watermark: str = "1 day",
     available_now: bool = True,
 ):
-    """ST2 idiomatic variant: watermark + dropDuplicates on (mid, dt).
+    """ST2 idiomatic variant: watermark + dropDuplicatesWithinWatermark
+    on (mid, dt).
 
-    Same output as the exact state-machine form under in-order input,
-    but state is bounded by the watermark (the reference keeps per-mid
-    state forever — no TTL, SURVEY.md §7.3). This is the shape to run
-    at 100 TB/day.
+    Same output as the exact state-machine form under in-order input.
+    ``dropDuplicatesWithinWatermark`` ties dedup-state eviction to the
+    event-time watermark even though (mid, dt) itself carries no
+    event-time column — a (mid, dt) entry is dropped once the watermark
+    passes its event time + delay, so state really is bounded (a plain
+    ``dropDuplicates`` on non-event-time keys would grow forever).
+    The reference keeps per-mid state with no TTL (SURVEY.md §7.3);
+    this is the shape to run at 100 TB/day.
     """
     from flink_realtime_data_warehouse_spark.functions.timeutil import to_date_str
 
@@ -181,7 +224,9 @@ def unique_visitor_job_idiomatic(
         to_date_str(F.col("ts")).alias("dt"),
         F.timestamp_millis(F.col("ts")).alias("event_time"),
     )
-    uv = flat.withWatermark("event_time", watermark).dropDuplicates(["mid", "dt"])
+    uv = flat.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["mid", "dt"]
+    )
     return (
         uv.drop("event_time")
         .writeStream.format("parquet")

@@ -52,6 +52,26 @@ def _date_of_millis(ts_ms: int, offset_ms: int = SHANGHAI_OFFSET_MILLIS) -> str:
     ).strftime("%Y-%m-%d")
 
 
+def _gather(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
+    """All of a key's rows for this trigger, globally sorted by event time.
+
+    ``applyInPandasWithState`` may deliver one key's rows as several Arrow
+    chunks; sorting each chunk independently would run state transitions
+    out of event-time order whenever a group spans chunks. Concatenate
+    first, then sort once (stable, so equal-ts rows keep arrival order).
+    """
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+    return whole.sort_values("ts", kind="mergesort")
+
+
+def _ordered_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[tuple]:
+    whole = _gather(pdfs)
+    return iter(()) if whole is None else whole.itertuples(index=False)
+
+
 #: flat record shape used by the stateful ops (mid, page info, ts)
 VISITOR_EVENT_SCHEMA = StructType(
     [
@@ -76,34 +96,52 @@ def _st1_fn(
 ) -> Iterator[pd.DataFrame]:
     """Reference logic BaseLogApp.java:76-95, applied in ts order."""
     first_date = state.get[0] if state.exists else None
+    whole = _gather(pdfs)
+    if whole is None:
+        return
+    cols = list(whole.columns)
+    is_new_pos = cols.index("is_new")
     out = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("ts").itertuples(index=False):
-            today = _date_of_millis(row.ts)
-            is_new = row.is_new
-            if first_date is not None:
-                if is_new == "1" and first_date != today:
-                    is_new = "0"
+    for row in whole.itertuples(index=False):
+        today = _date_of_millis(row.ts)
+        is_new = row.is_new
+        if first_date is not None:
+            if is_new == "1" and first_date != today:
+                is_new = "0"
+        else:
+            if is_new == "1":
+                first_date = today
             else:
-                if is_new == "1":
-                    first_date = today
-                else:
-                    # first sighting claims to be old: backfill state with
-                    # yesterday so later "1"s are corrected (BaseLogApp.java:91-94)
-                    import datetime as dt
+                # first sighting claims to be old: backfill state with
+                # yesterday so later "1"s are corrected (BaseLogApp.java:91-94)
+                import datetime as dt
 
-                    y = dt.datetime.strptime(today, "%Y-%m-%d") - dt.timedelta(days=1)
-                    first_date = y.strftime("%Y-%m-%d")
-            out.append((row.mid, is_new, row.page_id, row.last_page_id, row.ts))
+                y = dt.datetime.strptime(today, "%Y-%m-%d") - dt.timedelta(days=1)
+                first_date = y.strftime("%Y-%m-%d")
+        vals = list(row)
+        vals[is_new_pos] = is_new
+        out.append(tuple(vals))
     state.update((first_date,))
-    yield pd.DataFrame(out, columns=["mid", "is_new", "page_id", "last_page_id", "ts"])
+    yield pd.DataFrame(out, columns=cols)
+
+
+_ST1_BASE_COLS = ("mid", "is_new", "page_id", "last_page_id", "ts")
 
 
 def correct_is_new(events: DataFrame) -> DataFrame:
-    """ST1: per-mid stateful is_new rewrite (streaming form)."""
-    return events.groupBy("mid").applyInPandasWithState(
+    """ST1: per-mid stateful is_new rewrite (streaming form).
+
+    Any column beyond the visitor five (e.g. a serialized payload the
+    job wants to carry through the correction, as the reference's keyed
+    process function carries the whole JSONObject) passes through
+    untouched and appears in the output schema.
+    """
+    extras = [f for f in events.schema.fields if f.name not in _ST1_BASE_COLS]
+    out_schema = StructType(list(VISITOR_EVENT_SCHEMA.fields) + extras)
+    ordered = events.select(*_ST1_BASE_COLS, *[f.name for f in extras])
+    return ordered.groupBy("mid").applyInPandasWithState(
         _st1_fn,
-        outputStructType=VISITOR_EVENT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=_ST1_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -123,12 +161,11 @@ def _st2_fn(
     """Reference predicate DwdTrafficUniqueVisitorDetail.java:67-79."""
     last_date = state.get[0] if state.exists else None
     out = []
-    for pdf in pdfs:
-        for row in pdf.sort_values("ts").itertuples(index=False):
-            today = _date_of_millis(row.ts)
-            if last_date is None or last_date != today:
-                out.append((row.mid, row.is_new, row.page_id, row.last_page_id, row.ts))
-                last_date = today
+    for row in _ordered_rows(pdfs):
+        today = _date_of_millis(row.ts)
+        if last_date is None or last_date != today:
+            out.append((row.mid, row.is_new, row.page_id, row.last_page_id, row.ts))
+            last_date = today
     state.update((last_date,))
     yield pd.DataFrame(out, columns=["mid", "is_new", "page_id", "last_page_id", "ts"])
 
@@ -196,29 +233,37 @@ def _st4_fn(
         return
 
     pending: tuple[int, str] | None = tuple(state.get) if state.exists else None
-    for pdf in pdfs:
-        for row in pdf.sort_values("ts").itertuples(index=False):
-            is_entry = row.last_page_id is None or (
-                isinstance(row.last_page_id, float) and pd.isna(row.last_page_id)
-            )
-            if pending is not None:
-                if row.ts - pending[0] <= BOUNCE_WINDOW_MS:
-                    if is_entry:
-                        out.append((mid, pending[1], pending[0]))  # match → bounce
-                        pending = (row.ts, row.page_id)
-                    else:
-                        pending = None  # strict-next broken
-                else:
-                    out.append((mid, pending[1], pending[0]))  # in-batch timeout
-                    pending = (row.ts, row.page_id) if is_entry else None
-            else:
+    for row in _ordered_rows(pdfs):
+        is_entry = row.last_page_id is None or (
+            isinstance(row.last_page_id, float) and pd.isna(row.last_page_id)
+        )
+        if pending is not None:
+            if row.ts - pending[0] <= BOUNCE_WINDOW_MS:
                 if is_entry:
+                    out.append((mid, pending[1], pending[0]))  # match → bounce
                     pending = (row.ts, row.page_id)
+                else:
+                    pending = None  # strict-next broken
+            else:
+                out.append((mid, pending[1], pending[0]))  # in-batch timeout
+                pending = (row.ts, row.page_id) if is_entry else None
+        else:
+            if is_entry:
+                pending = (row.ts, row.page_id)
 
     if pending is not None:
-        state.update(pending)
-        # fire when the event-time watermark passes the CEP window end
-        state.setTimeoutTimestamp(pending[0] + BOUNCE_WINDOW_MS)
+        window_end = pending[0] + BOUNCE_WINDOW_MS
+        watermark = state.getCurrentWatermarkMs()
+        if watermark >= window_end:
+            # the window already expired behind the watermark (late entry):
+            # a timeout could never legally be armed — emit the bounce now,
+            # matching the CEP timeout path for an already-elapsed window
+            out.append((mid, pending[1], pending[0]))
+            state.remove()
+        else:
+            state.update(pending)
+            # fire when the event-time watermark passes the CEP window end
+            state.setTimeoutTimestamp(window_end)
     else:
         state.remove()
     yield pd.DataFrame(out, columns=["mid", "page_id", "ts"])

@@ -160,3 +160,78 @@ def test_st4_match_path_consecutive_entries(spark, tmp_path):
     # 1000 bounces via match; 5000 bounces via in-batch timeout (next
     # event at 50000 is outside the window)
     assert got == [("7", 1000), ("7", 5000)]
+
+
+def test_st4_late_entry_behind_watermark(spark, tmp_path):
+    """An entry arriving behind the watermark must never kill the query
+    with an illegal timeout <= watermark.
+
+    Spark filters rows behind the watermark before they reach the state
+    function (FlatMapGroupsWithStateExec late-data predicate), matching
+    Flink CEP's drop-late-events behavior — so the late entry produces
+    no bounce and the query finishes cleanly. The state machine
+    additionally clamps its timeout for the boundary case where a row's
+    window end lands exactly at the watermark."""
+    src = str(tmp_path / "src")
+    # batch 1 drives the watermark to 200000 (0-delay watermark)
+    _write_file(src, "batch1.jsonl", [_page("W", 200000, page_id="x", last="y")])
+    out_path = str(tmp_path / "bounce")
+    ckpt = str(tmp_path / "ckpt")
+    q = user_jump_job(spark, read_jsonl_stream(spark, src), out_path, ckpt)
+    q.awaitTermination(120)
+
+    # batch 2: late lone entry at 50000 — its window end (60000) is
+    # already behind the recovered watermark
+    _write_file(src, "batch2.jsonl", [_page("L", 50000, page_id="home")])
+    q2 = user_jump_job(spark, read_jsonl_stream(spark, src), out_path, ckpt)
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+    got = sorted((r["mid"], r["ts"]) for r in spark.read.parquet(out_path).collect())
+    assert got == []  # W is a non-entry; L was late → dropped, not crashed
+
+
+def test_st1_multi_chunk_event_time_order(spark, tmp_path):
+    """One key's rows split across several Arrow chunks must still be
+    processed in global ts order (chunks are concatenated before the
+    sort, not sorted independently)."""
+    src = str(tmp_path / "src")
+    # file order is REVERSED event order; with 2-row Arrow chunks a
+    # per-chunk sort would see day2 before day1 and corrupt the state
+    lines = [
+        _page("m9", DAY2 + 3000, is_new="1"),
+        _page("m9", DAY2 + 2000, is_new="1"),
+        _page("m9", DAY2 + 1000, is_new="1"),
+        _page("m9", DAY1 + 2000, is_new="1"),
+        _page("m9", DAY1 + 1000, is_new="1"),
+        _page("m9", DAY1, is_new="1"),
+    ]
+    _write_file(src, "batch1.jsonl", lines)
+    raw = read_jsonl_stream(spark, src)
+    clean, _ = parse_with_dirty(raw, BEHAVIOR_LOG_SCHEMA)
+    flat = clean.select(
+        F.col("common.mid").alias("mid"),
+        F.col("common.is_new").alias("is_new"),
+        F.col("page.page_id").alias("page_id"),
+        F.col("page.last_page_id").alias("last_page_id"),
+        F.col("ts"),
+    ).repartition(1)
+    out_path = str(tmp_path / "out")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        q = (
+            correct_is_new(flat)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {r["ts"]: r["is_new"] for r in spark.read.parquet(out_path).collect()}
+    # first day stays new; every day-2 event corrected to 0
+    assert got[DAY1] == "1" and got[DAY1 + 1000] == "1" and got[DAY1 + 2000] == "1"
+    assert got[DAY2 + 1000] == "0" and got[DAY2 + 2000] == "0" and got[DAY2 + 3000] == "0"

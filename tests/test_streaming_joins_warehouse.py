@@ -93,3 +93,22 @@ def test_warehouse_facade_end_to_end(spark, tmp_path):
         "SELECT count(DISTINCT common.mid) AS uv FROM dwd_traffic_page_log"
     ).first()["uv"]
     assert n == 2
+
+
+def test_base_log_split_carries_corrected_is_new(spark, tmp_path):
+    """Reference order is ST1-then-split (BaseLogApp.java:64-162): the
+    page split must carry the *corrected* is_new, not the raw flag."""
+    DAY = 86_400_000
+    src = str(tmp_path / "src")
+    _write(src, "b1.jsonl", [
+        _rec("m1", BASE, page={"page_id": "home"}, is_new="1"),        # truly new
+        _rec("m1", BASE + DAY, page={"page_id": "home"}, is_new="1"),  # day 2 lie → 0
+    ])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    qs = base_log_job(spark, read_jsonl_stream(spark, src), wh.dwd_root, str(tmp_path / "ckpt"))
+    for q in qs:
+        q.awaitTermination(150)
+    rows = {r["ts"]: r["common"]["is_new"]
+            for r in wh.read_dwd("dwd_traffic_page_log").collect()}
+    assert rows[BASE] == "1"
+    assert rows[BASE + DAY] == "0"
