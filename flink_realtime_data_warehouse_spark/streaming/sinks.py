@@ -18,6 +18,7 @@ a MERGE only rewrites touched files.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -27,34 +28,103 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-class DimStore:
-    """Keyed upsert table store rooted at a directory (one subdir per table)."""
+def _parse_extend(extend: str | None) -> dict[str, str]:
+    """Parse a ``sink_extend`` option string into table properties.
 
-    def __init__(self, spark: SparkSession, root: str):
+    The reference appends ``sink_extend`` verbatim to the CREATE TABLE
+    DDL (TableProcessFunction.java:59-79) — e.g. ``SALT_BUCKETS = 4``
+    for a pre-split Phoenix table. Here the same string becomes
+    key=value layout properties for the lake table.
+    """
+    out: dict[str, str] = {}
+    for part in (extend or "").split(","):
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k.strip().upper()] = v.strip()
+    return out
+
+
+class DimStore:
+    """Keyed upsert table store rooted at a directory (one subdir per table).
+
+    Layout: each table is hash-partitioned by PK into ``n_partitions``
+    subdirectories (``_pk_part=N``), so a MERGE rewrites only the
+    partitions its batch touches — the lake analogue of the reference's
+    salted Phoenix table. Partition count is fixed at create time
+    (from ``sink_extend``'s SALT_BUCKETS when present — the direct
+    translation of reference K4's DDL extension — else the store
+    default) and persisted in ``_dim_meta.json`` so later upserts and
+    a changed config can't skew the layout.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_partitions: int = 16):
         self.spark = spark
         self.root = root
+        self.n_partitions = n_partitions
         os.makedirs(root, exist_ok=True)
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _meta_path(self, table: str) -> str:
+        # underscore prefix → invisible to Spark's file listing
+        return os.path.join(self._path(table), "_dim_meta.json")
+
+    def _load_meta(self, table: str) -> dict | None:
+        try:
+            with open(self._meta_path(table)) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
     def exists(self, table: str) -> bool:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        return self.spark.read.parquet(self._path(table)).drop("_pk_part")
 
-    def upsert(self, table: str, batch: DataFrame, pk: str = "id") -> None:
+    def upsert(
+        self, table: str, batch: DataFrame, pk: str = "id", extend: str | None = None
+    ) -> None:
         """MERGE INTO <table> USING <batch> ON pk — last writer wins.
 
         Reference K3 defaults the PK to "id" (TableProcessFunction.java:52-54).
         Within one batch, later rows win (the reference applies rows in
         arrival order); `_seq` encodes arrival order.
+
+        Only partitions present in the batch are read back, merged, and
+        swapped (per-partition atomic rename); files of untouched
+        partitions are not rewritten — with a 10 TB dim table and a
+        1k-row batch, only the ≤1k touched hash buckets move. A real
+        deployment swaps this body for Delta/Iceberg
+        ``MERGE WHEN MATCHED`` and keeps the same interface.
         """
+        path = self._path(table)
+        exists = self.exists(table)
+        meta = self._load_meta(table)
+        if meta is None:
+            props = _parse_extend(extend)
+            n_parts = int(props.get("SALT_BUCKETS", self.n_partitions))
+        else:
+            props = meta.get("properties", {})
+            n_parts = int(meta["n_partitions"])
+        part_expr = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_parts)).cast("int")
+
         w = Window.partitionBy(pk).orderBy(F.desc("_seq"))
         batch = batch.withColumn("_seq", F.monotonically_increasing_id())
-        path = self._path(table)
-        if self.exists(table):
+        partitioned_merge = exists and meta is not None
+        if partitioned_merge:
+            touched = [
+                r[0] for r in batch.select(part_expr.alias("p")).distinct().collect()
+            ]
+            current = (
+                self.spark.read.parquet(path)
+                .filter(F.col("_pk_part").isin(touched))  # partition-pruned scan
+                .drop("_pk_part")
+                .withColumn("_seq", F.lit(-1).cast("long"))
+            )
+            merged = current.unionByName(batch, allowMissingColumns=True)
+        elif exists:  # legacy unpartitioned table: one-time full rewrite
             current = self.read(table).withColumn("_seq", F.lit(-1).cast("long"))
             merged = current.unionByName(batch, allowMissingColumns=True)
         else:  # K4: create-table-if-not-exists
@@ -63,17 +133,37 @@ class DimStore:
             merged.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_seq")
+            .withColumn("_pk_part", part_expr)
         )
-        # parquet has no txn log: write to a temp dir, then atomic swap
+        # parquet has no txn log: write touched partitions to a temp dir,
+        # then swap each partition directory atomically
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        deduped.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(path):
+        deduped.write.mode("overwrite").partitionBy("_pk_part").parquet(tmp)
+        if partitioned_merge:
+            for d in os.listdir(tmp):
+                if not d.startswith("_pk_part="):
+                    continue
+                src, dst = os.path.join(tmp, d), os.path.join(path, d)
+                if os.path.isdir(dst):
+                    old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+                    os.rename(dst, old)
+                    os.rename(src, dst)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        elif exists:
             old = f"{path}__old_{uuid.uuid4().hex[:8]}"
             os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old, ignore_errors=True)
         else:
             os.rename(tmp, path)
+        if meta is None:
+            with open(self._meta_path(table), "w") as f:
+                json.dump(
+                    {"n_partitions": n_parts, "pk": pk, "properties": props}, f
+                )
 
     def tables(self) -> list[str]:
         return sorted(

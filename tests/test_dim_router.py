@@ -14,10 +14,22 @@ from flink_realtime_data_warehouse_spark.sources.streams import (
     static_jsonl,
 )
 from flink_realtime_data_warehouse_spark.streaming.router import (
+    fold_config_changelog,
+    parse_debezium_config,
     route_changelog_batch,
     start_dim_app,
 )
 from flink_realtime_data_warehouse_spark.streaming.sinks import DimStore
+
+
+def _dbz(op, row, ts_ms, key_only_before=False):
+    """A Debezium envelope as JsonDebeziumDeserializationSchema emits it."""
+    e = {"op": op, "ts_ms": ts_ms, "before": None, "after": None}
+    if op == "d":
+        e["before"] = row
+    else:
+        e["after"] = row
+    return json.dumps(e)
 
 
 def _cdc(table, type_, data):
@@ -47,6 +59,58 @@ def test_dim_store_upsert_merge(spark, tmp_path):
     assert got == {"1": "apple", "2": "blueberry", "3": "cherry"}
 
 
+def test_dim_store_partitioned_merge_leaves_untouched_files(spark, tmp_path):
+    """An upsert must rewrite ONLY the hash partitions its batch
+    touches; every file of an untouched partition stays byte-identical
+    (the 10 TB-table / 1k-row-batch economics of the lake MERGE)."""
+    store = DimStore(spark, str(tmp_path / "dim"), n_partitions=8)
+    seed = spark.createDataFrame(
+        [(str(i), f"name_{i}") for i in range(64)], ["id", "tm_name"]
+    )
+    store.upsert("dim_t", seed)
+    root = tmp_path / "dim" / "dim_t"
+
+    def snapshot():
+        out = {}
+        for pdir in root.glob("_pk_part=*"):
+            for f in pdir.glob("*.parquet"):
+                out[str(f.relative_to(root))] = f.read_bytes()
+        return out
+
+    before = snapshot()
+    assert len({p.split("/")[0] for p in before}) > 1  # really partitioned
+
+    store.upsert("dim_t", spark.createDataFrame([("3", "updated")], ["id", "tm_name"]))
+    after = snapshot()
+
+    from pyspark.sql import functions as F
+    touched_part = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("3")), F.lit(8)).cast("int").alias("p")
+    ).first()["p"]
+    for relpath, data in before.items():
+        part = relpath.split("/")[0]
+        if part != f"_pk_part={touched_part}":
+            assert relpath in after and after[relpath] == data, f"{relpath} rewritten"
+    # the merge itself happened
+    got = {r["id"]: r["tm_name"] for r in store.read("dim_t").collect()}
+    assert got["3"] == "updated" and got["4"] == "name_4" and len(got) == 64
+
+
+def test_dim_store_sink_extend_salt_buckets(spark, tmp_path):
+    """sink_extend (reference TableProcessFunction.java:59-79 appends it
+    to the DDL) must drive the created table's layout."""
+    store = DimStore(spark, str(tmp_path / "dim"), n_partitions=16)
+    df = spark.createDataFrame([(str(i), f"n{i}") for i in range(40)], ["id", "name"])
+    store.upsert("dim_salted", df, extend="SALT_BUCKETS = 4")
+    parts = {d.name for d in (tmp_path / "dim" / "dim_salted").glob("_pk_part=*")}
+    assert parts and parts <= {f"_pk_part={i}" for i in range(4)}
+    # layout persisted: a later upsert without extend keeps 4 buckets
+    store.upsert("dim_salted", spark.createDataFrame([("99", "x")], ["id", "name"]))
+    parts2 = {d.name for d in (tmp_path / "dim" / "dim_salted").glob("_pk_part=*")}
+    assert parts2 <= {f"_pk_part={i}" for i in range(4)}
+    assert store.read("dim_salted").count() == 41
+
+
 def test_route_changelog_batch(spark, tmp_path):
     rows = [
         _cdc("base_trademark", "insert", {"id": "1", "tm_name": "apple", "logo_url": "x.png"}),
@@ -72,6 +136,63 @@ def test_route_changelog_batch(spark, tmp_path):
     assert set(store.read("dim_user_info").columns) == {"id", "name", "birthday"}
     assert ui["name"] == "u7"
     assert store.read("dim_base_category1").collect()[0]["name"] == "c3"
+
+
+def _tp_row(source_table, sink_table, sink_columns, sink_pk=None, sink_extend=None):
+    return {
+        "source_table": source_table,
+        "sink_table": sink_table,
+        "sink_columns": sink_columns,
+        "sink_pk": sink_pk,
+        "sink_extend": sink_extend,
+    }
+
+
+def test_parse_and_fold_debezium_config(spark):
+    """Insert/update/delete envelopes (reference DimApp.java:74-86 wire
+    format) fold to the current rule set: updates win, deletes drop."""
+    lines = [
+        _dbz("r", _tp_row("base_trademark", "dim_base_trademark", "id,tm_name", "id"), 1000),
+        _dbz("c", _tp_row("user_info", "dim_user_info", "id,name", "id"), 2000),
+        # update replaces the trademark rule's whitelist
+        _dbz("u", _tp_row("base_trademark", "dim_base_trademark", "id,tm_name,logo_url", "id"), 3000),
+        # the user_info rule is dropped
+        _dbz("d", _tp_row("user_info", "dim_user_info", "id,name", "id"), 4000),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], ["value"])
+    config = fold_config_changelog(parse_debezium_config(raw))
+    rules = {r["source_table"]: r for r in config.collect()}
+    assert set(rules) == {"base_trademark"}
+    assert rules["base_trademark"]["sink_columns"] == "id,tm_name,logo_url"
+    assert config.columns == TABLE_PROCESS_SCHEMA.fieldNames()
+
+
+def test_dim_app_with_debezium_config_stream(spark, tmp_path):
+    """End-to-end: the router fed by a replayed Debezium config topic
+    routes per the folded rules (delete un-registers a table)."""
+    src = str(tmp_path / "src")
+    cfg = str(tmp_path / "cfg")
+    os.makedirs(cfg, exist_ok=True)
+    with open(os.path.join(cfg, "topic.jsonl"), "w") as f:
+        f.write(_dbz("r", _tp_row("base_trademark", "dim_base_trademark", "id,tm_name", "id"), 1000) + "\n")
+        f.write(_dbz("c", _tp_row("user_info", "dim_user_info", "id,name", "id"), 2000) + "\n")
+        f.write(_dbz("d", _tp_row("user_info", "dim_user_info", "id,name", "id"), 3000) + "\n")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write(_cdc("base_trademark", "insert", {"id": "1", "tm_name": "apple"}) + "\n")
+        f.write(_cdc("user_info", "insert", {"id": "7", "name": "u7"}) + "\n")
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import parse_changelog_stream
+
+    store = DimStore(spark, str(tmp_path / "dim"))
+    stream = parse_changelog_stream(read_jsonl_stream(spark, src))
+    q = start_dim_app(
+        spark, stream, cfg, store, str(tmp_path / "ckpt"), config_format="debezium"
+    )
+    q.awaitTermination(120)
+    # trademark routed; user_info rule was deleted before the batch ran
+    assert store.tables() == ["dim_base_trademark"]
+    assert store.read("dim_base_trademark").collect()[0]["tm_name"] == "apple"
 
 
 def test_dim_app_stream_with_config_refresh(spark, tmp_path):
