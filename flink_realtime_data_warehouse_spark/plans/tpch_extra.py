@@ -172,12 +172,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: uncorrelated scalar subquery + anti join."""
+    """TPC-H Q22 shape: uncorrelated scalar subquery + anti join.
+
+    The scalar average arrives via broadcast crossJoin — one plan, no
+    separate driver job.
+    """
     t = load_tables(spark, sf_dir, ["customer", "orders"], register=False)
     cust = t["customer"]
-    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).first()[0]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg_bal"))
     return (
-        cust.filter(F.col("c_acctbal") > avg_bal)
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select(F.substring("c_name", 1, 10).alias("segment"), "c_acctbal")
         .groupBy("segment")
@@ -201,7 +206,12 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: derived-table reuse + scalar-max filter."""
+    """TPC-H Q15: derived-table reuse + scalar-max filter.
+
+    The scalar max rides in as a broadcast crossJoin, so the whole query
+    is ONE plan (no driver-side `.first()` between jobs) and AQE sees
+    all of it.
+    """
     t = load_tables(spark, sf_dir, ["lineitem", "supplier"], register=False)
     revenue = (
         t["lineitem"]
@@ -212,11 +222,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max_rev"))
     return (
         t["supplier"]
-        .join(F.broadcast(revenue.filter(F.col("total_revenue") == max_rev)),
-              F.col("s_suppkey") == F.col("supplier_no"))
+        .join(
+            F.broadcast(
+                revenue.crossJoin(F.broadcast(max_rev)).filter(
+                    F.col("total_revenue") == F.col("_max_rev")
+                )
+            ),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -394,4 +410,205 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eligible AS (
+      SELECT c.l_partkey, c.unit_cost, s_name, s_acctbal, n_name
+      FROM costs c JOIN supplier ON s_suppkey = c.l_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'),
+    mc AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM eligible GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_retailprice, unit_cost
+    FROM eligible e JOIN mc ON e.l_partkey = mc.l_partkey AND e.unit_cost = mc.min_cost
+                    JOIN part ON p_partkey = e.l_partkey
+    WHERE p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per part.
+
+    The reference schema has no partsupp, so the part↔supplier offer
+    relation is derived from lineitem (min observed unit price per
+    (part, supplier)). The correlated MIN subquery decorrelates into a
+    per-part aggregate joined back on (partkey, cost) — Catalyst's
+    standard Q2 plan. Dims broadcast; the only big shuffle is the
+    lineitem groupBy.
+    """
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"], register=False
+    )
+    costs = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("unit_cost"))
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    nat = t["nation"].join(F.broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey"))
+    eligible = (
+        costs.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_retailprice", "unit_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey AS ps_partkey,
+             sum(l_extendedprice::DECIMAL(15,4) * l_quantity::DECIMAL(8,2)) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey)
+    SELECT ps_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+    FROM v, (SELECT sum(value) AS total FROM v) t
+    WHERE value * 1000 > total
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value vs a global-total
+    scalar (HAVING > fraction-of-total), one nation's suppliers.
+
+    value = Σ extendedprice·quantity stands in for supplycost·availqty
+    (no partsupp table). The derived table is computed once and reused
+    for both the per-part values and the grand total; the scalar total
+    joins back via broadcast crossJoin — a single plan, DECIMAL-exact
+    on both sides of the threshold comparison.
+    """
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"], register=False)
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    v = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,4)")
+                * F.col("l_quantity").cast("decimal(8,2)")
+            ).alias("value")
+        )
+    )
+    total = v.agg(F.sum("value").alias("_total"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        # integer multiplier keeps the comparison DECIMAL-exact without
+        # widening past either engine's decimal range
+        .filter(F.col("value") * F.lit(1000) > F.col("_total"))
+        .select("ps_partkey", F.round("value", 2).cast("double").alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding a NOT-IN supplier denylist (negative balance stands in
+    for the complaints-comment filter; s_comment isn't in this schema).
+
+    NOT IN over a non-nullable key → plain anti join; the distinct
+    count shuffles (brand, type, size, suppkey) once, then counts.
+    """
+    t = load_tables(spark, sf_dir, ["part", "lineitem", "supplier"], register=False)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_promotable_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100)
+    ORDER BY s_name
+    """,
+)
+def q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries — suppliers of one nation
+    who moved real volume of a part family in a year.
+
+    The inner IN (parts by name prefix) is a broadcast semi join inside
+    the aggregate; the outer IN becomes a semi join from supplier to
+    the HAVING-filtered aggregate. Sum threshold stands in for the
+    availqty comparison (no partsupp table).
+    """
+    t = load_tables(spark, sf_dir, ["supplier", "nation", "lineitem", "part"], register=False)
+    parts = t["part"].filter(F.col("p_name").startswith("small")).select("p_partkey")
+    movers = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= _ntz("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < _ntz("1998-01-01 00:00:00"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
