@@ -1,0 +1,202 @@
+"""Stream-vs-batch parity queries: the REAL streaming state machines
+(applyInPandasWithState, availableNow trigger) run under the driver's
+DuckDB oracle check.
+
+The batch-window formulations in ``operators/visitors.py`` define the
+semantics and already hash-match their oracles; these queries prove the
+*streaming* execution path produces the identical answer on the same
+input — reference topologies ST1/ST2/ST4 closed end-to-end
+(BaseLogApp.java:64-96, DwdTrafficUniqueVisitorDetail.java:55-80,
+DwdTrafficUserJumpDetail.java:88-136).
+
+Mechanics: the events table is flattened to the visitor-event shape
+(ts as NTZ epoch MICROseconds — session-timezone-proof and lossless),
+written as a single parquet file, streamed back through the stateful
+operator with an availableNow trigger into a parquet sink, and the
+sink is read back as the query result. One file → one micro-batch, so
+cross-batch ordering cannot diverge from the batch oracle; the
+operators themselves already handle multi-chunk groups.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+from flink_realtime_data_warehouse_spark.streaming.state import (
+    VISITOR_EVENT_SCHEMA,
+    correct_is_new,
+    daily_unique_visitors,
+    detect_bounces,
+)
+
+#: same knobs as the batch forms (operators/visitors.py)
+_BOUNCE_WINDOW_US = 3600 * 1_000_000
+_ENTRY_EVENT_TYPE = "view"
+
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _flat_events(spark: SparkSession, sf_dir: str, for_bounce: bool = False) -> DataFrame:
+    """events → visitor-event shape with ts = NTZ epoch µs."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), F.col("ts"))
+    last_page = (
+        F.when(F.col("event_type") == _ENTRY_EVENT_TYPE, F.lit(None).cast("string"))
+        .otherwise(F.lit("np"))
+        if for_bounce
+        else F.lit(None).cast("string")
+    )
+    return ev.select(
+        F.col("user_id").cast("string").alias("mid"),
+        F.lit("1").alias("is_new"),
+        F.col("event_id").cast("string").alias("page_id"),
+        last_page.alias("last_page_id"),
+        ts_us.alias("ts"),
+    )
+
+
+def _run_stream(spark: SparkSession, flat: DataFrame, op) -> DataFrame:
+    """Materialize ``flat`` (one file), stream it through ``op``, return the sink."""
+    root = tempfile.mkdtemp(prefix="frdw_parity_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    flat.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(VISITOR_EVENT_SCHEMA).parquet(src)
+    out = op(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+_NTZ_DAY_US = 86_400_000_000
+
+
+def _dt_from_ts_us(col: Column) -> Column:
+    """NTZ epoch µs → DATE via pure integer math (no session tz)."""
+    return F.date_add(
+        F.lit("1970-01-01").cast("date"), F.floor(col / F.lit(_NTZ_DAY_US)).cast("int")
+    )
+
+
+@query(
+    "st1_streaming_parity",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN CAST(ts AS DATE) = min(CAST(ts AS DATE)) OVER (PARTITION BY user_id)
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def st1_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 via the actual applyInPandasWithState pipeline.
+
+    Every event claims is_new=1; the state machine keeps the claim only
+    on the device's first-seen date — which is exactly the batch
+    oracle's min-date window semantics.
+    """
+    flat = _flat_events(spark, sf_dir)
+    sink = _run_stream(
+        spark, flat, lambda s: correct_is_new(s, offset_ms=0, ts_per_ms=1000)
+    )
+    return sink.select(
+        F.col("page_id").cast("bigint").alias("event_id"),
+        F.col("mid").cast("bigint").alias("user_id"),
+        F.col("is_new").cast("int").alias("is_new"),
+    ).orderBy("event_id")
+
+
+@query(
+    "st2_streaming_parity",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS DATE) AS dt
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def st2_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 via the actual applyInPandasWithState pipeline: the state
+    machine's first-emission-per-day equals the batch first-row-per-
+    (user, day) window (no (user, ts) ties in the events table)."""
+    flat = _flat_events(spark, sf_dir)
+    sink = _run_stream(
+        spark, flat, lambda s: daily_unique_visitors(s, offset_ms=0, ts_per_ms=1000)
+    )
+    return sink.select(
+        F.col("page_id").cast("bigint").alias("event_id"),
+        F.col("mid").cast("bigint").alias("user_id"),
+        _dt_from_ts_us(F.col("ts")).alias("dt"),
+    ).orderBy("event_id")
+
+
+@query(
+    "st4_streaming_parity",
+    oracle=f"""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             lead(ts)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_type
+      FROM events)
+    WHERE event_type = '{_ENTRY_EVENT_TYPE}'
+      AND (nxt_ts IS NULL
+           OR epoch_us(nxt_ts) - epoch_us(ts) > {_BOUNCE_WINDOW_US}
+           OR nxt_type = '{_ENTRY_EVENT_TYPE}')
+    ORDER BY event_id
+    """,
+)
+def st4_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 via the actual applyInPandasWithState pipeline.
+
+    A per-device flush sentinel (non-entry, one window past the
+    device's last event) is appended to the input so every still-
+    pending entry takes the in-batch timeout path before the stream
+    ends — the batch lead() form counts a trailing entry as a bounce
+    (nxt_ts IS NULL) the same way. Sentinels are non-entries and are
+    never emitted themselves.
+    """
+    flat = _flat_events(spark, sf_dir, for_bounce=True)
+    flush = (
+        flat.groupBy("mid")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            "mid",
+            F.lit("1").alias("is_new"),
+            F.lit("-1").alias("page_id"),
+            F.lit("np").alias("last_page_id"),
+            (F.col("mx") + F.lit(_BOUNCE_WINDOW_US + 1)).alias("ts"),
+        )
+    )
+    sink = _run_stream(
+        spark,
+        flat.unionByName(flush),
+        lambda s: detect_bounces(
+            s.withColumn("event_time", F.timestamp_micros(F.col("ts"))).withWatermark(
+                "event_time", "0 seconds"
+            ),
+            window=_BOUNCE_WINDOW_US,
+        ),
+    )
+    return sink.select(
+        F.col("page_id").cast("bigint").alias("event_id"),
+        F.col("mid").cast("bigint").alias("user_id"),
+        F.col("ts").alias("ts_us"),
+    ).orderBy("event_id")

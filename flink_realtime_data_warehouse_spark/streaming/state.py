@@ -16,19 +16,22 @@ proportional to |devices|, not traffic. The reference configures no
 state TTL (SURVEY.md §7.3); ``applyInPandasWithState`` would add one
 via ProcessingTimeTimeout if retention became a problem.
 
+The state functions are built by closure FACTORIES (``make_st*_fn``)
+so cloudpickle ships them to executors BY VALUE: the Python workers of
+a driver-created session cannot import this package, and a
+module-level function would be pickled by reference and die with
+ModuleNotFoundError. Every closure is fully self-contained.
+
 Batch-equivalent window formulations of the same semantics (used for
-backfills and DuckDB oracles) live in ``operators/visitors.py``.
+backfills and DuckDB oracles) live in ``operators/visitors.py``;
+stream-vs-batch parity is pinned under the driver's oracle check by
+``plans/streaming_parity.py``.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-from typing import Any
-
-import pandas as pd
-
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -37,40 +40,6 @@ from pyspark.sql.types import (
 )
 
 from flink_realtime_data_warehouse_spark.functions.timeutil import SHANGHAI_OFFSET_MILLIS
-
-# ---------------------------------------------------------------------------
-# shared helpers
-# ---------------------------------------------------------------------------
-
-
-def _date_of_millis(ts_ms: int, offset_ms: int = SHANGHAI_OFFSET_MILLIS) -> str:
-    """epoch millis → 'yyyy-MM-dd' at the reference's fixed +8 offset."""
-    import datetime as dt
-
-    return (
-        dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=ts_ms + offset_ms)
-    ).strftime("%Y-%m-%d")
-
-
-def _gather(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame | None:
-    """All of a key's rows for this trigger, globally sorted by event time.
-
-    ``applyInPandasWithState`` may deliver one key's rows as several Arrow
-    chunks; sorting each chunk independently would run state transitions
-    out of event-time order whenever a group spans chunks. Concatenate
-    first, then sort once (stable, so equal-ts rows keep arrival order).
-    """
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    if not chunks:
-        return None
-    whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-    return whole.sort_values("ts", kind="mergesort")
-
-
-def _ordered_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[tuple]:
-    whole = _gather(pdfs)
-    return iter(()) if whole is None else whole.itertuples(index=False)
-
 
 #: flat record shape used by the stateful ops (mid, page info, ts)
 VISITOR_EVENT_SCHEMA = StructType(
@@ -83,112 +52,8 @@ VISITOR_EVENT_SCHEMA = StructType(
     ]
 )
 
-
-# ---------------------------------------------------------------------------
-# ST1 — is_new correction
-# ---------------------------------------------------------------------------
-
 _ST1_STATE = StructType([StructField("first_visit_date", StringType())])
-
-
-def _st1_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Reference logic BaseLogApp.java:76-95, applied in ts order."""
-    first_date = state.get[0] if state.exists else None
-    whole = _gather(pdfs)
-    if whole is None:
-        return
-    cols = list(whole.columns)
-    is_new_pos = cols.index("is_new")
-    out = []
-    for row in whole.itertuples(index=False):
-        today = _date_of_millis(row.ts)
-        is_new = row.is_new
-        if first_date is not None:
-            if is_new == "1" and first_date != today:
-                is_new = "0"
-        else:
-            if is_new == "1":
-                first_date = today
-            else:
-                # first sighting claims to be old: backfill state with
-                # yesterday so later "1"s are corrected (BaseLogApp.java:91-94)
-                import datetime as dt
-
-                y = dt.datetime.strptime(today, "%Y-%m-%d") - dt.timedelta(days=1)
-                first_date = y.strftime("%Y-%m-%d")
-        vals = list(row)
-        vals[is_new_pos] = is_new
-        out.append(tuple(vals))
-    state.update((first_date,))
-    yield pd.DataFrame(out, columns=cols)
-
-
-_ST1_BASE_COLS = ("mid", "is_new", "page_id", "last_page_id", "ts")
-
-
-def correct_is_new(events: DataFrame) -> DataFrame:
-    """ST1: per-mid stateful is_new rewrite (streaming form).
-
-    Any column beyond the visitor five (e.g. a serialized payload the
-    job wants to carry through the correction, as the reference's keyed
-    process function carries the whole JSONObject) passes through
-    untouched and appears in the output schema.
-    """
-    extras = [f for f in events.schema.fields if f.name not in _ST1_BASE_COLS]
-    out_schema = StructType(list(VISITOR_EVENT_SCHEMA.fields) + extras)
-    ordered = events.select(*_ST1_BASE_COLS, *[f.name for f in extras])
-    return ordered.groupBy("mid").applyInPandasWithState(
-        _st1_fn,
-        outputStructType=out_schema,
-        stateStructType=_ST1_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
-# ---------------------------------------------------------------------------
-# ST2 — per-day unique-visitor dedup
-# ---------------------------------------------------------------------------
-
 _ST2_STATE = StructType([StructField("last_visit_date", StringType())])
-
-
-def _st2_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Reference predicate DwdTrafficUniqueVisitorDetail.java:67-79."""
-    last_date = state.get[0] if state.exists else None
-    out = []
-    for row in _ordered_rows(pdfs):
-        today = _date_of_millis(row.ts)
-        if last_date is None or last_date != today:
-            out.append((row.mid, row.is_new, row.page_id, row.last_page_id, row.ts))
-            last_date = today
-    state.update((last_date,))
-    yield pd.DataFrame(out, columns=["mid", "is_new", "page_id", "last_page_id", "ts"])
-
-
-def daily_unique_visitors(events: DataFrame) -> DataFrame:
-    """ST2: emit the first event per (mid, day) — exact reference semantics.
-
-    (The idiomatic high-throughput alternative is
-    ``withWatermark(...).dropDuplicates(["mid", "dt"])`` — same output
-    under ordered input, bounded state via watermark.)
-    """
-    return events.groupBy("mid").applyInPandasWithState(
-        _st2_fn,
-        outputStructType=VISITOR_EVENT_SCHEMA,
-        stateStructType=_ST2_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-
-
-# ---------------------------------------------------------------------------
-# ST4 — CEP bounce detection with event-time timeout
-# ---------------------------------------------------------------------------
 
 BOUNCE_WINDOW_MS = 10_000  #: reference within(Time.seconds(10)), DwdTrafficUserJumpDetail.java:106
 
@@ -208,10 +73,103 @@ BOUNCE_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _st4_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Pending-entry state machine ≡ Flink CEP first/next/within + timeout.
+def make_st1_fn(offset_ms: int = SHANGHAI_OFFSET_MILLIS, ts_per_ms: int = 1):
+    """ST1 state function (reference logic BaseLogApp.java:76-95).
+
+    ``ts_per_ms``: input-ts units per millisecond (1 → ts is epoch ms,
+    1000 → epoch µs). Dates are computed at ``offset_ms`` past epoch
+    (the reference pins +8; parity over NTZ data passes 0).
+
+    Columns beyond the visitor five pass through untouched — the
+    reference's keyed process function carries the whole JSONObject.
+    """
+
+    def st1_fn(key, pdfs, state):
+        import datetime as dt
+
+        import pandas as pd
+
+        def date_of(ts):
+            return (
+                dt.datetime(1970, 1, 1)
+                + dt.timedelta(milliseconds=ts // ts_per_ms + offset_ms)
+            ).strftime("%Y-%m-%d")
+
+        first_date = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        # concatenate ALL Arrow chunks before sorting: a per-chunk sort
+        # would run state transitions out of event-time order whenever a
+        # group spans chunks
+        whole = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ).sort_values("ts", kind="mergesort")
+        cols = list(whole.columns)
+        is_new_pos = cols.index("is_new")
+        out = []
+        for row in whole.itertuples(index=False):
+            today = date_of(row.ts)
+            is_new = row.is_new
+            if first_date is not None:
+                if is_new == "1" and first_date != today:
+                    is_new = "0"
+            else:
+                if is_new == "1":
+                    first_date = today
+                else:
+                    # first sighting claims to be old: backfill state with
+                    # yesterday so later "1"s are corrected (BaseLogApp.java:91-94)
+                    y = dt.datetime.strptime(today, "%Y-%m-%d") - dt.timedelta(days=1)
+                    first_date = y.strftime("%Y-%m-%d")
+            vals = list(row)
+            vals[is_new_pos] = is_new
+            out.append(tuple(vals))
+        state.update((first_date,))
+        yield pd.DataFrame(out, columns=cols)
+
+    return st1_fn
+
+
+def make_st2_fn(offset_ms: int = SHANGHAI_OFFSET_MILLIS, ts_per_ms: int = 1):
+    """ST2 state function (reference predicate
+    DwdTrafficUniqueVisitorDetail.java:67-79)."""
+
+    def st2_fn(key, pdfs, state):
+        import datetime as dt
+
+        import pandas as pd
+
+        def date_of(ts):
+            return (
+                dt.datetime(1970, 1, 1)
+                + dt.timedelta(milliseconds=ts // ts_per_ms + offset_ms)
+            ).strftime("%Y-%m-%d")
+
+        last_date = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        whole = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ).sort_values("ts", kind="mergesort")
+        out = []
+        for row in whole.itertuples(index=False):
+            today = date_of(row.ts)
+            if last_date is None or last_date != today:
+                out.append((row.mid, row.is_new, row.page_id, row.last_page_id, row.ts))
+                last_date = today
+        state.update((last_date,))
+        yield pd.DataFrame(
+            out, columns=["mid", "is_new", "page_id", "last_page_id", "ts"]
+        )
+
+    return st2_fn
+
+
+def make_st4_fn(window: int = BOUNCE_WINDOW_MS):
+    """ST4 pending-entry state machine ≡ Flink CEP first/next/within +
+    timeout (``window`` in the same units as the input ``ts``):
 
     - entry event while an in-window entry is pending → pending is a
       bounce (CEP match path, DwdTrafficUserJumpDetail.java:112-118)
@@ -221,63 +179,122 @@ def _st4_fn(
     - watermark passing pending_ts + W with no event → timeout callback
       emits the pending entry (union of match+timeout ≡ :136)
     """
-    mid = key[0]
-    out: list[tuple[Any, ...]] = []
 
-    if state.hasTimedOut:
-        if state.exists:
-            pending_ts, pending_page = state.get
-            out.append((mid, pending_page, pending_ts))
-        state.remove()
-        yield pd.DataFrame(out, columns=["mid", "page_id", "ts"])
-        return
+    def st4_fn(key, pdfs, state):
+        import pandas as pd
 
-    pending: tuple[int, str] | None = tuple(state.get) if state.exists else None
-    for row in _ordered_rows(pdfs):
-        is_entry = row.last_page_id is None or (
-            isinstance(row.last_page_id, float) and pd.isna(row.last_page_id)
-        )
-        if pending is not None:
-            if row.ts - pending[0] <= BOUNCE_WINDOW_MS:
-                if is_entry:
-                    out.append((mid, pending[1], pending[0]))  # match → bounce
-                    pending = (row.ts, row.page_id)
-                else:
-                    pending = None  # strict-next broken
-            else:
-                out.append((mid, pending[1], pending[0]))  # in-batch timeout
-                pending = (row.ts, row.page_id) if is_entry else None
-        else:
-            if is_entry:
-                pending = (row.ts, row.page_id)
+        mid = key[0]
+        out = []
 
-    if pending is not None:
-        window_end = pending[0] + BOUNCE_WINDOW_MS
-        watermark = state.getCurrentWatermarkMs()
-        if watermark >= window_end:
-            # the window already expired behind the watermark (late entry):
-            # a timeout could never legally be armed — emit the bounce now,
-            # matching the CEP timeout path for an already-elapsed window
-            out.append((mid, pending[1], pending[0]))
+        if state.hasTimedOut:
+            if state.exists:
+                pending_ts, pending_page = state.get
+                out.append((mid, pending_page, pending_ts))
             state.remove()
+            yield pd.DataFrame(out, columns=["mid", "page_id", "ts"])
+            return
+
+        pending = tuple(state.get) if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        whole = None
+        if chunks:
+            whole = (
+                chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            ).sort_values("ts", kind="mergesort")
+        if whole is not None:
+            for row in whole.itertuples(index=False):
+                is_entry = row.last_page_id is None or (
+                    isinstance(row.last_page_id, float) and pd.isna(row.last_page_id)
+                )
+                if pending is not None:
+                    if row.ts - pending[0] <= window:
+                        if is_entry:
+                            out.append((mid, pending[1], pending[0]))  # match → bounce
+                            pending = (row.ts, row.page_id)
+                        else:
+                            pending = None  # strict-next broken
+                    else:
+                        out.append((mid, pending[1], pending[0]))  # in-batch timeout
+                        pending = (row.ts, row.page_id) if is_entry else None
+                else:
+                    if is_entry:
+                        pending = (row.ts, row.page_id)
+
+        if pending is not None:
+            window_end = pending[0] + window
+            watermark = state.getCurrentWatermarkMs()
+            if watermark >= window_end:
+                # the window already expired behind the watermark: a
+                # timeout could never legally be armed — emit now,
+                # matching the CEP timeout path for an elapsed window
+                out.append((mid, pending[1], pending[0]))
+                state.remove()
+            else:
+                state.update(pending)
+                # fire when the event-time watermark passes the window end
+                state.setTimeoutTimestamp(window_end)
         else:
-            state.update(pending)
-            # fire when the event-time watermark passes the CEP window end
-            state.setTimeoutTimestamp(window_end)
-    else:
-        state.remove()
-    yield pd.DataFrame(out, columns=["mid", "page_id", "ts"])
+            state.remove()
+        yield pd.DataFrame(out, columns=["mid", "page_id", "ts"])
+
+    return st4_fn
 
 
-def detect_bounces(events: DataFrame) -> DataFrame:
+_ST1_BASE_COLS = ("mid", "is_new", "page_id", "last_page_id", "ts")
+
+
+def correct_is_new(
+    events: DataFrame,
+    offset_ms: int = SHANGHAI_OFFSET_MILLIS,
+    ts_per_ms: int = 1,
+) -> DataFrame:
+    """ST1: per-mid stateful is_new rewrite (streaming form).
+
+    Any column beyond the visitor five (e.g. a serialized payload the
+    job wants to carry through the correction) passes through untouched
+    and appears in the output schema.
+    """
+    extras = [f for f in events.schema.fields if f.name not in _ST1_BASE_COLS]
+    out_schema = StructType(list(VISITOR_EVENT_SCHEMA.fields) + extras)
+    ordered = events.select(*_ST1_BASE_COLS, *[f.name for f in extras])
+    return ordered.groupBy("mid").applyInPandasWithState(
+        make_st1_fn(offset_ms, ts_per_ms),
+        outputStructType=out_schema,
+        stateStructType=_ST1_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def daily_unique_visitors(
+    events: DataFrame,
+    offset_ms: int = SHANGHAI_OFFSET_MILLIS,
+    ts_per_ms: int = 1,
+) -> DataFrame:
+    """ST2: emit the first event per (mid, day) — exact reference semantics.
+
+    (The idiomatic high-throughput alternative is
+    ``withWatermark(...).dropDuplicatesWithinWatermark(["mid", "dt"])``
+    — same output under ordered input, bounded state via watermark.)
+    """
+    return events.groupBy("mid").applyInPandasWithState(
+        make_st2_fn(offset_ms, ts_per_ms),
+        outputStructType=VISITOR_EVENT_SCHEMA,
+        stateStructType=_ST2_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def detect_bounces(events: DataFrame, window: int = BOUNCE_WINDOW_MS) -> DataFrame:
     """ST4: streaming bounce stream from a watermarked page-log DataFrame.
 
     ``events`` needs columns (mid, page_id, last_page_id, ts) and an
     event-time watermark already assigned (ST3) so EventTimeTimeout can
-    fire for idle keys.
+    fire for idle keys. ``window`` is in the units of ``ts``.
     """
     return events.groupBy("mid").applyInPandasWithState(
-        _st4_fn,
+        make_st4_fn(window),
         outputStructType=BOUNCE_OUTPUT_SCHEMA,
         stateStructType=_ST4_STATE,
         outputMode="append",
