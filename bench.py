@@ -67,13 +67,12 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
-        best = None
-        for _ in range(2):  # min-of-2: damp JIT/IO warmup noise
+        runs = []
+        for _ in range(3):  # median-of-3 per BASELINE.md's measurement spec
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

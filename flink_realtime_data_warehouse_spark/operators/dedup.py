@@ -242,8 +242,9 @@ _BAND_ORACLE_KEYS = "\n".join(
     for b in range(_N_BANDS)
 )
 
-_MINHASH_PAIRS_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+#: shared CTE chain (shingles → signatures → band keys) reused by the
+#: pair oracle and the connected-components oracle
+MINHASH_BANDS_CTE = f"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
@@ -251,22 +252,20 @@ sh AS (
 sig AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh GROUP BY doc_id),
 bands AS (
 {_BAND_ORACLE_KEYS}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+cand_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)"""
+
+_MINHASH_PAIRS_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE}
+SELECT doc_a, doc_b FROM cand_pairs
 ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_minhash_lsh_pairs", oracle=_MINHASH_PAIRS_ORACLE)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: banded signatures, bucket-join on band key.
-
-    shingle → minhash → band → bucket-join: the classic scale path.
-    Candidates are pairs sharing ≥1 full band; the shuffle key is the
-    band digest, so cost tracks collisions, not |docs|².
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs (doc_a < doc_b), unsorted."""
     sig = minhash_signatures(docs)
     stack_args = ", ".join(
         f"{b}, concat_ws('|', "
@@ -286,8 +285,57 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+@query("dedup_minhash_lsh_pairs", oracle=_MINHASH_PAIRS_ORACLE)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: banded signatures, bucket-join on band key.
+
+    shingle → minhash → band → bucket-join: the classic scale path.
+    Candidates are pairs sharing ≥1 full band; the shuffle key is the
+    band digest, so cost tracks collisions, not |docs|².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {MINHASH_BANDS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand_pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id AS doc_id, min(label) AS group_id
+FROM reach GROUP BY id ORDER BY doc_id
+"""
+
+
+@query("dedup_connected_groups", oracle=_CC_ORACLE)
+def dedup_connected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: connected components over the LSH
+    candidate-pair graph (A~B, B~C ⇒ one group {A,B,C}).
+
+    Spark side runs iterative min-label propagation
+    (operators/graph.py); the oracle computes the same fixpoint with a
+    recursive CTE. group_id = min doc_id of the component — the
+    canonical representative a curation pass keeps.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from flink_realtime_data_warehouse_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_candidate_pairs(docs)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("id")),
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("group_id")
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

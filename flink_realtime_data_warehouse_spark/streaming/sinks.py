@@ -201,3 +201,51 @@ def write_stream_kafka(df: DataFrame, topic: str, bootstrap: str, checkpoint: st
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def keyed_for_idempotent_produce(df: DataFrame, batch_id: int) -> DataFrame:
+    """Stamp a deterministic per-record key for effectively-once Kafka egress.
+
+    The reference's exactly-once producer (MyKafkaUtil.java:73-87,
+    ``Semantic.EXACTLY_ONCE``) relies on Kafka transactions, which
+    Spark's sink doesn't expose (it is at-least-once). The equivalent
+    end-to-end guarantee on replays is idempotent-by-key production:
+    key = (batch_id, per-batch row number), stable across a retried
+    micro-batch because the batch's content is deterministic under the
+    checkpoint's WAL — a compacted topic (or any keyed dedup in the
+    consumer) then collapses duplicates from retries.
+    """
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return df.withColumn(
+        "key", F.concat_ws(":", F.lit(batch_id), F.row_number().over(w))
+    )
+
+
+def write_stream_kafka_idempotent(
+    df: DataFrame, topic: str, bootstrap: str, checkpoint: str
+):
+    """K2 analogue: keyed, effectively-once Kafka egress via foreachBatch.
+
+    Each micro-batch is produced with deterministic (batch_id, seq)
+    keys and an idempotent producer, so a retried batch overwrites
+    itself on a compacted topic instead of duplicating. Untestable in
+    this container (no broker); the keying transform is unit-tested.
+    """
+
+    def _produce(batch: DataFrame, batch_id: int) -> None:
+        (
+            keyed_for_idempotent_produce(batch, batch_id)
+            .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("topic", topic)
+            .option("kafka.enable.idempotence", "true")
+            .option("kafka.acks", "all")
+            .save()
+        )
+
+    return (
+        df.writeStream.foreachBatch(_produce)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -59,6 +59,21 @@ def test_dim_store_upsert_merge(spark, tmp_path):
     assert got == {"1": "apple", "2": "blueberry", "3": "cherry"}
 
 
+def test_idempotent_produce_keys_deterministic(spark):
+    """K2 analogue: a retried micro-batch must regenerate identical
+    (batch_id, seq) keys so a compacted topic collapses duplicates."""
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        keyed_for_idempotent_produce,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], ["value"])
+    k1 = [r["key"] for r in keyed_for_idempotent_produce(df, 7).orderBy("key").collect()]
+    k2 = [r["key"] for r in keyed_for_idempotent_produce(df, 7).orderBy("key").collect()]
+    assert k1 == k2
+    assert len(set(k1)) == 3
+    assert all(k.startswith("7:") for k in k1)
+
+
 def test_dim_store_partitioned_merge_leaves_untouched_files(spark, tmp_path):
     """An upsert must rewrite ONLY the hash partitions its batch
     touches; every file of an untouched partition stays byte-identical

@@ -101,6 +101,17 @@ def test_ann_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert len(via_registry) > 0
 
 
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C must land in ONE group even though A and C share no
+    edge; isolated vertices keep their own label."""
+    from flink_realtime_data_warehouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(2, 1), (2, 3), (10, 11)], ["src", "dst"])
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], ["id"])
+    got = {r["id"]: r["label"] for r in connected_components(edges, vertices).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_word_shingles_short_doc_guard(spark):
     docs = spark.createDataFrame([(1, "one two"), (2, "a b c d")], ["doc_id", "text"])
     out = docs.select("doc_id", word_shingles("text").alias("sh")).collect()
