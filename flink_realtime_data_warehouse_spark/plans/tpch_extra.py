@@ -446,6 +446,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(
         spark, sf_dir, ["lineitem", "supplier", "nation", "region", "part"], register=False
     )
+    from pyspark.sql.window import Window
+
     costs = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
@@ -458,18 +460,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
     )
-    min_cost = eligible.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
-    )
+    # per-part MIN as a window over ONE pass of eligible (a join-back
+    # decorrelation would scan and aggregate lineitem twice)
+    w = Window.partitionBy("l_partkey")
     parts = t["part"].filter(
         F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
     )
     return (
-        eligible.join(
-            min_cost,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("unit_cost") == F.col("min_cost")),
-        )
+        eligible.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_retailprice", "unit_cost")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
