@@ -1,0 +1,139 @@
+"""Deterministic sampling / split assignment / PII redaction — the
+bookkeeping operators every large-scale training-data pipeline needs
+around the dedup + quality core.
+
+All three are pure column expressions (JVM-side, shuffle-free, fully
+pushdown-friendly): at 100 TB a sample or split assignment is a
+map-only pass, and reruns are byte-identical because the bucketing
+hash is content-derived (md5 of the key), not RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+SAMPLE_PCT = 10  #: demo sample keeps bucket < 10 of 100
+SPLIT_VAL_PCT = 5
+SPLIT_TEST_PCT = 5
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Engine-portable deterministic bucket: first 8 hex chars of
+    md5(key) mod ``buckets``.
+
+    md5 (not xxhash64) so any engine — Spark, DuckDB, Trino, plain
+    Python — assigns the identical bucket; sampling and split
+    membership survive engine migrations and are reproducible in
+    reviews.
+    """
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % buckets
+
+
+_BUCKET_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_BUCKET_SQL} < {SAMPLE_PCT}
+    ORDER BY doc_id
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by content-hash bucket.
+
+    Unlike ``df.sample()`` (RNG + partition-dependent), membership is a
+    pure function of the key: stable across runs, engines, partitioning
+    and cluster size — the property an auditable data pipeline needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < SAMPLE_PCT)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM (
+      SELECT CASE WHEN {_BUCKET_SQL} < {SPLIT_TEST_PCT} THEN 'test'
+                  WHEN {_BUCKET_SQL} < {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                  ELSE 'train' END AS split,
+             n_chars
+      FROM documents)
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment + per-split stats.
+
+    The same hash-bucket trick: a document's split never changes when
+    the corpus grows (no re-shuffling of held-out data into train), and
+    any engine recomputes the identical assignment.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < SPLIT_TEST_PCT, "test")
+        .when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact user' || doc_id || '@example.com tel 555-123-4567',
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email + phone patterns → typed placeholders.
+
+    Pure ``regexp_replace`` column expressions (RE2-compatible patterns
+    so Spark and DuckDB agree); the synthetic corpus carries no PII, so
+    the demo stamps a contact line per document and redacts it — the
+    oracle proves byte-identical redaction behavior.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stamped = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-123-4567"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(stamped, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select("doc_id", redacted.alias("redacted")).orderBy("doc_id")

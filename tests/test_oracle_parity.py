@@ -18,6 +18,7 @@ def _oracle_names():
     import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.sampling  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.visitors  # noqa: F401
 
     return sorted(ORACLES)
