@@ -48,6 +48,8 @@ HEADLINE = [
     "join_asof_last_view",
     "agg_percentiles",
     "pipeline_curation_stats",
+    # new heavy operator (round 2): iterative connected components
+    "dedup_connected_groups",
 ]
 
 

@@ -67,6 +67,21 @@ def base_log_job(
     corrected = correct_is_new(flat)
 
     def _write_splits(batch: DataFrame, batch_id: int) -> None:
+        # materialize the corrected batch once: every write below reads
+        # the cache instead of re-running the stateful plan
+        batch.persist()
+        if batch.isEmpty():
+            batch.unpersist()
+            return
+        # corrected flat log (same idempotent per-batch overwrite)
+        (
+            batch.drop("payload_json")
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(os.path.join(out_root, "dwd_traffic_corrected_log"))
+        )
         restored = batch.withColumn(
             "payload", F.from_json("payload_json", payload_schema)
         ).select(
@@ -96,8 +111,13 @@ def base_log_job(
                 )
         finally:
             restored.unpersist()
+            batch.unpersist()
 
     queries = []
+    # ONE streaming query drives the state machine once per batch and
+    # writes corrected log + all five splits from it (the reference is
+    # likewise a single job; a second query would run a second copy of
+    # the ST1 state store over a second source read)
     q1 = (
         corrected.writeStream.foreachBatch(_write_splits)
         .option("checkpointLocation", os.path.join(checkpoint_root, "split"))
@@ -105,16 +125,6 @@ def base_log_job(
         .start()
     )
     queries.append(q1)
-    q2 = (
-        corrected.drop("payload_json")
-        .writeStream.format("parquet")
-        .option("path", os.path.join(out_root, "dwd_traffic_corrected_log"))
-        .option("checkpointLocation", os.path.join(checkpoint_root, "corrected"))
-        .outputMode("append")
-        .trigger(availableNow=available_now)
-        .start()
-    )
-    queries.append(q2)
     q3 = (
         dirty.writeStream.format("parquet")
         .option("path", os.path.join(out_root, "dirty_log"))
