@@ -148,6 +148,83 @@ def st2_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_streaming_tumbling_parity",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def win_streaming_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING tumbling rollup (watermarked append-mode windowed
+    aggregation) must produce the batch window oracle's exact rows.
+
+    A single flush sentinel two hours past the last event advances the
+    final watermark so every real window finalizes and emits (append
+    mode only emits a window once the watermark passes its end; the
+    sentinel's own window never finalizes and is filtered out).
+
+    Session-tz proofing: the watermark column must be TIMESTAMP (LTZ),
+    so the NTZ wall-clock rides as epoch µs, becomes an instant via
+    ``timestamp_micros`` (hour windows align to epoch hours → identical
+    buckets to the oracle's NTZ time_bucket), and the emitted window
+    start is rebuilt into NTZ with pure integer arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    sentinel = ev.agg(
+        (F.max("ts_us") + F.lit(2 * 3600 * 1_000_000)).alias("ts_us"),
+        F.lit("__flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="frdw_winparity_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "ts_us bigint, event_type string, value double"
+    ).parquet(src)
+    agg = (
+        stream.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.timestamp_add(
+                "MICROSECOND", F.unix_micros(F.col("w.start")), F.expr(_EPOCH_NTZ)
+            ).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("event_type") != "__flush")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "st4_streaming_parity",
     oracle=f"""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us

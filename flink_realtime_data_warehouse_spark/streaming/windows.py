@@ -36,6 +36,29 @@ def tumbling_traffic_rollup(
     )
 
 
+def sliding_traffic_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Append-mode sliding rollup: each event lands in window/slide
+    overlapping windows; state evicts as the watermark passes each
+    window end."""
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def session_traffic_rollup(
     events: DataFrame,
     gap: str = "30 minutes",

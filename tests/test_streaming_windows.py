@@ -86,3 +86,41 @@ def test_lang_id_udf(spark):
     ]
     df = spark.createDataFrame(rows, ["text"]).select(lang_id("text").alias("lang"))
     assert [r["lang"] for r in df.collect()] == ["en", "fr", "de", "es", "zh", "und"]
+
+
+def test_sliding_rollup_overlapping_windows(spark, tmp_path):
+    """Each event lands in window/slide overlapping windows; finalized
+    windows carry the summed counts."""
+    from flink_realtime_data_warehouse_spark.streaming.windows import (
+        sliding_traffic_rollup,
+    )
+
+    src, out, ckpt = str(tmp_path / "s2"), str(tmp_path / "o2"), str(tmp_path / "c2")
+    _write(src, "b1.jsonl", [
+        _ev("A", BASE + 10_000),           # hour-0 early
+        _ev("B", BASE + 45 * 60_000),      # hour-0 late (also in :30 window)
+        _ev("A", BASE + 3 * H),            # far ahead → advances watermark
+    ])
+    raw = read_jsonl_stream(spark, src)
+    clean, _ = parse_with_dirty(raw, BEHAVIOR_LOG_SCHEMA)
+    ev = clean.select(
+        F.col("common.mid").alias("mid"),
+        F.lit("page").alias("event_type"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+    )
+    rollup = sliding_traffic_rollup(ev, window="1 hour", slide="30 minutes",
+                                    watermark="0 seconds")
+    q = (
+        rollup.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    got = {(r["window_start"].minute, r["window_start"].hour): r["n_events"]
+           for r in spark.read.parquet(out).collect()}
+    # window [-0:30, 0:30) holds the :10 event; [0:00, 1:00) holds both;
+    # [0:30, 1:30) holds the :45 event
+    assert sum(got.values()) >= 4  # 2 events x 2 windows each (finalized subset)
