@@ -360,6 +360,38 @@ def wf_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wf_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           nth_value(c_custkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS second_cust
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def wf_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist /
+    nth_value over a segment partition — the §2.5 surface beyond
+    ranking and frames."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_cust"),
+    ).orderBy("c_custkey")
+
+
+@query(
     "wf_event_gaps",
     oracle="""
     SELECT event_id, user_id,
