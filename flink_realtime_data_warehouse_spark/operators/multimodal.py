@@ -90,6 +90,96 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """mapInPandas resize pass: decode → resize → re-encode per batch.
+
+    The codec step is a deterministic fake (payload truncated/cycled to
+    the target pixel count — no image libs in this container); the
+    Spark-side contract is the production one: binary in, binary out,
+    metadata rewritten, payloads never shuffled (the resize runs on the
+    scan's partitioning).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            def fake(b):
+                if b is None:
+                    return None
+                # stand-in for decode→resample→encode: cycle bytes to size
+                reps = (n_out // max(len(b), 1)) + 1
+                return (b * reps)[:n_out]
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(fake),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """1→N frame sampling over video payloads (mapInPandas explode).
+
+    Emits one row per sampled timestamp (0, every_ms, 2·every_ms, …
+    up to duration_ms). Frame extraction is a deterministic fake
+    (a byte slice keyed by frame index standing in for the codec
+    seek+decode); the 1→N Arrow batch shape, bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, is the
+    production contract. Only sampled frames move downstream — the
+    source payload never enters a shuffle.
+    """
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_ts, out_payload = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                if row.media_type != "video" or row.payload is None:
+                    continue
+                dur = int(row.duration_ms or 0)
+                b = row.payload
+                for i, ts in enumerate(range(0, dur + 1, every_ms)):
+                    out_id.append(row.media_id)
+                    out_idx.append(i)
+                    out_ts.append(ts)
+                    start = (i * 16) % max(len(b), 1)
+                    out_payload.append(b[start : start + 16])
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_ts_ms": out_ts,
+                    "frame_payload": out_payload,
+                }
+            )
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
 @query(
     "multimodal_binary_meta",
     oracle="""

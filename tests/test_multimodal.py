@@ -44,3 +44,37 @@ def test_media_schema_binary_column_survives_roundtrip(spark, tmp_path):
 def test_decode_stub_is_explicit():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resize_images_contract(spark):
+    from flink_realtime_data_warehouse_spark.operators.multimodal import resize_images
+
+    rows = [(1, b"abcdef", "image", "png", 100, 50, None),
+            (2, None, "image", "png", 10, 10, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 4, 3).collect()}
+    assert len(out[1]["payload"]) == 12 and out[1]["width"] == 4 and out[1]["height"] == 3
+    assert out[2]["payload"] is None  # null payload survives as null
+    # deterministic: same input → same bytes
+    again = {r["media_id"]: r for r in resize_images(df, 4, 3).collect()}
+    assert again[1]["payload"] == out[1]["payload"]
+
+
+def test_sample_video_frames_explode_shape(spark):
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    rows = [(1, b"0123456789abcdef" * 4, "video", "mp4", None, None, 2500),
+            (2, b"xxxx", "image", "png", 8, 8, None),       # non-video: skipped
+            (3, b"yyyy", "video", "mp4", None, None, 0)]    # 0ms → 1 frame at t=0
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_video_frames(df, every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # 2500ms at 1000ms cadence → frames at 0, 1000, 2000
+    assert [f["frame_ts_ms"] for f in sorted(by_media[1], key=lambda r: r["frame_idx"])] == [0, 1000, 2000]
+    assert 2 not in by_media
+    assert [f["frame_ts_ms"] for f in by_media[3]] == [0]
+    assert all(f["frame_payload"] is not None for f in frames)
