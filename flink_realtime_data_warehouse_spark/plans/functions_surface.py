@@ -265,3 +265,43 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "fn_array_suite",
+    oracle="""
+    SELECT doc_id,
+           len(ws) AS n_words,
+           list_sort(list_slice(ws, 1, 3)) AS first3_sorted,
+           list_contains(ws, 'the') AS has_the,
+           ws[1] AS first_word,
+           list_transform(list_slice(ws, 1, 2), x -> upper(x)) AS first2_upper,
+           len(list_filter(ws, x -> len(x) > 4)) AS n_long_words,
+           list_sum(list_transform(ws, x -> len(x)))::BIGINT AS total_chars,
+           len(list_distinct(ws)) AS n_unique
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ORDER BY doc_id
+    """,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function surface: size/slice/sort/contains/
+    element_at/transform/filter/aggregate/distinct, all JVM-side.
+
+    The word array is materialized in a projection FIRST — inlining
+    split() into each higher-order lambda makes Catalyst re-evaluate it
+    per element (the round-1 O(words²) shingle bug)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    return arr.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_words"),
+        F.sort_array(F.slice("ws", 1, 3)).alias("first3_sorted"),
+        F.array_contains("ws", "the").alias("has_the"),
+        F.element_at("ws", 1).alias("first_word"),
+        F.transform(F.slice("ws", 1, 2), lambda x: F.upper(x)).alias("first2_upper"),
+        F.size(F.filter("ws", lambda x: F.length(x) > 4)).cast("bigint").alias("n_long_words"),
+        F.aggregate(
+            "ws", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.size(F.array_distinct("ws")).cast("bigint").alias("n_unique"),
+    ).orderBy("doc_id")
