@@ -98,3 +98,67 @@ def pipeline_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+_CURATION_CC_ORACLE_TEMPLATE = f"""
+WITH RECURSIVE {{BANDS_CTE}},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand_pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+groups AS (SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id),
+gated AS (
+  SELECT * FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN {MIN_WORDS} AND {MAX_WORDS}),
+keeper AS (
+  SELECT min(doc_id) AS keep_id FROM gated GROUP BY md5(text)),
+exact_kept AS (
+  SELECT g.* FROM gated g WHERE g.doc_id IN (SELECT keep_id FROM keeper))
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM exact_kept e JOIN groups USING (doc_id)
+WHERE doc_id = group_id
+GROUP BY lang ORDER BY lang
+"""
+
+
+def _curation_cc_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.dedup import MINHASH_BANDS_CTE
+
+    return _CURATION_CC_ORACLE_TEMPLATE.replace("{BANDS_CTE}", MINHASH_BANDS_CTE)
+
+
+@query("pipeline_curation_cc_stats", oracle=_curation_cc_oracle())
+def pipeline_curation_cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with TRANSITIVE near-dup removal: keep one
+    representative (the min doc_id) per connected component of the LSH
+    candidate graph — the closure the first-order drop-list
+    approximates (A~B, B~C collapses to one survivor here even though
+    A and C never share a band)."""
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        dedup_connected_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    gated = docs.filter(n_words.between(MIN_WORDS, MAX_WORDS))
+    keeper = (
+        gated.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    exact_kept = gated.join(keeper, gated["doc_id"] == keeper["keep_id"], "left_semi")
+    reps = dedup_connected_groups(spark, sf_dir).filter(
+        F.col("doc_id") == F.col("group_id")
+    ).select(F.col("doc_id").alias("rep_id"))
+    survivors = exact_kept.join(
+        reps, exact_kept["doc_id"] == reps["rep_id"], "left_semi"
+    )
+    return (
+        survivors.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("lang")
+    )
