@@ -33,6 +33,47 @@ def write_bucketed(
     writer.saveAsTable(table, format="parquet")
 
 
+def compact_parquet_dir(
+    spark, path: str, target_rows_per_file: int = 1_000_000
+) -> tuple[int, int]:
+    """Compact a small-file parquet directory in place.
+
+    Streaming sinks and per-batch MERGE writes accumulate many small
+    files; at lake scale that degrades scan planning (file listing,
+    footer reads) and kills read throughput. This rewrites the
+    directory into ``ceil(rows / target_rows_per_file)`` files via an
+    atomic directory swap, preserving content exactly. Returns
+    (files_before, files_after).
+
+    On a real lakehouse this is Delta OPTIMIZE / Iceberg rewrite_data_files;
+    the interface (path + target size) is the same.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    def _count_files(p):
+        return sum(
+            1
+            for root, _, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, _count_files(path)
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],

@@ -78,3 +78,15 @@ def test_salted_join_matches_direct(spark, sf_dir):
     direct = li.join(ords, "okey").count()
     salted = salted_join(li, ords, "okey", n_salts=4).count()
     assert salted == direct
+
+def test_compact_parquet_dir_preserves_content(spark, tmp_path):
+    from flink_realtime_data_warehouse_spark.operators.scale import compact_parquet_dir
+
+    path = str(tmp_path / "many")
+    # 20 tiny files
+    spark.range(0, 2000).withColumn("v", F.col("id") * 2).repartition(20).write.parquet(path)
+    before_rows = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    n_before, n_after = compact_parquet_dir(spark, path, target_rows_per_file=1000)
+    assert n_before >= 20 and n_after == 2
+    after_rows = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert after_rows == before_rows
