@@ -57,6 +57,63 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert not any(p[1] == "sku_7" and p[2] == "sku_9" for p in pairs)
 
 
+def test_stream_stream_outer_interval_join(spark, tmp_path):
+    """Left-outer interval join: unmatched page views are emitted with
+    null action columns once the watermark passes their join window."""
+    from flink_realtime_data_warehouse_spark.operators.parse import parse_with_dirty
+    from flink_realtime_data_warehouse_spark.schemas import BEHAVIOR_LOG_SCHEMA
+    from flink_realtime_data_warehouse_spark.streaming.joins import (
+        interval_join_streams_outer,
+    )
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    _write(src, "b1.jsonl", [
+        _rec("A", BASE, page={"page_id": "sku_7"}),
+        # A carts 10 min later → matched
+        _rec("A", BASE + 600_000, page={"page_id": "cart"},
+             actions=[{"item": "sku_7", "item_type": "sku", "action_id": "cart"}]),
+        # B views, never carts → must still appear (null action)
+        _rec("B", BASE + 1000, page={"page_id": "home"}),
+        # watermark driver: far-future cart event on both sides
+        _rec("Z", BASE + 5 * 3600_000, page={"page_id": "cart"},
+             actions=[{"item": "x", "item_type": "sku", "action_id": "cart"}]),
+    ])
+    clean, _ = parse_with_dirty(read_jsonl_stream(spark, src), BEHAVIOR_LOG_SCHEMA)
+    pages = clean.filter(F.col("page").isNotNull()).select(
+        F.col("common.mid").alias("mid"),
+        F.col("page.page_id").alias("page_id"),
+        F.timestamp_millis(F.col("ts")).alias("event_time"),
+    )
+    actions = (
+        clean.filter(F.col("actions").isNotNull())
+        .select(
+            F.col("common.mid").alias("mid"),
+            F.explode("actions").alias("action"),
+            F.timestamp_millis(F.col("ts")).alias("r_event_time"),
+        )
+        .filter(F.col("action.action_id") == "cart")
+    )
+    joined = interval_join_streams_outer(
+        pages, actions, key="mid", window_seconds=3600, watermark="0 seconds"
+    ).select("l_mid", "page_id", F.col("action.item").alias("cart_item"))
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = [(r["l_mid"], r["page_id"], r["cart_item"])
+            for r in spark.read.parquet(out).collect()]
+    assert ("A", "sku_7", "sku_7") in rows                       # matched
+    assert ("B", "home", None) in rows                           # unmatched, finalized
+    assert all(r[2] is not None for r in rows if r[0] == "A" and r[1] == "sku_7")
+
+
 def test_unique_visitor_idiomatic_variant(spark, tmp_path):
     src = str(tmp_path / "src")
     _write(src, "b1.jsonl", [
