@@ -14,6 +14,7 @@ Two paths:
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -260,6 +261,191 @@ def ann_lsh_probe(
         .filter(F.col("rank") <= topk)
         .orderBy("query_id", "rank")
     )
+
+
+IVF_NLIST = 16  #: coarse-quantizer cells
+IVF_NPROBE = 4  #: cells scanned per query
+IVF_LLOYD_ITERS = 2
+
+
+def build_ann_ivf_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    location: str,
+    n_list: int = IVF_NLIST,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+):
+    """IVF index: k-means coarse quantizer → vectors partitioned by cell.
+
+    Deterministic throughout (no RNG state): centroids initialize from
+    the ``n_list`` lowest vec_ids, then ``lloyd_iters`` rounds of
+    distributed Lloyd — assignment is a broadcast-centroid NumPy argmax
+    per Arrow batch; the mean recompute is an explode/avg aggregation
+    (scales to any corpus; only the (n_list × dim) centroid matrix ever
+    reaches the driver). Vectors are written partitioned by cell so a
+    probe scans ``nprobe`` directories instead of the corpus.
+
+    Returns the centroid matrix (also persisted beside the index).
+    """
+    import json as _json
+
+    import numpy as np
+
+    dim = len(emb.select("v").first()[0])
+    cent = np.stack(
+        [r["v"] for r in emb.orderBy("vec_id").limit(n_list).collect()]
+    )
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    def _assign_expr(centroids):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def _assign(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.stack(pdf["v"].to_numpy())
+                bn = block / np.linalg.norm(block, axis=1, keepdims=True)
+                cell = (bn @ c.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {"cell": cell, "vec_id": pdf["vec_id"], "v": pdf["v"]}
+                )
+
+        return _assign
+
+    for _ in range(lloyd_iters):
+        assigned = emb.mapInPandas(
+            _assign_expr(cent), schema="cell int, vec_id bigint, v array<double>"
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        for cell_id, vec in acc.items():
+            v = np.array(vec)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new_cent[cell_id] = v / n
+        cent = new_cent
+
+    final = emb.mapInPandas(
+        _assign_expr(cent), schema="cell int, vec_id bigint, v array<double>"
+    )
+    (
+        final.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(location)
+    )
+    with open(os.path.join(location, "_centroids.json"), "w") as f:
+        _json.dump(cent.tolist(), f)
+    return cent
+
+
+def ann_ivf_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries_pdf,
+    nprobe: int = IVF_NPROBE,
+    topk: int = TOPK,
+) -> DataFrame:
+    """Probe an IVF index: nearest ``nprobe`` cells per query become a
+    static partition filter + broadcast pairing, then exact re-score —
+    the same pruned-scan shape as the LSH probe, with data-adaptive
+    cells instead of random hyperplanes."""
+    import json as _json
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        cent = np.array(_json.load(f))
+    q_ids = queries_pdf["vec_id"].to_numpy()
+    q_mat = np.stack(queries_pdf["v"].to_numpy())
+    q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    order = np.argsort(-(q_n @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+
+    probe_rows = [
+        (int(order[qi, j]), int(q_ids[qi]))
+        for qi in range(len(q_ids))
+        for j in range(order.shape[1])
+    ]
+    probe = spark.createDataFrame(probe_rows, "cell int, query_id bigint")
+    wanted = sorted({c for c, _ in probe_rows})
+    pred = None
+    for c in wanted:
+        clause = F.col("cell") == c
+        pred = clause if pred is None else (pred | clause)
+    index = spark.read.parquet(index_path).filter(pred)
+    cand = (
+        index.join(F.broadcast(probe), on=["cell"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .select("query_id", "vec_id", "v")
+    )
+
+    bc = spark.sparkContext.broadcast((q_ids, q_n))
+
+    def _score(batches):
+        import pandas as pd
+
+        ids_q, qn = bc.value
+        pos = {int(q): i for i, q in enumerate(ids_q)}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf["v"].to_numpy())
+            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block_n @ qn.T, 3)
+            qidx = np.array([pos[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "cos_sim": sims[np.arange(len(qidx)), qidx],
+                }
+            )
+
+    scored = cand.mapInPandas(_score, schema=_SCORED_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("ann_ivf_topk")  # approximate — validated by recall test, no SQL oracle
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means cells as the coarse quantizer,
+    nprobe-pruned partition scan, exact re-scoring. The data-adaptive
+    sibling of ``ann_lsh_topk`` — better cell occupancy on clustered
+    corpora, same pruned-scan plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = f"ivf:{src}:{os.path.getmtime(src) if os.path.exists(src) else 0}"
+    index_path = os.path.join(
+        "/root/repo/spark-warehouse",
+        f"ann_ivf_index_{_hl_md5(stamp)}",
+    )
+    if not os.path.isdir(index_path):
+        build_ann_ivf_index(spark, emb, index_path)
+    return ann_ivf_probe(spark, index_path, queries_pdf)
+
+
+def _hl_md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()[:8]
 
 
 @query("ann_lsh_topk")  # approximate — validated by recall test, no SQL oracle
