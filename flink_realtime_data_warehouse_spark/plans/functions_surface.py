@@ -305,3 +305,24 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_chars"),
         F.size(F.array_distinct("ws")).cast("bigint").alias("n_unique"),
     ).orderBy("doc_id")
+
+
+@query(
+    "agg_unpivot_daily_metrics",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS dt, count(*) AS pv, count(DISTINCT user_id) AS uv
+      FROM events GROUP BY 1)
+    SELECT dt, metric, value
+    FROM daily UNPIVOT (value FOR metric IN (pv, uv))
+    ORDER BY dt, metric
+    """,
+)
+def agg_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): the inverse of agg_pivot_event_types —
+    per-day metric columns melted to (dt, metric, value) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
+        F.count("*").alias("pv"), F.countDistinct("user_id").alias("uv")
+    )
+    return daily.unpivot("dt", ["pv", "uv"], "metric", "value").orderBy("dt", "metric")
