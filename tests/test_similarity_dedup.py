@@ -142,3 +142,46 @@ def test_word_shingles_short_doc_guard(spark):
     got = {r["doc_id"]: r["sh"] for r in out}
     assert got[1] == []
     assert got[2] == ["a b c", "b c d"]
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check: on random graphs the distributed min-label
+    propagation must equal a classic union-find."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(6):
+        n = rng.randint(2, 30)
+        m = rng.randint(0, 40)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for v in range(n)}
+        # canonical label = min id in component
+        comp_min = {}
+        for v, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {v: comp_min[find(v)] for v in range(n)}
+
+        from flink_realtime_data_warehouse_spark.operators.graph import (
+            connected_components,
+        )
+
+        e_df = spark.createDataFrame(edges or [(0, 0)], ["src", "dst"])
+        if not edges:
+            e_df = e_df.filter("src != dst")  # empty edge set
+        v_df = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        got = {r["id"]: r["label"] for r in connected_components(e_df, v_df).collect()}
+        assert got == expected, f"trial {trial}: n={n} edges={edges}"
