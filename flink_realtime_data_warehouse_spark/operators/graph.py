@@ -35,8 +35,14 @@ def connected_components(
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # only edge-connected vertices need iteration — for a dedup workload
+    # that set is a sliver of the corpus (pairs, not documents), so each
+    # round's join runs over thousands of rows even on a 100 TB corpus;
+    # isolated vertices keep their own label by construction
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
     )
-    labels = vertices.select("id", F.col("id").alias("label"))
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -55,4 +61,8 @@ def connected_components(
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if converged:
             break
-    return labels
+    return (
+        vertices.select("id")
+        .join(labels.withColumnRenamed("id", "cid"), F.col("id") == F.col("cid"), "left")
+        .select("id", F.coalesce("label", "id").alias("label"))
+    )
