@@ -347,18 +347,19 @@ def _simhash_expr() -> list[Column]:
     """32 per-bit vote aggregates over word hashes (no row blow-up)."""
     h = F.col("w_hash")
     return [
-        F.sum(
-            F.when(F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{p}")
+        # raw bit-sum (no CASE branch): majority vote is 2*s_p > n
+        F.sum(F.shiftright(h, p).bitwiseAND(F.lit(1))).alias(f"s{p}")
         for p in range(SIMHASH_BITS)
-    ]
+    ] + [F.count("*").alias("n_words")]
 
 
 _SIMHASH_VOTES_ORACLE = ",\n           ".join(
-    f"sum(CASE WHEN (w_hash >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS v{p}" for p in range(SIMHASH_BITS)
+    [f"sum((w_hash >> {p}) & 1) AS s{p}" for p in range(SIMHASH_BITS)]
+    + ["count(*) AS n_words"]
 )
 _SIMHASH_RECOMBINE = " + ".join(
-    f"(CASE WHEN v{p} > 0 THEN {1 << p}::BIGINT ELSE 0 END)" for p in range(SIMHASH_BITS)
+    f"(CASE WHEN 2 * s{p} > n_words THEN {1 << p}::BIGINT ELSE 0 END)"
+    for p in range(SIMHASH_BITS)
 )
 
 _SIMHASH_ORACLE = f"""
@@ -379,8 +380,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document.
 
     Token hash = first 8 hex chars of md5 (portable); per-bit majority
-    vote computed as 32 conditional-sum aggregates over one exploded
-    token stream — a single shuffle on doc_id, no position explosion.
+    vote computed as 32 branch-free bit-sum aggregates + one count over
+    one exploded token stream (bit set iff 2·Σbit_p > n) — a single
+    shuffle on doc_id, no position explosion, no per-row CASE.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
@@ -390,7 +392,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes = hashed.groupBy("doc_id").agg(*_simhash_expr())
     simhash = None
     for p in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{p}") > 0, F.lit(1 << p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = (
+            F.when(F.lit(2) * F.col(f"s{p}") > F.col("n_words"), F.lit(1 << p).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
         simhash = term if simhash is None else simhash + term
     return votes.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
