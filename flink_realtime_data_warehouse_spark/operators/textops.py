@@ -136,3 +136,54 @@ def text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40  #: 10-word overlap between consecutive chunks
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    starts AS (
+      SELECT doc_id, ws, UNNEST(range(0, greatest(len(ws), 1), {CHUNK_STRIDE})) AS start
+      FROM w)
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(ws, start + 1, start + {CHUNK_WORDS}), ' ') AS chunk_text,
+           CAST(len(list_slice(ws, start + 1, start + {CHUNK_WORDS})) AS BIGINT) AS n_words
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: {CHUNK_WORDS}-word chunks at a
+    {CHUNK_STRIDE}-word stride (10-word overlap) — the split step that
+    feeds context-length-bounded training.
+
+    Pure JVM plan: materialize the word array once, posexplode the
+    chunk-start sequence, slice per chunk. The 1→N blow-up happens
+    AFTER projection to (doc_id, words), so only word arrays — never
+    other payload columns — are duplicated across chunk rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    starts = arr.select(
+        "doc_id",
+        "ws",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("ws") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice("ws", F.col("start") + 1, CHUNK_WORDS)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+    ).orderBy("doc_id", "chunk_idx")
