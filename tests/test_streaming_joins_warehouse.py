@@ -169,3 +169,39 @@ def test_base_log_split_carries_corrected_is_new(spark, tmp_path):
             for r in wh.read_dwd("dwd_traffic_page_log").collect()}
     assert rows[BASE] == "1"
     assert rows[BASE + DAY] == "0"
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """First arrival of each content digest passes; in-horizon replays
+    drop; distinct content always passes."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_warehouse_spark.streaming.jobs import streaming_exact_dedup
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"doc_id": 1, "text": "alpha beta", "ts": BASE},
+        {"doc_id": 2, "text": "alpha beta", "ts": BASE + 1000},   # replay → drop
+        {"doc_id": 3, "text": "gamma delta", "ts": BASE + 2000},
+        {"doc_id": 4, "text": "alpha beta", "ts": BASE + 3000},   # replay → drop
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts bigint")
+        .json(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(150)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3]
