@@ -517,3 +517,35 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return embedding_pairs_tiled(emb, EMBED_COS_THRESHOLD).orderBy("vec_a", "vec_b")
+
+
+_GROUP_SIZES_ORACLE = f"""
+WITH RECURSIVE {MINHASH_BANDS_CTE},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand_pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+groups AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+sizes AS (SELECT group_id, count(*) AS group_size FROM groups GROUP BY group_id)
+SELECT group_size, count(*) AS n_groups
+FROM sizes GROUP BY group_size ORDER BY group_size
+"""
+
+
+@query("dedup_group_size_histogram", oracle=_GROUP_SIZES_ORACLE)
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component size distribution — the curation health
+    metric (a fat tail means boilerplate families; mass at size 1
+    means a clean corpus). Two aggregations over the connected
+    components."""
+    groups = dedup_connected_groups(spark, sf_dir)
+    sizes = groups.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .orderBy("group_size")
+    )

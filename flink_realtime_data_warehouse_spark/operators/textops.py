@@ -187,3 +187,41 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("bigint").alias("n_words"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+NGRAM_TOPK = 25
+
+
+@query(
+    "text_ngram_counts",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bi AS (
+      SELECT ws[i] || ' ' || ws[i+1] AS bigram
+      FROM w, UNNEST(CASE WHEN len(ws) >= 2 THEN range(1, len(ws)) ELSE [] END) AS t(i))
+    SELECT bigram, count(*) AS n
+    FROM bi GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {NGRAM_TOPK}
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency (vocabulary-building feed): materialized
+    word array → adjacent-pair transform → explode → count. One shuffle
+    on the bigram key with map-side partial aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(F.split("text", " ").alias("ws"))
+    bigrams = arr.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr("transform(sequence(0, size(ws) - 2), i -> concat(ws[i], ' ', ws[i+1]))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(NGRAM_TOPK)
+    )

@@ -139,3 +139,51 @@ def ads_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d1") / F.col("cohort_size"), 6).alias("d1_retention"),
         F.round(F.col("d7") / F.col("cohort_size"), 6).alias("d7_retention"),
     ).orderBy("cohort_dt")
+
+
+@query(
+    "ads_funnel_view_signup",
+    oracle="""
+    WITH first_view AS (
+      SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id),
+    converted AS (
+      SELECT DISTINCT f.user_id
+      FROM first_view f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'signup'
+       AND e.ts > f.v_ts AND e.ts <= f.v_ts + INTERVAL 7 DAY)
+    SELECT count(*) AS n_viewers,
+           (SELECT count(*) FROM converted) AS n_converted,
+           round((SELECT count(*) FROM converted) * 1.0 / count(*), 6) AS conversion
+    FROM first_view
+    """,
+)
+def ads_funnel_view_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→signup funnel: users whose first view is followed by a
+    signup within 7 days. First-touch agg, range-bounded semi join,
+    scalar counts combined in one plan (broadcast crossJoin)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+    )
+    converted = first_view.join(
+        signups,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("s_ts") > F.col("v_ts"))
+        & (F.col("s_ts") <= F.col("v_ts") + F.expr("INTERVAL 7 DAYS")),
+        "left_semi",
+    )
+    totals = first_view.agg(F.count("*").alias("n_viewers"))
+    conv = converted.agg(F.count("*").alias("n_converted"))
+    return (
+        totals.crossJoin(F.broadcast(conv))
+        .select(
+            "n_viewers",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_viewers"), 6).alias("conversion"),
+        )
+    )

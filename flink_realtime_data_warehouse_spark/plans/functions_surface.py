@@ -326,3 +326,33 @@ def agg_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pv"), F.countDistinct("user_id").alias("uv")
     )
     return daily.unpivot("dt", ["pv", "uv"], "metric", "value").orderBy("dt", "metric")
+
+
+@query(
+    "agg_salted_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS count_event_id, round(sum(value), 2) AS r_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/scale.py) under the
+    oracle: partial agg on (key, salt) then final merge on key must be
+    byte-identical to a plain GROUP BY — the skew-defense path proven
+    semantics-preserving. (sum over doubles stays exact here because
+    addition reorders only across salt partials of the same key; the
+    oracle rounds identically.)"""
+    from flink_realtime_data_warehouse_spark.operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select("event_type", "event_id", F.col("value").cast("decimal(18,6)").alias("value")),
+        ["event_type"],
+        {"event_id": "count", "value": "sum"},
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_event_id"),
+        F.round(F.col("sum_value"), 2).cast("double").alias("r_sum"),
+    ).orderBy("event_type")
