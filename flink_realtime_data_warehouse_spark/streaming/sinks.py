@@ -81,7 +81,15 @@ class DimStore:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table)).drop("_pk_part")
+        # mergeSchema: partition-scoped rewrites leave files with the
+        # schema of the batch that last touched them, so an evolving
+        # config whitelist yields mixed footers — union them on read
+        # (Delta/Iceberg track this in the table log instead)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self._path(table))
+            .drop("_pk_part")
+        )
 
     def upsert(
         self, table: str, batch: DataFrame, pk: str = "id", extend: str | None = None
@@ -118,7 +126,8 @@ class DimStore:
                 r[0] for r in batch.select(part_expr.alias("p")).distinct().collect()
             ]
             current = (
-                self.spark.read.parquet(path)
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(path)
                 .filter(F.col("_pk_part").isin(touched))  # partition-pruned scan
                 .drop("_pk_part")
                 .withColumn("_seq", F.lit(-1).cast("long"))

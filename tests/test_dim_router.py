@@ -243,3 +243,23 @@ def test_dim_app_stream_with_config_refresh(spark, tmp_path):
     assert "dim_activity_info" in store.tables()
     act = store.read("dim_activity_info").collect()
     assert [(r["id"], r["activity_name"]) for r in act] == [("5", "12.12")]
+
+
+def test_dim_store_schema_evolution(spark, tmp_path):
+    """A batch adding a new column widens the table; a batch missing an
+    old column leaves nulls — MERGE semantics under evolving config
+    whitelists (sink_columns can change between micro-batches)."""
+    store = DimStore(spark, str(tmp_path / "dim"))
+    store.upsert("dim_e", spark.createDataFrame([("1", "a")], ["id", "name"]))
+    # batch 2 carries an extra column
+    store.upsert(
+        "dim_e",
+        spark.createDataFrame([("2", "b", "x.png")], ["id", "name", "logo_url"]),
+    )
+    got = {r["id"]: (r["name"], r["logo_url"]) for r in store.read("dim_e").collect()}
+    assert got == {"1": ("a", None), "2": ("b", "x.png")}
+    # batch 3 misses the extra column but updates row 2
+    store.upsert("dim_e", spark.createDataFrame([("2", "b2")], ["id", "name"]))
+    got = {r["id"]: (r["name"], r["logo_url"]) for r in store.read("dim_e").collect()}
+    assert got["2"] == ("b2", None)
+    assert got["1"] == ("a", None)
