@@ -272,10 +272,10 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(ws) AS n_words,
-           list_sort(list_slice(ws, 1, 3)) AS first3_sorted,
+           array_to_string(list_sort(list_slice(ws, 1, 3)), '|') AS first3_sorted,
            list_contains(ws, 'the') AS has_the,
            ws[1] AS first_word,
-           list_transform(list_slice(ws, 1, 2), x -> upper(x)) AS first2_upper,
+           array_to_string(list_transform(list_slice(ws, 1, 2), x -> upper(x)), '|') AS first2_upper,
            len(list_filter(ws, x -> len(x) > 4)) AS n_long_words,
            list_sum(list_transform(ws, x -> len(x)))::BIGINT AS total_chars,
            len(list_distinct(ws)) AS n_unique
@@ -295,10 +295,12 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(
         "doc_id",
         F.size("ws").cast("bigint").alias("n_words"),
-        F.sort_array(F.slice("ws", 1, 3)).alias("first3_sorted"),
+        F.concat_ws("|", F.sort_array(F.slice("ws", 1, 3))).alias("first3_sorted"),
         F.array_contains("ws", "the").alias("has_the"),
         F.element_at("ws", 1).alias("first_word"),
-        F.transform(F.slice("ws", 1, 2), lambda x: F.upper(x)).alias("first2_upper"),
+        F.concat_ws(
+            "|", F.transform(F.slice("ws", 1, 2), lambda x: F.upper(x))
+        ).alias("first2_upper"),
         F.size(F.filter("ws", lambda x: F.length(x) > 4)).cast("bigint").alias("n_long_words"),
         F.aggregate(
             "ws", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)

@@ -39,8 +39,15 @@ def _norm(v):
         return round(v, 6)
     if isinstance(v, (_dt.datetime, _dt.date)):
         return str(v)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        # The driver canonicalizes with pandas sort_values on ALL columns,
+        # which raises "unhashable type" on container cells. Surface that
+        # locally instead of silently tolerating it (fn_array_suite, r2).
+        raise TypeError(
+            f"container-typed cell {type(v).__name__} is not driver-hashable; "
+            "serialize array/struct columns to strings (concat_ws / to_json) "
+            "in both the Spark query and the DuckDB oracle"
+        )
     return v
 
 
