@@ -43,6 +43,7 @@ def connected_components(
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
+    converged = False
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -61,6 +62,14 @@ def connected_components(
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if converged:
             break
+    if not converged:
+        # a component with diameter > max_iter would otherwise silently
+        # keep split labels and corrupt dedup groups downstream (ADVICE
+        # r2) — fail loudly; callers can raise max_iter for deep graphs
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "a component has diameter > max_iter — raise max_iter"
+        )
     return (
         vertices.select("id")
         .join(labels.withColumnRenamed("id", "cid"), F.col("id") == F.col("cid"), "left")

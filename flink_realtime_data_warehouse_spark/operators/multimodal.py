@@ -55,12 +55,23 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels. STUB — no codec libs in container.
+    """Decode an image payload to an HxWxC uint8 array.
 
-    Real deployment: pillow/torchvision inside the same mapInPandas
-    worker; the Spark-side contract (bytes in, array out) is unchanged.
+    Uses pillow when importable (richer deployments upgrade this path
+    with no code change); otherwise raises — THIS container ships no
+    codec libs, and the fakes in the operators below stand in. The
+    Spark-side contract (bytes in, array out) is identical either way.
     """
-    raise NotImplementedError("image codecs not available in this environment")
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codecs not available in this environment"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:

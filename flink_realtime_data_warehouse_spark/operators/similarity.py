@@ -1,20 +1,37 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
 - ``ann_cosine_topk`` — brute-force exact top-k: broadcast the query
   block against the corpus, per-partition partial top-k via window.
   Exact baseline; cost |Q| × |corpus|.
 - ``ann_lsh_topk`` — random-hyperplane LSH bucketing: 100 TB scale
   path. Hyperplane weights are derived deterministically from md5, so
   results are reproducible run-to-run (no RNG state); buckets shrink
-  the candidate set before exact re-scoring. Approximate → validated
-  by a recall test against the brute-force baseline, not a SQL oracle.
+  the candidate set before exact re-scoring.
+- ``ann_ivf_topk`` — IVF with a deterministic distributed k-means
+  coarse quantizer; the data-adaptive sibling of LSH.
+
+Driver-hashable correctness (round 3): the approximate paths register
+``ann_lsh_topk_checked`` / ``ann_ivf_topk_checked`` — queries that
+compute recall against the in-plan brute-force baseline and emit a
+deterministic boolean verdict per query vector, with a trivial DuckDB
+oracle. The approximation stays; hash-checkability arrives.
+
+Index layout (round 3): one composite partition column
+``pcode = tbl * 2^LSH_ROWS + bucket`` instead of (tbl, bucket) — the
+probe's partition filter is a single ``pcode IN (...)`` over ≤ nq·L
+values (round 2's ~100-clause OR over two columns plus a fresh
+directory listing per probe made the probe slower than brute force at
+sf0.1; flagged in VERDICT.md r2). The listed/pruned FileIndex is
+reused across probes in a session via ``_INDEX_DF_CACHE``.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -28,6 +45,14 @@ N_QUERIES = 10  #: queries() demo uses vec_id < N_QUERIES as the query block
 LSH_TABLES = 10  #: independent hash tables (recall amplification)
 LSH_ROWS = 5  #: hyperplanes per table (precision per bucket)
 EMBED_DIM = 64
+#: minimum mean recall over the query block the checked queries demand;
+#: LSH/IVF are deterministic (md5 hyperplanes / lowest-id k-means
+#: seeds), so the verdict is a stable function of the data — thresholds
+#: carry margin under the measured floor (LSH 0.50/0.50/0.62 and IVF
+#: 0.88/0.92/1.00 at sf0.001/0.01/0.1; pinned in
+#: tests/test_similarity_dedup.py)
+LSH_MIN_MEAN_RECALL = 0.4
+IVF_MIN_MEAN_RECALL = 0.7
 
 
 _ANN_TOPK_ORACLE = f"""
@@ -49,6 +74,30 @@ WHERE rank <= {TOPK} ORDER BY query_id, rank
 
 
 _SCORED_SCHEMA = "query_id bigint, neighbor_id bigint, cos_sim double"
+
+
+def _warehouse_root(spark: SparkSession) -> str:
+    """Local filesystem path of spark.sql.warehouse.dir (ADVICE r2: no
+    hardcoded /root/repo path — derive from the session's conf)."""
+    uri = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(uri)
+    return parsed.path if parsed.scheme in ("file", "") else uri
+
+
+#: the demo query block (vec_id < N_QUERIES → 10 × 64 floats) per
+#: (applicationId, sf_dir). Materializing it costs a full decode of the
+#: embedding column (~0.4 s at sf0.1) and dominated EVERY ANN call's
+#: steady state — brute and probes alike. O(1) memory in corpus size.
+_QUERY_BLOCK_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _query_block(spark: SparkSession, emb: DataFrame, sf_dir: str):
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    pdf = _QUERY_BLOCK_CACHE.get(key)
+    if pdf is None:
+        pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+        _QUERY_BLOCK_CACHE[key] = pdf
+    return pdf
 
 
 def _score_against_queries(spark: SparkSession, emb: DataFrame, queries_pdf) -> DataFrame:
@@ -95,7 +144,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    queries_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    queries_pdf = _query_block(spark, emb, sf_dir)
     scored = _score_against_queries(spark, emb, queries_pdf)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -140,25 +189,35 @@ def _make_bucket_matrix(n_tables: int, n_rows: int):
 
 _bucket_matrix = _make_bucket_matrix(LSH_TABLES, LSH_ROWS)
 
+#: listed-once index DataFrames, keyed by (applicationId, path).
+#: Re-reading parquet re-lists every partition directory — at 320
+#: partitions that listing dominated the round-2 probe. Reusing the
+#: DataFrame reuses its FileIndex; ``append_ann_lsh_vectors`` /
+#: ``append_ann_ivf_vectors`` invalidate the entry they touch.
+_INDEX_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-def build_ann_lsh_index(spark: SparkSession, emb: DataFrame, location: str) -> None:
-    """Materialize the multi-table LSH index: one corpus pass computes
-    each vector's L bucket ids, then the exploded (tbl, bucket, vec_id,
-    v) rows are written partitioned by (tbl, bucket).
 
-    Written once, probed many times — each probe reads only the L
-    partitions its query buckets name instead of scanning the corpus
-    (round 1 recomputed buckets for every corpus row on every call;
-    flagged weak-at-scale in VERDICT.md). Storage is L× the vector
-    payload — the standard multi-table LSH trade (vectors are tiny
-    relative to the documents they index).
-    """
-    import numpy as np
+def _index_df(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _INDEX_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _INDEX_DF_CACHE[key] = df
+    return df
 
-    planes = np.array(_hyperplanes(LSH_TABLES * LSH_ROWS))
-    bucket_matrix = _make_bucket_matrix(LSH_TABLES, LSH_ROWS)
+
+def _invalidate_index_df(spark: SparkSession, path: str) -> None:
+    _INDEX_DF_CACHE.pop((spark.sparkContext.applicationId, path), None)
+
+
+def _lsh_bucketizer(planes, n_tables: int, n_rows: int):
+    """mapInPandas kernel: (vec_id, v) batches → (pcode, vec_id, v) rows,
+    one per hash table. Self-contained for cloudpickle by-value."""
+    bucket_matrix = _make_bucket_matrix(n_tables, n_rows)
+    width = 1 << n_rows
 
     def _bucketize(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -167,26 +226,190 @@ def build_ann_lsh_index(spark: SparkSession, emb: DataFrame, location: str) -> N
             ids = pdf["vec_id"].to_numpy()
             block = np.stack(pdf["v"].to_numpy())
             bb = bucket_matrix(block, planes)  # (n, L)
-            n, n_tables = bb.shape
+            n, n_tab = bb.shape
+            pcode = (np.tile(np.arange(n_tab), n) * width + bb.reshape(-1)).astype(
+                "int32"
+            )
+            # store float32: the source embeddings are float32, so the
+            # round-trip is lossless, and the probe scans/transfers half
+            # the bytes (the vector payload is duplicated L× — payload
+            # width is the probe's dominant cost)
+            v32 = pdf["v"].map(lambda a: np.asarray(a, dtype=np.float32)).to_numpy()
             yield pd.DataFrame(
                 {
-                    "tbl": np.tile(np.arange(n_tables), n),
-                    "bucket": bb.reshape(-1),
-                    "vec_id": np.repeat(ids, n_tables),
-                    "v": np.repeat(pdf["v"].to_numpy(), n_tables),
+                    "pcode": pcode,
+                    "vec_id": np.repeat(ids, n_tab),
+                    "v": np.repeat(v32, n_tab),
                 }
             )
 
+    return _bucketize
+
+
+def build_ann_lsh_index(spark: SparkSession, emb: DataFrame, location: str) -> None:
+    """Materialize the multi-table LSH index: one corpus pass computes
+    each vector's L bucket ids, then the exploded rows are written
+    partitioned by the composite ``pcode = tbl * 2^LSH_ROWS + bucket``.
+
+    Written once, probed many times — each probe prunes to the ≤ nq·L
+    pcode partitions its query buckets name with ONE ``isin`` filter
+    (round 2 partitioned by (tbl, bucket) and pruned with a ~100-clause
+    OR; the probe was slower than brute force at sf0.1). Storage is L×
+    the vector payload — the standard multi-table LSH trade (vectors
+    are tiny relative to the documents they index).
+    """
+    import numpy as np
+
+    planes = np.array(_hyperplanes(LSH_TABLES * LSH_ROWS))
     index = emb.mapInPandas(
-        _bucketize, schema="tbl int, bucket int, vec_id bigint, v array<double>"
+        _lsh_bucketizer(planes, LSH_TABLES, LSH_ROWS),
+        schema="pcode int, vec_id bigint, v array<float>",
     )
-    # co-locate each bucket before writing: one file per (tbl, bucket)
+    # co-locate each bucket before writing: one file per pcode
     # partition instead of |tasks| × |buckets| small files
     (
-        index.repartition("tbl", "bucket")
+        index.repartition("pcode")
         .write.mode("overwrite")
-        .partitionBy("tbl", "bucket")
+        .partitionBy("pcode")
         .parquet(location)
+    )
+    _invalidate_index_df(spark, location)
+
+
+def append_ann_lsh_vectors(spark: SparkSession, new_emb: DataFrame, location: str) -> None:
+    """Incrementally add a (micro-)batch of vectors to an existing LSH
+    index: bucketize only the new rows and APPEND their files into the
+    pcode partition directories they land in. Existing files are never
+    rewritten (VERDICT r2 item 6 — no full rebuild per append); the
+    cached FileIndex for this location is invalidated so the next probe
+    re-lists and sees the new files.
+    """
+    import numpy as np
+
+    planes = np.array(_hyperplanes(LSH_TABLES * LSH_ROWS))
+    delta = new_emb.mapInPandas(
+        _lsh_bucketizer(planes, LSH_TABLES, LSH_ROWS),
+        schema="pcode int, vec_id bigint, v array<float>",
+    )
+    (
+        delta.repartition("pcode")
+        .write.mode("append")
+        .partitionBy("pcode")
+        .parquet(location)
+    )
+    _invalidate_index_df(spark, location)
+
+
+def _gc_stale_indexes(root: str, prefix: str, keep: str) -> None:
+    """Delete sibling ``{prefix}*`` index dirs except ``keep`` — stale
+    mtime-stamped builds otherwise accumulate forever (5 were littering
+    spark-warehouse/ by round 2)."""
+    if not os.path.isdir(root):
+        return
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if name.startswith(prefix) and path != keep and os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+
+
+def _probe_partitioned_index(
+    spark: SparkSession,
+    pruned: DataFrame,
+    part_col: str,
+    part_to_q: dict[int, list[int]],
+    q_ids,
+    q_n,
+    topk: int,
+) -> DataFrame:
+    """Shared probe tail for the LSH and IVF indexes, built for minimum
+    stage count (the round-2 probe lost to brute force on FIXED
+    overhead — broadcast-join stage + payload dedup shuffle + window
+    shuffle — not on bytes; candidates are a few thousand rows).
+
+    Candidate↔query pairing happens INSIDE the scoring kernel via a
+    broadcast {partition value → probing query indexes} map (no join
+    stage, no probe DataFrame): one matmul per Arrow batch against the
+    whole query block, masked to the (row, query) pairs whose partition
+    the query actually probed, cut to a LOCAL deduped top-k per query
+    (map-side combine: ≤ |tasks|·nq·k triples ever leave the scan). The
+    global merge happens on the driver over that bounded triple set —
+    the takeOrdered pattern — replacing a shuffle + second Python stage
+    that cost more than the scan itself. Scoring uses the same rounded
+    NumPy matmul and (cos desc, neighbor asc) tie-break as the
+    brute-force path, so reported similarities are bit-identical true
+    cosines."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast((q_ids, q_n, part_to_q))
+
+    def _score_local_topk(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_q, qn, p2q = bc.value
+        nq = len(ids_q)
+        mask_by_p = {}
+        for p, qidx in p2q.items():
+            m = _np.zeros(nq, dtype=bool)
+            m[qidx] = True
+            mask_by_p[p] = m
+        no_queries = _np.zeros(nq, dtype=bool)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            # float64 matmul over the float32-stored payload: float→double
+            # is exact, so sims are bit-identical to the brute-force path
+            block = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+            block_n = block / _np.linalg.norm(block, axis=1, keepdims=True)
+            sims = _np.round(block_n @ qn.T, 3)  # (n, nq)
+            pvals = pdf[part_col].to_numpy()
+            uniq, inv = _np.unique(pvals, return_inverse=True)
+            mu = _np.stack([mask_by_p.get(int(p), no_queries) for p in uniq])
+            valid = mu[inv] & (ids[:, None] != ids_q[None, :])  # (n, nq)
+            out = []
+            for j in range(nq):
+                rows = _np.nonzero(valid[:, j])[0]
+                if not len(rows):
+                    continue
+                # a vector can sit in several probed buckets of one
+                # batch — dedup BEFORE the local top-k or duplicates
+                # could crowd a distinct true neighbor out of the k slots
+                cand_ids, first = _np.unique(ids[rows], return_index=True)
+                cand_sims = sims[rows[first], j]
+                keep = _np.lexsort((cand_ids, -cand_sims))[:topk]
+                out.append(
+                    _pd.DataFrame(
+                        {
+                            "query_id": int(ids_q[j]),
+                            "neighbor_id": cand_ids[keep],
+                            "cos_sim": cand_sims[keep],
+                        }
+                    )
+                )
+            if out:
+                yield _pd.concat(out, ignore_index=True)
+
+    scored = pruned.mapInPandas(_score_local_topk, schema=_SCORED_SCHEMA)
+    # global merge on the driver — the takeOrdered pattern: each scan
+    # task emits ≤ nq·topk triples, so the collect is bounded by plan
+    # shape (tasks × 10 × 5 ≈ a few KB), NOT by corpus size, and it
+    # replaces a whole shuffle + second Python stage (which cost more
+    # than the scan itself at sf0.1)
+    import pandas as pd
+
+    out_schema = _SCORED_SCHEMA + ", rank int"
+    local = [r.asDict() for r in scored.collect()]
+    if not local:
+        return spark.createDataFrame([], out_schema)
+    df = pd.DataFrame(local)
+    df = df.drop_duplicates(["query_id", "neighbor_id"]).sort_values(
+        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int32")
+    df = df[df["rank"] <= topk]
+    return spark.createDataFrame(
+        df[["query_id", "neighbor_id", "cos_sim", "rank"]], out_schema
     )
 
 
@@ -195,12 +418,12 @@ def ann_lsh_probe(
 ) -> DataFrame:
     """Probe a materialized LSH index with a block of query vectors.
 
-    The query block's buckets become (a) a static partition filter —
-    only the named (tbl, bucket) directories are scanned — and (b) a
-    broadcast join that pairs candidates with their querying query_id.
-    Candidates are deduped across tables and exact-re-scored with the
-    same NumPy matmul the brute-force path uses, so reported
-    similarities are true cosines.
+    The query block's buckets become (a) a single ``pcode IN (...)``
+    partition filter — only the named partition directories are scanned
+    — and (b) a broadcast {pcode → query indexes} map the scoring
+    kernel pairs candidates with (no join stage). The index DataFrame
+    (and its directory listing) is reused across probes within a
+    session. Candidates are exact-re-scored (true cosines).
     """
     import numpy as np
 
@@ -210,56 +433,16 @@ def ann_lsh_probe(
     q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_buckets = _bucket_matrix(q_mat, planes)  # (nq, L)
 
-    probe_rows = [
-        (t, int(q_buckets[qi, t]), int(q_ids[qi]))
-        for qi in range(len(q_ids))
-        for t in range(LSH_TABLES)
-    ]
-    probe = spark.createDataFrame(probe_rows, "tbl int, bucket int, query_id bigint")
-    wanted = sorted({(t, b) for t, b, _ in probe_rows})
-    # static disjunction over the partition columns → partition pruning:
-    # the scan touches only the named (tbl, bucket) directories
-    pred = None
-    for t, b in wanted:
-        clause = (F.col("tbl") == t) & (F.col("bucket") == b)
-        pred = clause if pred is None else (pred | clause)
-    index = spark.read.parquet(index_path).filter(pred)
-    cand = (
-        index.join(F.broadcast(probe), on=["tbl", "bucket"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", "v")
+    width = 1 << LSH_ROWS
+    part_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for t in range(LSH_TABLES):
+            part_to_q.setdefault(t * width + int(q_buckets[qi, t]), []).append(qi)
+    pruned = _index_df(spark, index_path).filter(
+        F.col("pcode").isin(sorted(part_to_q))
     )
-
-    bc = spark.sparkContext.broadcast((q_ids, q_n))
-
-    def _score(batches):
-        import pandas as pd
-
-        ids_q, qn = bc.value
-        pos = {int(q): i for i, q in enumerate(ids_q)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.stack(pdf["v"].to_numpy())
-            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
-            # same matmul shape as the brute-force scorer → bit-identical sims
-            sims = np.round(block_n @ qn.T, 3)
-            qidx = np.array([pos[int(q)] for q in pdf["query_id"]])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "cos_sim": sims[np.arange(len(qidx)), qidx],
-                }
-            )
-
-    scored = cand.mapInPandas(_score, schema=_SCORED_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .orderBy("query_id", "rank")
+    return _probe_partitioned_index(
+        spark, pruned, "pcode", part_to_q, q_ids, q_n, topk
     )
 
 
@@ -291,10 +474,11 @@ def build_ann_ivf_index(
 
     import numpy as np
 
-    dim = len(emb.select("v").first()[0])
-    cent = np.stack(
-        [r["v"] for r in emb.orderBy("vec_id").limit(n_list).collect()]
-    )
+    seed_rows = emb.orderBy("vec_id").limit(n_list).collect()
+    if not seed_rows:
+        raise ValueError("build_ann_ivf_index: empty embedding corpus")
+    dim = len(seed_rows[0]["v"])
+    cent = np.stack([r["v"] for r in seed_rows])
     cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
     def _assign_expr(centroids):
@@ -318,7 +502,7 @@ def build_ann_ivf_index(
 
     for _ in range(lloyd_iters):
         assigned = emb.mapInPandas(
-            _assign_expr(cent), schema="cell int, vec_id bigint, v array<double>"
+            _assign_expr(cent), schema="cell int, vec_id bigint, v array<float>"
         )
         means = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
@@ -338,7 +522,7 @@ def build_ann_ivf_index(
         cent = new_cent
 
     final = emb.mapInPandas(
-        _assign_expr(cent), schema="cell int, vec_id bigint, v array<double>"
+        _assign_expr(cent), schema="cell int, vec_id bigint, v array<float>"
     )
     (
         final.repartition("cell")
@@ -348,7 +532,45 @@ def build_ann_ivf_index(
     )
     with open(os.path.join(location, "_centroids.json"), "w") as f:
         _json.dump(cent.tolist(), f)
+    _invalidate_index_df(spark, location)
     return cent
+
+
+def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: str) -> None:
+    """Incrementally add vectors to an existing IVF index: assign the
+    new rows against the PERSISTED centroids (no re-clustering) and
+    append their files into the cell partitions. Same partition-swap
+    economics as the LSH append — existing files untouched."""
+    import json as _json
+
+    import numpy as np
+
+    with open(os.path.join(location, "_centroids.json")) as f:
+        cent = np.array(_json.load(f))
+    bc = spark.sparkContext.broadcast(cent)
+
+    def _assign(batches):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf["v"].to_numpy())
+            bn = block / np.linalg.norm(block, axis=1, keepdims=True)
+            cell = (bn @ c.T).argmax(axis=1)
+            yield pd.DataFrame({"cell": cell, "vec_id": pdf["vec_id"], "v": pdf["v"]})
+
+    delta = new_emb.mapInPandas(
+        _assign, schema="cell int, vec_id bigint, v array<float>"
+    )
+    (
+        delta.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(location)
+    )
+    _invalidate_index_df(spark, location)
 
 
 def ann_ivf_probe(
@@ -359,9 +581,9 @@ def ann_ivf_probe(
     topk: int = TOPK,
 ) -> DataFrame:
     """Probe an IVF index: nearest ``nprobe`` cells per query become a
-    static partition filter + broadcast pairing, then exact re-score —
-    the same pruned-scan shape as the LSH probe, with data-adaptive
-    cells instead of random hyperplanes."""
+    single ``cell IN (...)`` partition filter + broadcast kernel-side
+    pairing, then exact re-score — the same pruned-scan shape as the
+    LSH probe, with data-adaptive cells instead of random hyperplanes."""
     import json as _json
 
     import numpy as np
@@ -373,82 +595,38 @@ def ann_ivf_probe(
     q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
     order = np.argsort(-(q_n @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 
-    probe_rows = [
-        (int(order[qi, j]), int(q_ids[qi]))
-        for qi in range(len(q_ids))
-        for j in range(order.shape[1])
-    ]
-    probe = spark.createDataFrame(probe_rows, "cell int, query_id bigint")
-    wanted = sorted({c for c, _ in probe_rows})
-    pred = None
-    for c in wanted:
-        clause = F.col("cell") == c
-        pred = clause if pred is None else (pred | clause)
-    index = spark.read.parquet(index_path).filter(pred)
-    cand = (
-        index.join(F.broadcast(probe), on=["cell"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "vec_id"])
-        .select("query_id", "vec_id", "v")
+    part_to_q: dict[int, list[int]] = {}
+    for qi in range(len(q_ids)):
+        for j in range(order.shape[1]):
+            part_to_q.setdefault(int(order[qi, j]), []).append(qi)
+    pruned = _index_df(spark, index_path).filter(
+        F.col("cell").isin(sorted(part_to_q))
     )
-
-    bc = spark.sparkContext.broadcast((q_ids, q_n))
-
-    def _score(batches):
-        import pandas as pd
-
-        ids_q, qn = bc.value
-        pos = {int(q): i for i, q in enumerate(ids_q)}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.stack(pdf["v"].to_numpy())
-            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
-            sims = np.round(block_n @ qn.T, 3)
-            qidx = np.array([pos[int(q)] for q in pdf["query_id"]])
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"].to_numpy(),
-                    "neighbor_id": pdf["vec_id"].to_numpy(),
-                    "cos_sim": sims[np.arange(len(qidx)), qidx],
-                }
-            )
-
-    scored = cand.mapInPandas(_score, schema=_SCORED_SCHEMA)
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .orderBy("query_id", "rank")
+    return _probe_partitioned_index(
+        spark, pruned, "cell", part_to_q, q_ids, q_n, topk
     )
-
-
-@query("ann_ivf_topk")  # approximate — validated by recall test, no SQL oracle
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: k-means cells as the coarse quantizer,
-    nprobe-pruned partition scan, exact re-scoring. The data-adaptive
-    sibling of ``ann_lsh_topk`` — better cell occupancy on clustered
-    corpora, same pruned-scan plan shape."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    queries_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    stamp = f"ivf:{src}:{os.path.getmtime(src) if os.path.exists(src) else 0}"
-    index_path = os.path.join(
-        "/root/repo/spark-warehouse",
-        f"ann_ivf_index_{_hl_md5(stamp)}",
-    )
-    if not os.path.isdir(index_path):
-        build_ann_ivf_index(spark, emb, index_path)
-    return ann_ivf_probe(spark, index_path, queries_pdf)
 
 
 def _hl_md5(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:8]
 
 
-@query("ann_lsh_topk")  # approximate — validated by recall test, no SQL oracle
+def _auto_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Deterministic per-dataset index location under the session's
+    warehouse dir, stamped with the source file's mtime; stale stamps
+    for the same (kind, warehouse) are garbage-collected on build."""
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = f"{kind}:{src}:{os.path.getmtime(src) if os.path.exists(src) else 0}"
+    root = _warehouse_root(spark)
+    return os.path.join(root, f"ann_{kind}_index_{_hl_md5(stamp)}")
+
+
+def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH approximate top-k (the scale path), index-backed.
 
@@ -456,27 +634,88 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a neighbor is a candidate if it shares a bucket in ANY table
     (recall amplification — a single fine table collapses recall for
     mid-range cosines). The corpus is materialized once as a
-    (tbl, bucket)-partitioned index; the probe scans only the ≤ nq·L
-    bucket partitions the query block names and exact-re-scores the
-    candidates. Recall vs the brute-force baseline is pinned in
-    tests/test_similarity_dedup.py.
+    pcode-partitioned index; the probe prunes to the ≤ nq·L bucket
+    partitions the query block names and exact-re-scores the
+    candidates. Correctness gate: ``ann_lsh_topk_checked`` (recall
+    verdict vs in-plan brute force); recall also pinned in
+    tests/test_similarity_dedup.py. Benchmarked directly by bench.py.
     """
-    import hashlib as _hl
-    import os
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    queries_pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
-    # deterministic per-dataset location, built once and reused: probes
-    # are the steady-state operation (the sf dirs are immutable; delete
-    # the index dir to force a rebuild)
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    stamp = f"{src}:{os.path.getmtime(src) if os.path.exists(src) else 0}"
-    index_path = os.path.join(
-        "/root/repo/spark-warehouse",
-        f"ann_lsh_index_{_hl.md5(stamp.encode()).hexdigest()[:8]}",
-    )
+    emb = _load_emb(spark, sf_dir)
+    queries_pdf = _query_block(spark, emb, sf_dir)
+    index_path = _auto_index_path(spark, sf_dir, "lsh")
     if not os.path.isdir(index_path):
+        _gc_stale_indexes(_warehouse_root(spark), "ann_lsh_index_", index_path)
         build_ann_lsh_index(spark, emb, index_path)
     return ann_lsh_probe(spark, index_path, queries_pdf)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: k-means cells as the coarse quantizer,
+    nprobe-pruned partition scan, exact re-scoring. The data-adaptive
+    sibling of ``ann_lsh_topk`` — better cell occupancy on clustered
+    corpora, same pruned-scan plan shape. Correctness gate:
+    ``ann_ivf_topk_checked``."""
+    emb = _load_emb(spark, sf_dir)
+    queries_pdf = _query_block(spark, emb, sf_dir)
+    index_path = _auto_index_path(spark, sf_dir, "ivf")
+    if not os.path.isdir(index_path):
+        _gc_stale_indexes(_warehouse_root(spark), "ann_ivf_index_", index_path)
+        build_ann_ivf_index(spark, emb, index_path)
+    return ann_ivf_probe(spark, index_path, queries_pdf)
+
+
+def _recall_verdict(
+    exact: DataFrame, approx: DataFrame, min_mean_recall: float
+) -> DataFrame:
+    """Mean recall of ``approx`` against ``exact`` top-k over the query
+    block, as ONE deterministic verdict row: (n_queries, recall_ok).
+    Both inputs carry (query_id, neighbor_id); the join is on those
+    keys (broadcast-sized: nq × k rows each). The mean over the block
+    is far more stable than per-query hits (a single sparse bucket
+    does not flip the verdict), which is what makes the trivial
+    all-true oracle safe."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    totals = exact.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+    )
+    return (
+        totals.crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_queries",
+            (F.col("n_hits") >= F.lit(min_mean_recall) * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+_RECALL_CHECK_ORACLE = f"""
+SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+
+@query("ann_lsh_topk_checked", oracle=_RECALL_CHECK_ORACLE)
+def ann_lsh_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable verdict for the LSH path (VERDICT r2 item 3):
+    does the index probe recover ≥ LSH_MIN_MEAN_RECALL of the true
+    top-k over the query block? LSH is deterministic (md5 hyperplanes),
+    so the verdict is a stable function of the data and the trivial
+    oracle (all-true) hash-matches iff recall holds."""
+    exact = ann_cosine_topk(spark, sf_dir)
+    approx = ann_lsh_topk(spark, sf_dir)
+    return _recall_verdict(exact, approx, LSH_MIN_MEAN_RECALL)
+
+
+@query("ann_ivf_topk_checked", oracle=_RECALL_CHECK_ORACLE)
+def ann_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable verdict for the IVF path — same construction as
+    ``ann_lsh_topk_checked`` with the IVF probe and its threshold
+    (nprobe/nlist = 4/16 scans ~25% of a near-uniform corpus, and the
+    data-adaptive cells push measured recall to 0.88-1.0)."""
+    exact = ann_cosine_topk(spark, sf_dir)
+    approx = ann_ivf_topk(spark, sf_dir)
+    return _recall_verdict(exact, approx, IVF_MIN_MEAN_RECALL)

@@ -248,23 +248,48 @@ def agg_array_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_approx_distinct")  # approximate (HLL++) — rows-only check
+@query(
+    "sketch_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
+           true AS parts_ok, true AS supps_ok, true AS p50_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches: HLL distinct + t-digest percentile.
-
-    No SQL oracle (algorithm-specific estimates); sanity-pinned against
-    exact values in tests/test_sketches.py instead.
+    """Approximate sketches (HLL++ distinct, quantile-summary p50) made
+    driver-hashable (VERDICT r2 item 3): the estimates run alongside
+    their exact counterparts in the SAME aggregation and the output is
+    the exact counts plus deterministic bounded-error verdicts —
+    |approx − exact| ≤ 8% for HLL (rsd 0.05) and ≤ 10% of the exact
+    median for the quantile sketch. Both sketches are deterministic
+    merges, so the all-true oracle hash-matches iff the bounds hold.
+    Raw estimates remain pinned in tests/test_sketches.py.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
-            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_p50"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_suppkey").alias("asu"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000)
+        .cast("double")
+        .alias("ap50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ep50"),
     )
+    ok = lambda approx, exact, tol: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) <= F.lit(tol) * F.col(exact)
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        ok("ap", "exact_parts", 0.08).alias("parts_ok"),
+        ok("asu", "exact_supps", 0.08).alias("supps_ok"),
+        ok("ap50", "ep50", 0.10).alias("p50_ok"),
+    ).orderBy("l_returnflag")
 
 
 @query(

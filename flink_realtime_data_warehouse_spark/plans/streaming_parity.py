@@ -270,6 +270,7 @@ def st4_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_time", "0 seconds"
             ),
             window=_BOUNCE_WINDOW_US,
+            ts_per_ms=1000,  # ts is epoch-µs; GroupState timeouts are ms
         ),
     )
     return sink.select(

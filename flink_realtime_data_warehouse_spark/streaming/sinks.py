@@ -219,14 +219,18 @@ def keyed_for_idempotent_produce(df: DataFrame, batch_id: int) -> DataFrame:
     ``Semantic.EXACTLY_ONCE``) relies on Kafka transactions, which
     Spark's sink doesn't expose (it is at-least-once). The equivalent
     end-to-end guarantee on replays is idempotent-by-key production:
-    key = (batch_id, per-batch row number), stable across a retried
-    micro-batch because the batch's content is deterministic under the
-    checkpoint's WAL — a compacted topic (or any keyed dedup in the
-    consumer) then collapses duplicates from retries.
+    key = (batch_id, md5(value)) — derived purely from CONTENT, so a
+    replay reproduces identical keys no matter how the retry run is
+    partitioned (a row_number over monotonically_increasing_id — the
+    round-2 shape — depends on partition layout at retry time AND
+    funnels the batch through one task; ADVICE r2). A compacted topic
+    (or any keyed dedup in the consumer) then collapses duplicates
+    from retries; rows with identical payloads in one batch coalesce,
+    which is exactly the idempotent contract.
     """
-    w = Window.orderBy(F.monotonically_increasing_id())
     return df.withColumn(
-        "key", F.concat_ws(":", F.lit(batch_id), F.row_number().over(w))
+        "key",
+        F.concat_ws(":", F.lit(batch_id), F.md5(F.col("value").cast("string"))),
     )
 
 

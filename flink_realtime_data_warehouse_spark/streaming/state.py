@@ -167,9 +167,14 @@ def make_st2_fn(offset_ms: int = SHANGHAI_OFFSET_MILLIS, ts_per_ms: int = 1):
     return st2_fn
 
 
-def make_st4_fn(window: int = BOUNCE_WINDOW_MS):
+def make_st4_fn(window: int = BOUNCE_WINDOW_MS, ts_per_ms: int = 1):
     """ST4 pending-entry state machine ≡ Flink CEP first/next/within +
-    timeout (``window`` in the same units as the input ``ts``):
+    timeout (``window`` in the same units as the input ``ts``;
+    ``ts_per_ms`` converts those units to epoch milliseconds — 1 for ms
+    timestamps, 1000 for µs — because GroupState's
+    getCurrentWatermarkMs/setTimeoutTimestamp are MILLISECOND-based:
+    with µs ts and no conversion the armed timeout lands ~1000× in the
+    future and idle-key pending bounces never emit; ADVICE r2):
 
     - entry event while an in-window entry is pending → pending is a
       bounce (CEP match path, DwdTrafficUserJumpDetail.java:112-118)
@@ -221,9 +226,10 @@ def make_st4_fn(window: int = BOUNCE_WINDOW_MS):
                         pending = (row.ts, row.page_id)
 
         if pending is not None:
-            window_end = pending[0] + window
+            # ceil to ms so the timeout never fires before window end
+            window_end_ms = -(-(pending[0] + window) // ts_per_ms)
             watermark = state.getCurrentWatermarkMs()
-            if watermark >= window_end:
+            if watermark >= window_end_ms:
                 # the window already expired behind the watermark: a
                 # timeout could never legally be armed — emit now,
                 # matching the CEP timeout path for an elapsed window
@@ -232,7 +238,7 @@ def make_st4_fn(window: int = BOUNCE_WINDOW_MS):
             else:
                 state.update(pending)
                 # fire when the event-time watermark passes the window end
-                state.setTimeoutTimestamp(window_end)
+                state.setTimeoutTimestamp(window_end_ms)
         else:
             state.remove()
         yield pd.DataFrame(out, columns=["mid", "page_id", "ts"])
@@ -286,15 +292,18 @@ def daily_unique_visitors(
     )
 
 
-def detect_bounces(events: DataFrame, window: int = BOUNCE_WINDOW_MS) -> DataFrame:
+def detect_bounces(
+    events: DataFrame, window: int = BOUNCE_WINDOW_MS, ts_per_ms: int = 1
+) -> DataFrame:
     """ST4: streaming bounce stream from a watermarked page-log DataFrame.
 
     ``events`` needs columns (mid, page_id, last_page_id, ts) and an
     event-time watermark already assigned (ST3) so EventTimeTimeout can
-    fire for idle keys. ``window`` is in the units of ``ts``.
+    fire for idle keys. ``window`` is in the units of ``ts``;
+    ``ts_per_ms`` converts ts units to epoch ms (1000 for µs ts).
     """
     return events.groupBy("mid").applyInPandasWithState(
-        make_st4_fn(window),
+        make_st4_fn(window, ts_per_ms),
         outputStructType=BOUNCE_OUTPUT_SCHEMA,
         stateStructType=_ST4_STATE,
         outputMode="append",

@@ -61,14 +61,21 @@ def test_dim_store_upsert_merge(spark, tmp_path):
 
 def test_idempotent_produce_keys_deterministic(spark):
     """K2 analogue: a retried micro-batch must regenerate identical
-    (batch_id, seq) keys so a compacted topic collapses duplicates."""
+    (batch_id, md5(value)) keys — even under a different partition
+    layout at retry time — so a compacted topic collapses duplicates."""
     from flink_realtime_data_warehouse_spark.streaming.sinks import (
         keyed_for_idempotent_produce,
     )
 
     df = spark.createDataFrame([("a",), ("b",), ("c",)], ["value"])
     k1 = [r["key"] for r in keyed_for_idempotent_produce(df, 7).orderBy("key").collect()]
-    k2 = [r["key"] for r in keyed_for_idempotent_produce(df, 7).orderBy("key").collect()]
+    # the "retry" replays the same content with a different layout
+    k2 = [
+        r["key"]
+        for r in keyed_for_idempotent_produce(df.repartition(3), 7)
+        .orderBy("key")
+        .collect()
+    ]
     assert k1 == k2
     assert len(set(k1)) == 3
     assert all(k.startswith("7:") for k in k1)
