@@ -22,6 +22,7 @@ def _load_registry():
     import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.visitors  # noqa: F401
+    import flink_realtime_data_warehouse_spark.plans.cep_queries  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.functions_surface  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.ads  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.analytics  # noqa: F401

@@ -2,6 +2,7 @@
 
 import pytest
 
+import flink_realtime_data_warehouse_spark.plans.cep_queries  # noqa: F401
 import flink_realtime_data_warehouse_spark.plans.functions_surface  # noqa: F401
 import flink_realtime_data_warehouse_spark.plans.ads  # noqa: F401
 import flink_realtime_data_warehouse_spark.plans.analytics  # noqa: F401 — registers queries
