@@ -17,6 +17,7 @@ def _load_registry():
     # importing the modules populates the central registry
     import flink_realtime_data_warehouse_spark.operators.curation  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.dq  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.sampling  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401

@@ -1,0 +1,194 @@
+"""Data-quality constraint validation — the batch generalization of the
+reference's dirty-data side-output (BaseLogApp.java:46-58 tags rows that
+fail JSON parsing into a "Dirty" OutputTag; BaseDbApp applies the same
+guard to the CDC stream). Where the reference validates one record at a
+time in-stream, a warehouse also needs *table-level* contracts checked
+in bulk: primary-key uniqueness, null rates, value ranges, cross-column
+ordering, referential integrity.
+
+Scale design (100 TB):
+
+- All single-table checks for one table fold into ONE conditional
+  aggregation — a map-side partial agg per partition and a single
+  1-row reduce; no shuffle of data rows, only of per-partition
+  counters. Adding a check adds a column, not a pass.
+- PK uniqueness piggybacks on the same pass via
+  ``count(*) - count(distinct pk)`` (the distinct is the only
+  key-shuffled term, and it shuffles 8-byte keys, never rows).
+- Referential integrity is a LEFT ANTI join counted — keyed shuffle
+  on the FK (or broadcast when the parent fits), never a cartesian.
+- Output is a tiny verdict table (one row per check), so the driver
+  materializes O(checks), not O(rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+_DQ_ORACLE = """
+    WITH o AS (
+      SELECT
+        count(*) AS n_rows,
+        count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+        count(*) FILTER (WHERE o_custkey IS NULL) AS null_cust,
+        count(*) FILTER (WHERE o_totalprice <= 0) AS bad_price
+      FROM orders
+    ), l AS (
+      SELECT
+        count(*) AS n_rows,
+        count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS bad_qty,
+        count(*) FILTER (WHERE l_extendedprice <= 0) AS bad_price,
+        count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_disc,
+        count(*) FILTER (WHERE l_discount > 0.05) AS warn_disc
+      FROM lineitem
+    ), ri_o AS (
+      SELECT count(*) AS orphans FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ), ri_l AS (
+      SELECT count(*) AS orphans FROM lineitem
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    )
+    SELECT check_name, table_name, violations, checked_rows,
+           violations = 0 AS passed
+    FROM (
+      SELECT 'pk_unique' AS check_name, 'orders' AS table_name,
+             pk_dup AS violations, n_rows AS checked_rows FROM o
+      UNION ALL
+      SELECT 'fk_not_null', 'orders', null_cust, n_rows FROM o
+      UNION ALL
+      SELECT 'totalprice_positive', 'orders', bad_price, n_rows FROM o
+      UNION ALL
+      SELECT 'quantity_in_range', 'lineitem', bad_qty, n_rows FROM l
+      UNION ALL
+      SELECT 'extendedprice_positive', 'lineitem', bad_price, n_rows FROM l
+      UNION ALL
+      SELECT 'discount_in_range', 'lineitem', bad_disc, n_rows FROM l
+      UNION ALL
+      SELECT 'discount_above_5pct_warn', 'lineitem', warn_disc, n_rows FROM l
+      UNION ALL
+      SELECT 'ri_orders_customer', 'orders', ri_o.orphans,
+             (SELECT n_rows FROM o) FROM ri_o
+      UNION ALL
+      SELECT 'ri_lineitem_orders', 'lineitem', ri_l.orphans,
+             (SELECT n_rows FROM l) FROM ri_l
+    )
+    ORDER BY check_name
+"""
+
+
+def _cnt(cond) -> F.Column:
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
+
+def _verdicts(agg_row: DataFrame, checks: list[tuple[str, str, str]]) -> DataFrame:
+    """Unpivot a 1-row aggregate into (check_name, table_name, violations,
+    checked_rows) verdict rows — stack() keeps it a single projection."""
+    stack_args: list[F.Column] = []
+    for check_name, table_name, col in checks:
+        stack_args += [F.lit(check_name), F.lit(table_name), F.col(col)]
+    return agg_row.select(
+        F.stack(F.lit(len(checks)), *stack_args).alias(
+            "check_name", "table_name", "violations"
+        ),
+        F.col("n_rows").alias("checked_rows"),
+    )
+
+
+@query("dq_validation_suite", oracle=_DQ_ORACLE)
+def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style contract suite over orders + lineitem: PK uniqueness,
+    null/range/cross-column checks (one conditional-agg pass per table)
+    plus two referential-integrity checks (counted LEFT ANTI joins).
+
+    Output: one verdict row per check — (check_name, table_name,
+    violations, checked_rows, passed).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    o_agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("pk_dup"),
+        _cnt(F.col("o_custkey").isNull()).alias("null_cust"),
+        _cnt(F.col("o_totalprice") <= 0).alias("bad_price"),
+    )
+    l_agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias(
+            "bad_qty"
+        ),
+        _cnt(F.col("l_extendedprice") <= 0).alias("bad_price"),
+        _cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "bad_disc"
+        ),
+        _cnt(F.col("l_discount") > 0.05).alias("warn_disc"),
+    )
+
+    o_checks = _verdicts(
+        o_agg,
+        [
+            ("pk_unique", "orders", "pk_dup"),
+            ("fk_not_null", "orders", "null_cust"),
+            ("totalprice_positive", "orders", "bad_price"),
+        ],
+    )
+    l_checks = _verdicts(
+        l_agg,
+        [
+            ("quantity_in_range", "lineitem", "bad_qty"),
+            ("extendedprice_positive", "lineitem", "bad_price"),
+            ("discount_in_range", "lineitem", "bad_disc"),
+            ("discount_above_5pct_warn", "lineitem", "warn_disc"),
+        ],
+    )
+
+    # Referential integrity: anti-join on the key, count survivors.
+    # Shuffles only the key columns; Catalyst/AQE picks broadcast when
+    # the parent side is small enough.
+    ri_orders = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select("o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("ri_orders_customer").alias("check_name"),
+            F.lit("orders").alias("table_name"),
+            F.col("violations"),
+        )
+        .crossJoin(F.broadcast(o_agg.select(F.col("n_rows").alias("checked_rows"))))
+    )
+    ri_lineitem = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("ri_lineitem_orders").alias("check_name"),
+            F.lit("lineitem").alias("table_name"),
+            F.col("violations"),
+        )
+        .crossJoin(F.broadcast(l_agg.select(F.col("n_rows").alias("checked_rows"))))
+    )
+
+    return (
+        o_checks.unionByName(l_checks)
+        .unionByName(ri_orders)
+        .unionByName(ri_lineitem)
+        .withColumn("passed", F.col("violations") == 0)
+        .orderBy("check_name")
+    )

@@ -137,3 +137,60 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(stamped, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
     return docs.select("doc_id", redacted.alias("redacted")).orderBy("doc_id")
+
+
+# Language-rebalancing stratified sample: downsample the dominant
+# stratum, keep more of the rare ones. Per-stratum rates are config,
+# not data-dependent — at 100 TB the rate lookup is a CASE expression
+# (or a broadcast join against a rates dim), so the whole operator
+# stays a map-only pass + one tiny aggregate.
+STRATUM_PCT = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 60}
+STRATUM_DEFAULT_PCT = 40
+
+_STRATUM_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATUM_PCT.items())
+    + f" ELSE {STRATUM_DEFAULT_PCT} END"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           {_STRATUM_CASE_SQL} AS target_pct,
+           count(*) AS n_total,
+           count(*) FILTER (
+             WHERE {_BUCKET_SQL} < {_STRATUM_CASE_SQL}
+           ) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (downsample dominant 'en', retain minority languages) applied via
+    the same content-hash bucket as ``sample_deterministic``.
+
+    Unlike ``df.sampleBy()`` (RNG seeds, partition-order dependent),
+    membership is a pure function of (doc_id, lang-rate): reruns,
+    engine migrations, and corpus growth never resample a document in
+    or out. One map-only pass + a per-stratum counting aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(STRATUM_DEFAULT_PCT)
+    for lang, pct in reversed(list(STRATUM_PCT.items())):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    b = hash_bucket(F.col("doc_id"))
+    return (
+        docs.select("lang", rate.alias("target_pct"), b.alias("b"))
+        .groupBy("lang", "target_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("target_pct"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )

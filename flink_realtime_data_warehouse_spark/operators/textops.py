@@ -225,3 +225,80 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(NGRAM_TOPK)
     )
+
+
+TFIDF_TOPK = 3
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM w WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             round(t.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+               AS score
+      FROM tf t JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, score, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOPK}
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``).
+
+    Shuffle budget: one explode + (doc_id, term) aggregation for TF,
+    one term-keyed aggregation for DF (derived from the TF table — the
+    corpus is scanned once), one term-keyed join back (vocab-sized
+    right side; Zipf keeps it far smaller than the corpus, AQE picks
+    broadcast when it fits), and the per-document top-k window
+    partitioned by doc_id. Corpus size N is a 1-row broadcast scalar,
+    the same decorrelation shape as the TPC-H scalar subqueries.
+    Ranking happens on the *rounded* score with a term tie-break so
+    every engine produces the identical top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .orderBy("doc_id", "rnk")
+    )

@@ -17,6 +17,7 @@ def _oracle_names():
     # import all registering modules before reading the registry
     import flink_realtime_data_warehouse_spark.operators.curation  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.dq  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
