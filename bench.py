@@ -50,6 +50,10 @@ HEADLINE = [
     "pipeline_curation_stats",
     # new heavy operator (round 2): iterative connected components
     "dedup_connected_groups",
+    # round 3: CEP funnel, DQ contract suite, TF-IDF keywords
+    "cep_funnel_3step",
+    "dq_validation_suite",
+    "text_tfidf_topk",
 ]
 
 
