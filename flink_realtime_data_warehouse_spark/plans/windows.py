@@ -207,3 +207,51 @@ def join_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "wf_moving_avg_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 4) AS mavg_1h,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def wf_moving_avg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-hour trailing moving average — a RANGE (time-interval)
+    window frame, not a ROWS frame: the frame is defined by event-time
+    distance, so irregular event spacing is handled correctly.
+
+    Spark range frames need a numeric ordering column; event time is
+    projected to epoch microseconds with an NTZ-safe ``timestampdiff``
+    (never a cast through session-tz instants) and the frame is
+    ``rangeBetween(-1h_in_us, 0)`` — boundary-inclusive on both ends,
+    matching DuckDB's ``RANGE INTERVAL PRECEDING``. One shuffle on
+    user_id; frames are evaluated with a sliding accumulator per
+    partition, not per-row rescans.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.withColumn("ts_us", us)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 4).alias("mavg_1h"),
+            F.count(F.lit(1)).over(w).alias("n_in_1h"),
+        )
+        .orderBy("event_id")
+    )
