@@ -383,3 +383,47 @@ def agg_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("count_event_id"),
         F.round(F.col("sum_value"), 2).cast("double").alias("r_sum"),
     ).orderBy("event_type")
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted big-big equi-join (operators/scale.py::salted_join) under
+    the oracle: the big side's rows spread across (key, salt) sub-keys,
+    the other side replicated per salt — the manual hot-key defense for
+    when AQE skew splitting doesn't apply — proven identical to the
+    plain join. Salt values affect only row placement, never results,
+    so the revenue-by-priority rollup hash-matches a plain join+GROUP
+    BY. Decimal arithmetic both sides (float sums would drift with
+    summation order)."""
+    from flink_realtime_data_warehouse_spark.operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "o_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
