@@ -427,3 +427,95 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str,
+                    cols: list[str], n_buckets: int = 16) -> str:
+    """Session-catalog bucketed copy of a base table, stamped by
+    (table, sf_dir, mtime) so different datasets never collide. Built
+    at most once per session — the write-time shuffle is paid once and
+    every subsequent equi-join/agg on the bucket key runs with no
+    exchange (the lakehouse layout contract; at 100 TB this is the
+    table's permanent layout, not a per-query step)."""
+    import hashlib
+    import os
+
+    from flink_realtime_data_warehouse_spark.operators.scale import write_bucketed
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{name}.parquet")
+    stamp = hashlib.md5(
+        f"{src}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:8]
+    tbl = f"bkt_{name}_{stamp}"
+    if not spark.catalog.tableExists(tbl):
+        # bucket metadata lives in the session catalog (in-memory here;
+        # a real deployment's metastore persists it) — a fresh session
+        # must rebuild, and the previous session's managed-table files
+        # would otherwise collide with LOCATION_ALREADY_EXISTS
+        import shutil
+
+        from flink_realtime_data_warehouse_spark.operators.similarity import (
+            _warehouse_root,
+        )
+
+        stale = os.path.join(_warehouse_root(spark), tbl)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
+        write_bucketed(
+            load_table(spark, sf_dir, name).select(*cols),
+            tbl,
+            [key],
+            n_buckets=n_buckets,
+            sort_cols=[key],
+        )
+    return tbl
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                     * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2)::DOUBLE
+             AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join (operators/scale.py::write_bucketed):
+    both sides pre-bucketed+sorted on the join key, so the SortMergeJoin
+    runs with NO exchange and NO sort (pinned in
+    tests/test_profiling_plans.py) — the bucketing answer to the same
+    rollup `join_salted_skew` solves with salting and the broadcast
+    joins solve for small dims. Same oracle semantics as the plain
+    join: layout is a performance contract, never a results contract.
+    """
+    li_tbl = _bucketed_table(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    o_tbl = _bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    li = spark.table(li_tbl).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    orders = spark.table(o_tbl)
+    joined = li.hint("merge").join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -61,3 +61,18 @@ def test_moving_avg_single_user_shuffle(spark, sf_dir):
     # only other exchange is the final orderBy's range partitioning
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert plan.count("Exchange (") == 2, plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.registry import QUERIES
+    import flink_realtime_data_warehouse_spark.plans.functions_surface  # noqa: F401
+
+    df = QUERIES["join_bucketed_colocated"](spark, sf_dir)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree
+    # the ONLY exchanges are the post-join aggregation + final orderBy;
+    # the join consumes the bucketed layout directly
+    join_part = tree.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_part, tree
+    assert tree.count("Exchange") == 2, tree
