@@ -145,6 +145,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries_pdf = _query_block(spark, emb, sf_dir)
+    if not len(queries_pdf):
+        # empty corpus → empty query block → zero neighbors, not a
+        # NumPy stack error (empty-table sweep, r3)
+        return spark.createDataFrame([], _SCORED_SCHEMA + ", rank int")
     scored = _score_against_queries(spark, emb, queries_pdf)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -642,6 +646,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _load_emb(spark, sf_dir)
     queries_pdf = _query_block(spark, emb, sf_dir)
+    if not len(queries_pdf):
+        return spark.createDataFrame([], _SCORED_SCHEMA + ", rank int")
     index_path = _auto_index_path(spark, sf_dir, "lsh")
     if not os.path.isdir(index_path):
         _gc_stale_indexes(_warehouse_root(spark), "ann_lsh_index_", index_path)
@@ -657,6 +663,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_topk_checked``."""
     emb = _load_emb(spark, sf_dir)
     queries_pdf = _query_block(spark, emb, sf_dir)
+    if not len(queries_pdf):
+        return spark.createDataFrame([], _SCORED_SCHEMA + ", rank int")
     index_path = _auto_index_path(spark, sf_dir, "ivf")
     if not os.path.isdir(index_path):
         _gc_stale_indexes(_warehouse_root(spark), "ann_ivf_index_", index_path)

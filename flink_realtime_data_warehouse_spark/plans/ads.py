@@ -184,6 +184,10 @@ def ads_funnel_view_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_viewers",
             "n_converted",
-            F.round(F.col("n_converted") / F.col("n_viewers"), 6).alias("conversion"),
+            # try_divide: a windowless day has zero viewers; NULL matches
+            # DuckDB's x/0 (ANSI division would abort the whole job)
+            F.round(F.try_divide(F.col("n_converted"), F.col("n_viewers")), 6).alias(
+                "conversion"
+            ),
         )
     )
