@@ -513,9 +513,9 @@ def embedding_pairs_tiled(
 @query("dedup_embedding_pairs", oracle=_EMBED_PAIRS_ORACLE)
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold (exact, tiled)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    from flink_realtime_data_warehouse_spark.operators.similarity import _load_emb
+
+    emb = _load_emb(spark, sf_dir)
     return embedding_pairs_tiled(emb, EMBED_COS_THRESHOLD).orderBy("vec_a", "vec_b")
 
 

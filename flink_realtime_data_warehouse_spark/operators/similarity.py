@@ -141,9 +141,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a window over query_id with rounded-score + neighbor_id
     tie-breaks, so results are fully deterministic.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = _load_emb(spark, sf_dir)
     queries_pdf = _query_block(spark, emb, sf_dir)
     if not len(queries_pdf):
         # empty corpus → empty query block → zero neighbors, not a
@@ -626,8 +624,17 @@ def _auto_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
 
 
 def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Embedding corpus with the dirty-row guard: NULL or wrong-dim
+    vectors are definitionally not similarity candidates and would
+    crash the NumPy stack kernels (null-injection sweep, r3). The
+    filter pushes to the parquet scan; on clean data it is a no-op."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == EMBED_DIM)
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
 
 

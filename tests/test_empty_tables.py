@@ -48,3 +48,54 @@ def test_every_query_survives_empty_tables(spark, empty_sf_dir):
         except Exception as exc:  # noqa: BLE001 — collecting the sweep
             failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def nully_sf_dir(tmp_path_factory, sf_dir):
+    """10%-null nullable columns on the dirty-data-prone tables
+    (documents/embeddings/events); keys and the constrained TPC-H
+    tables stay solid — dirty rows there are the DQ suite's job."""
+    d = tmp_path_factory.mktemp("nully_sf")
+    duckdb.sql(
+        f"""COPY (SELECT doc_id,
+        CASE WHEN doc_id % 10 = 3 THEN NULL ELSE text END AS text,
+        CASE WHEN doc_id % 10 = 4 THEN NULL ELSE lang END AS lang,
+        CASE WHEN doc_id % 10 = 5 THEN NULL ELSE source END AS source,
+        CASE WHEN doc_id % 10 = 3 THEN NULL ELSE n_chars END AS n_chars
+        FROM '{sf_dir}/documents.parquet')
+        TO '{d}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    duckdb.sql(
+        f"""COPY (SELECT vec_id,
+        CASE WHEN vec_id % 10 = 3 THEN NULL ELSE embedding END AS embedding,
+        CASE WHEN vec_id % 10 = 4 THEN NULL ELSE label END AS label
+        FROM '{sf_dir}/embeddings.parquet')
+        TO '{d}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    duckdb.sql(
+        f"""COPY (SELECT event_id, ts,
+        CASE WHEN event_id % 10 = 3 THEN NULL ELSE user_id END AS user_id,
+        CASE WHEN event_id % 10 = 4 THEN NULL ELSE event_type END AS event_type,
+        CASE WHEN event_id % 10 = 5 THEN NULL ELSE value END AS value,
+        CASE WHEN event_id % 10 = 6 THEN NULL ELSE props END AS props
+        FROM '{sf_dir}/events.parquet')
+        TO '{d}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in _TABLES[:7]:
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return str(d)
+
+
+def test_every_query_survives_null_injection(spark, nully_sf_dir):
+    """NULL text/embedding/value rows must never crash a kernel (found
+    the NumPy stack-of-None crash in all embedding kernels, r3)."""
+    failures = {}
+    for name, fn in sorted(entrymod.queries().items()):
+        try:
+            fn(spark, nully_sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001 — collecting the sweep
+            failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
+    assert not failures, failures
