@@ -27,6 +27,7 @@ def _load_registry():
     import flink_realtime_data_warehouse_spark.plans.functions_surface  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.ads  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.profiling  # noqa: F401
+    import flink_realtime_data_warehouse_spark.plans.rollups  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.analytics  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.streaming_parity  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.tpch_extra  # noqa: F401

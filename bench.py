@@ -54,6 +54,9 @@ HEADLINE = [
     "cep_funnel_3step",
     "dq_validation_suite",
     "text_tfidf_topk",
+    # round 3 (late): continuous-aggregate cascade, binned range join
+    "rollup_hypertable",
+    "join_range_binned",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Hypertable-style rollups, range joins, and heavy-hitter sketches.
+
+Three scale-path operators the reference's DWS layer would grow into
+(the reference ships DWD topics and no aggregation layer — SURVEY.md
+§2.5); all are standard OLAP/time-series warehouse capabilities:
+
+- ``rollup_hypertable``: a continuous-aggregate cascade. The minute
+  grain is aggregated ONCE from raw events; the hour grain re-aggregates
+  the minute partials and the day grain re-aggregates the hour partials.
+  At 100 TB this is the difference between scanning the fact table three
+  times and scanning it once: count/sum/max are decomposable, so each
+  coarser grain reads only the next-finer aggregate (|minutes| rows, not
+  |events|). Catalyst's ReuseExchange shares the single minute-level
+  shuffle across all three union branches.
+
+- ``join_range_binned``: a point-in-interval range join executed as an
+  equi-join. Naively ``value BETWEEN lo AND hi`` is a theta-join —
+  broadcast-nested-loop when one side is small, quadratic when both are
+  big. Binning maps each interval to the fixed-width bins it overlaps
+  (explode, ≤ ceil(width/bin)+1 rows per interval) and each point to
+  exactly one bin, so the join becomes hash-partitionable on ``bin``
+  with a cheap residual filter — the standard range-join optimization
+  in warehouse engines (e.g. Databricks' range-join hints).
+
+- ``sketch_topk_frequent``: heavy hitters via Spark's single-pass
+  ``freqItems`` (Karp/Misra-Gries family). The sketch guarantees every
+  item with frequency > support appears; the query emits exact counts
+  plus that membership verdict, making the approximate structure
+  driver-hashable (same pattern as ``sketch_approx_distinct``).
+  Sketch state is O(1/support) per partition, merged on the driver —
+  independent of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+# range-join geometry: bands of width 2*BIN overlapping at stride BIN,
+# so every band spans exactly two bins and every point matches ≤ 2 bands.
+RANGE_BIN = 25
+RANGE_N_BANDS = 20
+
+FREQ_SUPPORT = 0.1
+
+
+@query(
+    "rollup_hypertable",
+    oracle="""
+    WITH minute AS (
+      SELECT date_trunc('minute', ts) AS bucket,
+             count(*) AS n_events,
+             sum(value) AS sv,
+             max(value) AS mx
+      FROM events GROUP BY 1)
+    SELECT 'minute' AS grain, bucket,
+           n_events, round(sv, 2) AS total_value, round(mx, 2) AS max_value
+    FROM minute
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', bucket),
+           CAST(sum(n_events) AS BIGINT), round(sum(sv), 2), round(max(mx), 2)
+    FROM minute GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', bucket),
+           CAST(sum(n_events) AS BIGINT), round(sum(sv), 2), round(max(mx), 2)
+    FROM minute GROUP BY 2
+    ORDER BY grain, bucket
+    """,
+)
+def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute → hour → day continuous-aggregate cascade over events.
+
+    Only the minute grain touches raw rows; hour aggregates minute
+    partials and day aggregates hour partials (decomposable aggs:
+    count→sum, sum→sum, max→max). The oracle mirrors the cascade from
+    the same minute CTE so float summation grouping matches. Rounding
+    happens once, at output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # window(...).start, never date_trunc: date_trunc coerces TIMESTAMP_NTZ
+    # to session-tz TIMESTAMP (shifts under non-UTC drivers); window() is
+    # NTZ-preserving (same reason win_tumbling_hourly uses it)
+    minute = ev.groupBy(F.window("ts", "1 minute").start.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    hour = minute.groupBy(F.window("bucket", "1 hour").start.alias("bucket")).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sv").alias("sv"),
+        F.max("mx").alias("mx"),
+    )
+    day = hour.groupBy(F.window("bucket", "1 day").start.alias("bucket")).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("sv").alias("sv"),
+        F.max("mx").alias("mx"),
+    )
+
+    def face(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "n_events",
+            F.round("sv", 2).alias("total_value"),
+            F.round("mx", 2).alias("max_value"),
+        )
+
+    return (
+        face(minute, "minute")
+        .unionByName(face(hour, "hour"))
+        .unionByName(face(day, "day"))
+        .orderBy("grain", "bucket")
+    )
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    WITH bands AS (
+      SELECT band_id,
+             band_id * {RANGE_BIN} AS lo,
+             band_id * {RANGE_BIN} + {2 * RANGE_BIN} AS hi
+      FROM range({RANGE_N_BANDS}) t(band_id))
+    SELECT b.band_id,
+           count(*) AS n_events,
+           round(avg(e.value), 4) AS avg_value,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1 ORDER BY band_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join, executed as a binned equi-join.
+
+    Bands are half-open ``[25·b, 25·b + 50)`` — overlapping, stride 25 —
+    so integer endpoints keep double comparisons bit-identical across
+    engines. Each band explodes to the two width-25 bins it overlaps;
+    each event maps to ``floor(value/25)``; the join is a plain hash
+    join on ``bin`` plus the exact residual predicate. Here the band
+    side is tiny (broadcast); at scale BOTH sides stay shuffle-
+    partitionable on ``bin``, which a BETWEEN theta-join is not.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bin", F.floor(F.col("value") / RANGE_BIN).cast("bigint")
+    )
+    bands = spark.range(RANGE_N_BANDS).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * RANGE_BIN).cast("double").alias("lo"),
+        (F.col("id") * RANGE_BIN + 2 * RANGE_BIN).cast("double").alias("hi"),
+    )
+    band_bins = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(F.array(F.col("band_id"), F.col("band_id") + 1)).alias("bin"),
+    )
+    return (
+        ev.join(F.broadcast(band_bins), "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("band_id")
+    )
+
+
+@query(
+    "sketch_topk_frequent",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           count(*) > {FREQ_SUPPORT} * (SELECT count(*) FROM events) AS above_support,
+           true AS in_sketch
+    FROM events GROUP BY 1
+    HAVING count(*) > {FREQ_SUPPORT} * (SELECT count(*) FROM events)
+    ORDER BY n DESC, event_type
+    """,
+)
+def sketch_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: single-pass ``freqItems`` sketch, verified against
+    exact counts and emitted as a deterministic verdict.
+
+    ``freqItems(support)`` guarantees a SUPERSET of the items with
+    frequency > support (it may also return lighter items, which are
+    partition-layout dependent) — so the hashable output is restricted
+    to the rows where the guarantee is deterministic: items above
+    support, each carrying ``in_sketch`` (always true iff the sketch
+    honors its contract). Sketch size is O(1/support); only that
+    bounded list reaches the driver.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sketch_row = ev.stat.freqItems(["event_type"], FREQ_SUPPORT).first()
+    hits = [x for x in (sketch_row[0] or []) if x is not None] if sketch_row else []
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # corpus total re-aggregated from the group counts (every row lands in
+    # exactly one group), so the fact table scans once, not twice
+    total = counts.agg(F.sum("n").alias("tot"))
+    above = F.col("n") > FREQ_SUPPORT * F.col("tot")
+    in_sketch = (
+        F.col("event_type").isin(hits) if hits else F.lit(False)
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(above)
+        .select(
+            "event_type",
+            "n",
+            above.alias("above_support"),
+            in_sketch.alias("in_sketch"),
+        )
+        .orderBy(F.desc("n"), "event_type")
+    )
