@@ -79,6 +79,25 @@ def main() -> None:
     # warm the JVM/codegen once with the cheapest query
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # fixed synthetic workload (data-independent: in-memory range +
+    # one shuffle) — a per-round box-speed calibration so cross-round
+    # query deltas can be separated from host drift (r2 verdict: r1→r2
+    # showed ~1.38× uniform drift from methodology/box alone)
+    calib_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 100_000_000)
+            .selectExpr("id % 1024 AS k", "id")
+            .groupBy("k")
+            .sum("id")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        calib_runs.append(time.perf_counter() - t0)
+    calib = round(sorted(calib_runs)[1], 3)
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name in HEADLINE:
@@ -105,6 +124,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "total_min": round(sum(timings_min.values()), 3),
+                "calib_shuffle_sec": calib,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

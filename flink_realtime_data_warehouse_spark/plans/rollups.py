@@ -46,6 +46,20 @@ RANGE_N_BANDS = 20
 
 FREQ_SUPPORT = 0.1
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _bucket_ntz(col: str, unit_us: int) -> F.Column:
+    """Truncate a TIMESTAMP_NTZ column to a unit_us-sized bucket via
+    epoch-micros integer arithmetic — session-tz independent (same
+    pattern as wf_moving_avg_1h) and, unlike window(), free of injected
+    isnotnull filters that would break exchange reuse across branches.
+    Timestamps here are post-1970, so ``us % unit`` is non-negative."""
+    us = f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col})"
+    return F.expr(
+        f"timestampadd(MICROSECOND, {us} - {us} % {unit_us}, {_NTZ_EPOCH})"
+    )
+
 
 @query(
     "rollup_hypertable",
@@ -80,20 +94,25 @@ def rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens once, at output.
     """
     ev = load_table(spark, sf_dir, "events")
-    # window(...).start, never date_trunc: date_trunc coerces TIMESTAMP_NTZ
-    # to session-tz TIMESTAMP (shifts under non-UTC drivers); window() is
-    # NTZ-preserving (same reason win_tumbling_hourly uses it)
-    minute = ev.groupBy(F.window("ts", "1 minute").start.alias("bucket")).agg(
+    # Bucketing is epoch-micros arithmetic on TIMESTAMP_NTZ, NOT
+    # date_trunc (coerces NTZ to session-tz timestamps — shifts under
+    # non-UTC drivers) and NOT window() (NTZ-safe, but it injects an
+    # isnotnull filter per nesting level; those push down differently
+    # into each union branch's scan, the branches stop being canonically
+    # equal, and ReuseExchange dies — three fact-table scans instead of
+    # one). Pure arithmetic keeps all three minute-subtrees identical,
+    # so the single minute shuffle is reused (pinned in test_rollups).
+    minute = ev.groupBy(_bucket_ntz("ts", 60_000_000).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sv"),
         F.max("value").alias("mx"),
     )
-    hour = minute.groupBy(F.window("bucket", "1 hour").start.alias("bucket")).agg(
+    hour = minute.groupBy(_bucket_ntz("bucket", 3_600_000_000).alias("bucket")).agg(
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("sv").alias("sv"),
         F.max("mx").alias("mx"),
     )
-    day = hour.groupBy(F.window("bucket", "1 day").start.alias("bucket")).agg(
+    day = hour.groupBy(_bucket_ntz("bucket", 86_400_000_000).alias("bucket")).agg(
         F.sum("n_events").cast("bigint").alias("n_events"),
         F.sum("sv").alias("sv"),
         F.max("mx").alias("mx"),
