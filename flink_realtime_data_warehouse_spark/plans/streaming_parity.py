@@ -278,3 +278,63 @@ def st4_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mid").cast("bigint").alias("user_id"),
         F.col("ts").alias("ts_us"),
     ).orderBy("event_id")
+
+
+@query(
+    "rollup_streaming_parity",
+    oracle="""
+    SELECT (epoch_us(ts) // 60000000) * 60000 AS bucket_ms,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY 1 ORDER BY bucket_ms
+    """,
+)
+def rollup_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL continuous-aggregate store (streaming/rollup.py)
+    must serve exactly the batch minute aggregation: events are dumped
+    as FOUR files and streamed one-file-per-trigger, so the store is
+    assembled from four independent partial merges — the cross-batch
+    additivity (count→sum, sum→sum, max→max) is what the oracle checks.
+
+    Session-tz proofing: event time rides as NTZ epoch µs, truncated to
+    ms with integer arithmetic; ``timestamp_millis``/``unix_millis``
+    round-trip the instant exactly under any session timezone, and the
+    store keys on the epoch-ms LONG itself. Minute truncation composes
+    over the µs→ms truncation, so buckets equal the oracle's
+    ``epoch_us // 60e6`` exactly.
+    """
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        continuous_minute_rollup_job,
+        read_minute_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), F.col("ts"))
+    flat = ev.select(
+        F.timestamp_millis((ts_us / F.lit(1000)).cast("bigint")).alias("event_time"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="frdw_rollup_parity_")
+    src = os.path.join(root, "src")
+    flat.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_time timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = os.path.join(root, "store")
+    q = continuous_minute_rollup_job(
+        stream, store, os.path.join(root, "ckpt")
+    )
+    q.awaitTermination()
+    return (
+        read_minute_rollup(spark, store)
+        .select(
+            "bucket_ms",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            F.round("max_value", 2).alias("max_value"),
+        )
+        .orderBy("bucket_ms")
+    )

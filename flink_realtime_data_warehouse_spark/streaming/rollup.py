@@ -1,0 +1,171 @@
+"""Incremental continuous-aggregate maintenance — the streaming face of
+the hypertable rollup cascade (plans/rollups.py).
+
+Append-mode watermarked windows (streaming/windows.py) finalize each
+window once and can never revise it — an event later than the watermark
+is dropped (ST6). A serving-store rollup needs the opposite contract:
+**unbounded lateness tolerance with bounded work**. This job maintains
+a minute-grain partial-aggregate store the way time-series warehouses
+maintain continuous aggregates:
+
+- each micro-batch is reduced to minute partials (count/sum/max — the
+  decomposable trio; at 100 TB the batch's raw rows never hit the
+  store, only |touched minutes| partial rows do);
+- partials land in the store under a ``(pday, pbatch)`` partition via
+  DYNAMIC partition overwrite: a replayed batch (foreachBatch re-runs
+  the last uncommitted batch after restart) overwrites exactly its own
+  partitions — **idempotent by layout**, no transactional table format
+  or read-modify-write needed (the container has no Delta/Iceberg; on
+  one, this merge is a single ``MERGE INTO``);
+- the read face re-aggregates partials per bucket (an LSM-style merge:
+  sum of counts/sums, max of maxes). Late data is just another partial
+  for an old bucket — cost is O(|batch buckets|), never a re-scan;
+- ``compact_minute_rollup`` folds all batches below the newest into a
+  single ``pbatch=-1`` segment per day, keeping read amplification
+  bounded. The newest batch stays un-compacted so the one batch the
+  checkpoint may replay still overwrites only its own partition.
+
+The reference has no aggregation layer to cite (SURVEY.md: its DWS/ADS
+apps are absent); this is the DWS serving-store shape its DWD topics
+exist to feed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MINUTE_MS = 60_000
+
+#: store columns: minute bucket as epoch-ms (LONG — the store is
+#: timezone-free by construction), partial n/sv/mx, partition cols
+_STORE_COLS = ["bucket_ms", "n", "sv", "mx", "pday", "pbatch"]
+_STORE_SCHEMA = (
+    "bucket_ms bigint, n bigint, sv double, mx double, pday string, pbatch bigint"
+)
+_SERVING_SCHEMA = (
+    "bucket_ms bigint, n_events bigint, total_value double, max_value double"
+)
+
+
+def make_rollup_merger(store_dir: str, time_col: str = "event_time", value_col: str = "value"):
+    """foreachBatch function maintaining the minute partial store.
+
+    Self-contained in what it writes: partition values are pure
+    functions of (row time bucket, batch_id), so a batch replay
+    produces byte-equivalent partitions and dynamic overwrite makes the
+    merge idempotent.
+    """
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        bucket_ms = (
+            (F.unix_millis(F.col(time_col)) / MINUTE_MS).cast("bigint") * MINUTE_MS
+        )
+        part = (
+            batch.filter(F.col(time_col).isNotNull())
+            .groupBy(bucket_ms.alias("bucket_ms"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(value_col).alias("sv"),
+                F.max(value_col).alias("mx"),
+            )
+            .withColumn(
+                "pday", F.date_format(F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd")
+            )
+            .withColumn("pbatch", F.lit(batch_id).cast("bigint"))
+        )
+        (
+            part.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pday", "pbatch")
+            .parquet(store_dir)
+        )
+
+    return merge
+
+
+def continuous_minute_rollup_job(
+    events: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "event_time",
+    value_col: str = "value",
+):
+    """Start the incremental rollup maintenance query (availableNow —
+    callers re-trigger per drop, the test/battery pattern used by every
+    streaming job here)."""
+    return (
+        events.writeStream.foreachBatch(
+            make_rollup_merger(store_dir, time_col, value_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_minute_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serving face: merge the partials into final minute rows.
+
+    The merge is the same decomposable re-aggregation the batch cascade
+    uses (count→sum, sum→sum, max→max); with compaction keeping
+    segments-per-day bounded, the scan is O(|minutes|), not O(|events|).
+    """
+    if not os.path.isdir(store_dir):
+        # zero batches ever committed (cold start / empty day)
+        return spark.createDataFrame([], _SERVING_SCHEMA)
+    # explicit schema: a store whose only committed batches were empty
+    # has no data files to infer from, but is still a valid empty store
+    store = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+    return store.groupBy("bucket_ms").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sv").alias("total_value"),
+        F.max("mx").alias("max_value"),
+    )
+
+
+def compact_minute_rollup(spark: SparkSession, store_dir: str) -> None:
+    """Fold every segment below the newest batch into one ``pbatch=-1``
+    segment per day (repeated compactions fold the previous ``-1`` in
+    too). The newest batch is left alone: it is the only batch the
+    checkpoint can replay, and replay must keep overwriting exactly the
+    partition it wrote first time.
+
+    The swap is the DimStore pattern: write the consolidated tree
+    aside, then swap directories. On a transactional table format this
+    whole function is REPLACE WHERE.
+    """
+    if not os.path.isdir(store_dir):
+        return
+    store = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+    row = store.agg(F.max("pbatch").alias("mb")).first()
+    if row is None or row["mb"] is None:
+        return
+    max_batch = row["mb"]
+    old = store.filter(F.col("pbatch") < max_batch)
+    keep = store.filter(F.col("pbatch") == max_batch)
+    consolidated = (
+        old.groupBy("pday", "bucket_ms")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("sv").alias("sv"),
+            F.max("mx").alias("mx"),
+        )
+        .withColumn("pbatch", F.lit(-1).cast("bigint"))
+    )
+    tmp = f"{store_dir}.compact-{uuid.uuid4().hex[:8]}"
+    (
+        consolidated.select(*_STORE_COLS)
+        .unionByName(keep.select(*_STORE_COLS))
+        .write.mode("overwrite")
+        .partitionBy("pday", "pbatch")
+        .parquet(tmp)
+    )
+    old_dir = f"{store_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(store_dir, old_dir)
+    os.rename(tmp, store_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)

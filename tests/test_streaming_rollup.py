@@ -1,0 +1,119 @@
+"""Incremental continuous-aggregate maintenance (streaming/rollup.py):
+batch-equivalence of the partial store, unbounded late-data merge,
+replay idempotency, and compaction invariance."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.sources.streams import read_jsonl_stream
+from flink_realtime_data_warehouse_spark.streaming.rollup import (
+    MINUTE_MS,
+    compact_minute_rollup,
+    continuous_minute_rollup_job,
+    make_rollup_merger,
+    read_minute_rollup,
+)
+
+BASE = 1_700_000_000_000  # 2023-11-14 22:13:20 UTC, arbitrary minute-unaligned
+
+
+def _row(ts_ms: int, value: float) -> str:
+    return json.dumps({"ts": ts_ms, "value": value})
+
+
+def _write(dir_, name, lines):
+    os.makedirs(dir_, exist_ok=True)
+    with open(os.path.join(dir_, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _events_stream(spark, src):
+    raw = read_jsonl_stream(spark, src, max_files_per_trigger=1)
+    parsed = raw.select(
+        F.from_json(F.col("value"), "ts bigint, value double").alias("j")
+    )
+    return parsed.select(
+        F.timestamp_millis(F.col("j.ts")).alias("event_time"),
+        F.col("j.value").alias("value"),
+    )
+
+
+def _run(spark, src, store, ckpt):
+    q = continuous_minute_rollup_job(_events_stream(spark, src), store, ckpt)
+    q.awaitTermination(150)
+
+
+def _serving(spark, store):
+    return {
+        r["bucket_ms"]: (r["n_events"], round(r["total_value"], 6), r["max_value"])
+        for r in read_minute_rollup(spark, store).collect()
+    }
+
+
+def test_incremental_rollup_matches_batch_aggregation(spark, tmp_path):
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    m0, m1 = BASE - BASE % MINUTE_MS, BASE - BASE % MINUTE_MS + MINUTE_MS
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    _write(src, "a.jsonl", [_row(m0 + 1000, 1.5), _row(m0 + 2000, 2.5)])
+    _write(src, "b.jsonl", [_row(m0 + 3000, 4.0), _row(m1 + 500, 10.0)])
+    _run(spark, src, store, ckpt)
+
+    assert _serving(spark, store) == {
+        m0: (3, 8.0, 4.0),
+        m1: (1, 10.0, 10.0),
+    }
+
+
+def test_late_data_merges_into_old_bucket(spark, tmp_path):
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    m0 = BASE - BASE % MINUTE_MS
+    day_later = m0 + 86_400_000
+    _write(src, "a.jsonl", [_row(m0 + 1000, 1.0), _row(day_later, 5.0)])
+    _run(spark, src, store, ckpt)
+    # a full day late — far beyond any plausible watermark; an
+    # append-mode window would drop it, the partial store merges it
+    _write(src, "late.jsonl", [_row(m0 + 2000, 9.0)])
+    _run(spark, src, store, ckpt)
+
+    assert _serving(spark, store)[m0] == (2, 10.0, 9.0)
+    assert _serving(spark, store)[day_later - day_later % MINUTE_MS] == (1, 5.0, 5.0)
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "store")
+    m0 = BASE - BASE % MINUTE_MS
+    batch = spark.createDataFrame(
+        [(m0 + 1000, 3.0), (m0 + 2000, 7.0)], "ts bigint, value double"
+    ).select(F.timestamp_millis("ts").alias("event_time"), "value")
+    merge = make_rollup_merger(store)
+    merge(batch, 7)
+    once = _serving(spark, store)
+    merge(batch, 7)  # foreachBatch replay after restart: same batch_id
+    assert _serving(spark, store) == once == {m0: (2, 10.0, 7.0)}
+
+
+def test_compaction_preserves_serving_results(spark, tmp_path):
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    m0 = BASE - BASE % MINUTE_MS
+    for i in range(4):
+        _write(src, f"f{i}.jsonl", [_row(m0 + 1000 * i, float(i + 1))])
+    _run(spark, src, store, ckpt)
+    before = _serving(spark, store)
+    assert before[m0] == (4, 10.0, 4.0)
+
+    compact_minute_rollup(spark, store)
+    after = _serving(spark, store)
+    assert after == before
+    # everything below the newest batch folded into the -1 segment
+    batches = {
+        r["pbatch"] for r in spark.read.parquet(store).select("pbatch").distinct().collect()
+    }
+    assert -1 in batches and len(batches) == 2
+
+    # compaction is repeatable (the -1 segment folds into itself)
+    compact_minute_rollup(spark, store)
+    assert _serving(spark, store) == before
