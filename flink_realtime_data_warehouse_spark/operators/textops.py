@@ -302,3 +302,62 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TFIDF_TOPK)
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           count(*) AS n_distinct,
+           round(count(*) * 1.0 / sum(c), 4) AS unique_ratio,
+           round(max(c) * 1.0 / sum(c), 4) AS top_word_share,
+           round(list_sum(list_slice(list_sort(list(c), 'DESC'), 1, 3)) * 1.0
+                 / sum(c), 4) AS top3_share
+    FROM wc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / diversity signals per document — the Gopher-style
+    pretraining quality filters (duplicate-token and top-n-gram-share
+    rules): unique-word ratio, most-frequent-word share, and the share
+    held by the three most frequent words.
+
+    Shape: explode → (doc, word) count → per-doc fold. Two keyed
+    aggregations with map-side partial combine, no windows and no
+    per-doc quadratic higher-order scans (an `aggregate`-over-distinct
+    formulation would be O(words x distinct) per row — fine here,
+    pathological on 10k-word documents). doc_id keys are near-unique,
+    so neither shuffle can skew; the top-3 fold collects only the
+    per-doc distinct-word COUNT list (bounded by vocabulary per doc).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    top3 = F.aggregate(
+        F.slice(F.sort_array(F.collect_list("c"), asc=False), 1, 3),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+            top3.alias("top3"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            F.round(F.col("n_distinct") / F.col("n_words"), 4).alias("unique_ratio"),
+            F.round(F.col("top_c") / F.col("n_words"), 4).alias("top_word_share"),
+            F.round(F.col("top3") / F.col("n_words"), 4).alias("top3_share"),
+        )
+        .orderBy("doc_id")
+    )
