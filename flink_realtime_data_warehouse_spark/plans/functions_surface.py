@@ -458,9 +458,21 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str,
             _warehouse_root,
         )
 
-        stale = os.path.join(_warehouse_root(spark), tbl)
+        root = _warehouse_root(spark)
+        stale = os.path.join(root, tbl)
         if os.path.isdir(stale):
             shutil.rmtree(stale, ignore_errors=True)
+        # GC stamps from PREVIOUS sessions (same fix class as the ANN
+        # stale-index GC, r2 ADVICE): a dead stamp is one with no entry
+        # in this session's catalog — live stamps for other datasets in
+        # the same session (e.g. the two parity scale factors) survive
+        for d in os.listdir(root) if os.path.isdir(root) else []:
+            if (
+                d.startswith(f"bkt_{name}_")
+                and d != tbl
+                and not spark.catalog.tableExists(d)
+            ):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         write_bucketed(
             load_table(spark, sf_dir, name).select(*cols),
             tbl,

@@ -90,3 +90,36 @@ def test_compact_parquet_dir_preserves_content(spark, tmp_path):
     assert n_before >= 20 and n_after == 2
     after_rows = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert after_rows == before_rows
+
+
+def test_bucketed_table_gc_removes_dead_stamps(spark, sf_dir):
+    """Stamps from previous sessions (present on disk, absent from the
+    live catalog) are GC'd when a new bucketed table is created; live
+    stamps keep their files (same fix class as the ANN stale-index GC)."""
+    import os
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _warehouse_root,
+    )
+    from flink_realtime_data_warehouse_spark.plans.functions_surface import (
+        _bucketed_table,
+    )
+
+    root = _warehouse_root(spark)
+    dead = os.path.join(root, "bkt_lineitem_deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    try:
+        live = _bucketed_table(
+            spark, sf_dir, "lineitem", "l_orderkey", ["l_orderkey"], n_buckets=4
+        )
+        # force the create branch even if the live table pre-existed
+        if os.path.isdir(dead):
+            spark.sql(f"DROP TABLE IF EXISTS {live}")
+            live = _bucketed_table(
+                spark, sf_dir, "lineitem", "l_orderkey", ["l_orderkey"], n_buckets=4
+            )
+        assert not os.path.isdir(dead)
+        assert os.path.isdir(os.path.join(root, live))
+    finally:
+        shutil.rmtree(dead, ignore_errors=True)
