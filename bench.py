@@ -54,9 +54,11 @@ HEADLINE = [
     "cep_funnel_3step",
     "dq_validation_suite",
     "text_tfidf_topk",
-    # round 3 (late): continuous-aggregate cascade, binned range join
+    # round 3 (late): continuous-aggregate cascade, binned range join,
+    # PQ compressed-scan ANN
     "rollup_hypertable",
     "join_range_binned",
+    "ann_pq_topk",
 ]
 
 
@@ -74,19 +76,25 @@ def main() -> None:
         ann_lsh_topk,
     )
 
+    from flink_realtime_data_warehouse_spark.operators.pq import ann_pq_topk
+
     queries["ann_lsh_topk"] = ann_lsh_topk
+    queries["ann_pq_topk"] = ann_pq_topk
 
     # warm the JVM/codegen once with the cheapest query
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # ann_lsh_topk is index-backed: its first call builds the index
-    # (one-time; amortized across probes at scale). Warm it before the
-    # timed loop — the headline row should measure the steady-state
-    # probe, not build+probe — and report the warm (build-inclusive)
-    # cost as its own metric for transparency.
+    # the index-backed ANN queries build their index on first call
+    # (one-time; amortized across probes at scale). Warm them before
+    # the timed loop — the headline rows should measure the
+    # steady-state probe, not build+probe — and report the warm
+    # (build-inclusive) costs as their own metrics for transparency.
     t0 = time.perf_counter()
     queries["ann_lsh_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     ann_lsh_warm = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    queries["ann_pq_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    ann_pq_warm = round(time.perf_counter() - t0, 3)
 
     # fixed synthetic workload (data-independent: in-memory range +
     # one shuffle) — a per-round box-speed calibration so cross-round
@@ -135,6 +143,7 @@ def main() -> None:
                 "total_min": round(sum(timings_min.values()), 3),
                 "calib_shuffle_sec": calib,
                 "ann_lsh_warm_sec": ann_lsh_warm,
+                "ann_pq_warm_sec": ann_pq_warm,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
