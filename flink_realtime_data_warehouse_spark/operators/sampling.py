@@ -194,3 +194,69 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+PACK_SEQ_LEN = 512  #: tokens per packed training sequence
+PACK_N_BUCKETS = 8  #: independent packing streams (the unit of parallelism)
+
+
+@query(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_BUCKET_SQL.replace('% 100', f'% {PACK_N_BUCKETS}')} AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    pos AS (
+      SELECT doc_id, bucket, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS tok_start
+      FROM toks)
+    SELECT doc_id, bucket, n_tokens, tok_start,
+           tok_start // {PACK_SEQ_LEN} AS pack_first,
+           (tok_start + n_tokens - 1) // {PACK_SEQ_LEN} AS pack_last
+    FROM pos ORDER BY bucket, doc_id
+    """,
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining: documents are concatenated
+    in deterministic (bucket, doc_id) order and cut at fixed
+    ``PACK_SEQ_LEN``-token boundaries — each doc's global token offset
+    places it in packs ``[pack_first, pack_last]`` (a doc straddling a
+    boundary continues in the next sequence, the standard
+    concat-then-cut regime).
+
+    Shape: one window prefix-sum per hash bucket — the bucket is the
+    unit of parallelism AND of determinism (membership is content-
+    derived md5, so packing is reproducible across runs, engines, and
+    corpus repartitioning; growing the corpus only appends to each
+    bucket's tail in doc_id order). No collect, no Python; at 100 TB
+    this is one shuffle on bucket with ~|corpus|/buckets rows per
+    partition, and buckets scale with the cluster.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), PACK_N_BUCKETS).alias("bucket"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn("tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return pos.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / PACK_SEQ_LEN).alias("pack_first"),
+        F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / PACK_SEQ_LEN).alias(
+            "pack_last"
+        ),
+    ).orderBy("bucket", "doc_id")

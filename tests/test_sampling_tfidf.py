@@ -75,3 +75,35 @@ def test_tfidf_hand_fixture(spark):
     assert d3["cherry"]["rnk"] == 1 and d3["durian"]["rnk"] == 2
     # top-k bound respected
     assert all(len(v) <= TFIDF_TOPK for v in by_doc.values())
+
+
+def test_pack_training_sequences_stable_under_corpus_growth(spark, sf_dir, tmp_path):
+    """Packing is per-bucket prefix-stable: adding documents with higher
+    doc_ids must not move any existing doc's offsets or packs — the
+    property that lets a 100 TB pipeline pack incrementally instead of
+    re-packing the corpus on every ingest."""
+    import duckdb
+
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        pack_training_sequences,
+    )
+
+    d = str(tmp_path / "subset")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{sf_dir}/documents.parquet' WHERE doc_id < 250) "
+        f"TO '{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    full = {
+        r["doc_id"]: (r["bucket"], r["tok_start"], r["pack_first"], r["pack_last"])
+        for r in pack_training_sequences(spark, sf_dir).collect()
+        if r["doc_id"] < 250
+    }
+    subset = {
+        r["doc_id"]: (r["bucket"], r["tok_start"], r["pack_first"], r["pack_last"])
+        for r in pack_training_sequences(spark, d).collect()
+    }
+    assert full == subset
+    assert subset, "fixture subset must not be empty"
