@@ -338,3 +338,98 @@ def rollup_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_ms")
     )
+
+
+@query(
+    "win_session_streaming_parity",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes' THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM islands
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def win_session_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING session-window aggregation (gap-merged, watermarked
+    append mode) must emit the batch gaps-and-islands oracle's exact
+    rows — the session sibling of ``win_streaming_tumbling_parity``.
+
+    One global flush sentinel past max(ts) + gap advances the final
+    watermark beyond every real session's end (session end = last event
+    + gap, and the watermark is global, not per-key), so every session
+    finalizes and emits; the sentinel's own session is filtered out.
+    Same NTZ-via-epoch-µs transport as the tumbling parity query.
+    """
+    GAP_US = 30 * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), F.col("ts")).alias("ts_us"),
+        F.col("user_id").cast("string").alias("uid"),
+        "value",
+    )
+    sentinel = ev.agg(
+        (F.max("ts_us") + F.lit(2 * GAP_US)).alias("ts_us"),
+        F.lit("__flush").alias("uid"),
+        F.lit(0.0).alias("value"),
+    )
+    root = tempfile.mkdtemp(prefix="frdw_sessparity_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts_us bigint, uid string, value double").parquet(src)
+    agg = (
+        stream.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("event_time", "0 seconds")
+        .groupBy(F.session_window("event_time", "30 minutes").alias("w"), "uid")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.timestamp_add(
+                "MICROSECOND", F.unix_micros(F.col("w.start")), F.expr(_EPOCH_NTZ)
+            ).alias("session_start"),
+            F.timestamp_add(
+                "MICROSECOND", F.unix_micros(F.col("w.end")), F.expr(_EPOCH_NTZ)
+            ).alias("session_end"),
+            "uid",
+            "n_events",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("uid") != "__flush")
+        .select(
+            F.col("uid").cast("bigint").alias("user_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
