@@ -31,7 +31,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.operators.similarity import (
@@ -259,24 +258,46 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _gc_stale_indexes(_warehouse_root(spark), "ann_pq_index_", index_path)
         build_ann_pq_index(spark, emb, index_path)
     short = ann_pq_probe(spark, index_path, queries_pdf)
-    all_ids = sorted({i for ids in short.values() for i in ids})
-    if not all_ids:
+    if not any(short.values()):
         return spark.createDataFrame([], out_schema)
-    cand = emb.filter(F.col("vec_id").isin(all_ids))
-    scored = _score_against_queries(spark, cand, queries_pdf)
-    # keep only (query, neighbor) pairs the shortlist actually proposed
+    # Arrow-backed pairs frame (a tuple-list createDataFrame and an
+    # isin(...) with ~nq×shortlist literals each cost one py4j
+    # round-trip PER literal — measured ~1s of driver time at sf0.1)
+    import pandas as pd
+
     pairs = spark.createDataFrame(
-        [(q, n) for q, ids in short.items() for n in ids],
-        "query_id bigint, neighbor_id bigint",
+        pd.DataFrame(
+            [(q, n) for q, ids in short.items() for n in ids],
+            columns=["query_id", "neighbor_id"],
+        )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
+    # shortlist membership via broadcast semi-join, not isin literals —
+    # also the only form that scales when nq×shortlist outgrows a
+    # literal list at 100 TB
+    cand = emb.join(
+        F.broadcast(pairs.select(F.col("neighbor_id").alias("vec_id")).distinct()),
+        "vec_id",
     )
-    return (
-        scored.join(F.broadcast(pairs), ["query_id", "neighbor_id"])
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .orderBy("query_id", "rank")
+    scored = _score_against_queries(spark, cand, queries_pdf)
+    # final top-k merge on the driver over the bounded candidate set
+    # (≤ nq × shortlist scored pairs — plan-shape bounded, not corpus
+    # bounded), the same takeOrdered tail as the LSH/IVF probes: a
+    # row_number window here would add a shuffle + sort stage that
+    # costs more than the whole rescore at any scale of the candidate
+    # set this operator permits
+    rows = [
+        r.asDict()
+        for r in scored.join(F.broadcast(pairs), ["query_id", "neighbor_id"]).collect()
+    ]
+    if not rows:
+        return spark.createDataFrame([], out_schema)
+    res = pd.DataFrame(rows).sort_values(
+        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    res["rank"] = (res.groupby("query_id").cumcount() + 1).astype("int32")
+    res = res[res["rank"] <= TOPK]
+    return spark.createDataFrame(
+        res[["query_id", "neighbor_id", "cos_sim", "rank"]], out_schema
     )
 
 
