@@ -262,3 +262,139 @@ def write_stream_kafka_idempotent(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+class DimHistoryStore:
+    """SCD type-2 dimension history — the audit-keeping sibling of
+    ``DimStore``.
+
+    Reference K3 keeps only the latest row per PK (Phoenix UPSERT,
+    DimSinkFunction.java:23-32); a warehouse that must answer "what did
+    this dimension row look like when the fact happened" needs the
+    type-2 form instead: every change APPENDS a version row carrying
+    ``[valid_from, valid_to)`` and the previous open version is closed,
+    never rewritten in place. Layout and economics are DimStore's: PK
+    hash partitions, only batch-touched partitions rewritten, atomic
+    swap (on Delta/Iceberg this whole method is one ``MERGE`` with a
+    matched-update + insert branch).
+
+    Assumes the changelog arrives in order per key within and across
+    batches (the reference makes the same assumption of its Kafka
+    changelog: single partition per key, DimApp.java:46-49).
+    """
+
+    SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+    def __init__(self, spark: SparkSession, root: str, n_partitions: int = 16):
+        self.spark = spark
+        self.root = root
+        self.n_partitions = n_partitions
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self._path(table), "_dim_meta.json")
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(self._path(table))
+            .drop("_pk_part")
+        )
+
+    def current(self, table: str) -> DataFrame:
+        """The DimStore-equivalent view: one open row per PK."""
+        return self.read(table).filter(F.col("is_current")).drop(
+            "valid_to", "is_current"
+        )
+
+    def as_of(self, table: str, ts) -> DataFrame:
+        """Time travel: the dimension as it stood at ``ts``
+        (``valid_from <= ts < valid_to``; open rows have null valid_to)."""
+        return (
+            self.read(table)
+            .filter(
+                (F.col("valid_from") <= F.lit(ts))
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))
+            )
+            .drop("valid_to", "is_current")
+        )
+
+    def apply(
+        self, table: str, batch: DataFrame, pk: str = "id", ts_col: str = "ts"
+    ) -> None:
+        """Apply a micro-batch of new versions.
+
+        Within the batch, consecutive versions of one PK chain their
+        intervals (lead over (pk, ts)); the store's open row for each
+        touched PK closes at the batch's FIRST version timestamp. Only
+        touched hash partitions are read back and swapped.
+        """
+        path = self._path(table)
+        exists = self.exists(table)
+        meta = None
+        if exists:
+            try:
+                with open(self._meta_path(table)) as f:
+                    meta = json.load(f)
+            except FileNotFoundError:
+                meta = None
+        n_parts = int(meta["n_partitions"]) if meta else self.n_partitions
+        part_expr = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_parts)).cast("int")
+
+        wv = Window.partitionBy(pk).orderBy(ts_col, "_seq")
+        b = (
+            batch.withColumn("_seq", F.monotonically_increasing_id())
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead("valid_from").over(wv))
+            .drop("_seq")
+        )
+        if exists:
+            first_ts = b.groupBy(pk).agg(F.min("valid_from").alias("_close_ts"))
+            touched = [
+                r[0] for r in b.select(part_expr.alias("p")).distinct().collect()
+            ]
+            cur = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(path)
+                .filter(F.col("_pk_part").isin(touched))
+                .drop("_pk_part", "is_current")
+            )
+            closed = cur.join(F.broadcast(first_ts), pk, "left").withColumn(
+                "valid_to",
+                F.when(
+                    F.col("valid_to").isNull() & F.col("_close_ts").isNotNull(),
+                    F.col("_close_ts"),
+                ).otherwise(F.col("valid_to")),
+            ).drop("_close_ts")
+            merged = closed.unionByName(b, allowMissingColumns=True)
+        else:
+            merged = b
+        out = merged.withColumn("is_current", F.col("valid_to").isNull()).withColumn(
+            "_pk_part", part_expr
+        )
+        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").partitionBy("_pk_part").parquet(tmp)
+        if exists:
+            for d in os.listdir(tmp):
+                if not d.startswith("_pk_part="):
+                    continue
+                src, dst = os.path.join(tmp, d), os.path.join(path, d)
+                if os.path.isdir(dst):
+                    old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+                    os.rename(dst, old)
+                    os.rename(src, dst)
+                    shutil.rmtree(old, ignore_errors=True)
+                else:
+                    os.rename(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            os.rename(tmp, path)
+        if meta is None:
+            with open(self._meta_path(table), "w") as f:
+                json.dump({"n_partitions": n_parts, "pk": pk, "ts_col": ts_col}, f)
