@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _load_registry():
     # importing the modules populates the central registry
     import flink_realtime_data_warehouse_spark.operators.curation  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.decontam  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.dq  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401

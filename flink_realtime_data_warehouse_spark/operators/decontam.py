@@ -1,0 +1,134 @@
+"""Benchmark decontamination for LLM training corpora.
+
+The standard pretraining hygiene step (GPT-3 appendix C / Gopher /
+PaLM): remove from the training set any document sharing a long-enough
+word n-gram with the evaluation benchmarks, so reported eval numbers
+measure generalization rather than memorization.
+
+Scale shape (the only one that survives 100 TB):
+
+* the EVAL side is tiny and fixed (benchmark suites are a few MB), so
+  its distinct n-gram hashes are **broadcast** — the training corpus is
+  never shuffled against it;
+* the TRAIN side explodes to (doc_id, 60-bit gram hash) pairs — the
+  shuffle moves 16-byte hashes, never text (same discipline as
+  ``dedup.py``);
+* per-doc verdicts come from one hash-partitioned aggregate with
+  map-side partial combine.
+
+Here the "benchmark" is a deterministic holdout of the ``documents``
+table (``doc_id % 13 = 0``) so the DuckDB oracle can reproduce it; in
+production the eval side is just another parquet table.
+
+Reference has no decontamination surface — this extends the engine for
+the LLM-pipeline north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+#: decontamination n-gram length. Real pipelines use 8–13 word grams;
+#: the synthetic docs are 10–99 words, so 5 keeps every doc represented
+#: while staying long enough that collisions mean real overlap.
+DECONTAM_N = 5
+
+#: deterministic eval holdout predicate (doc_id % EVAL_MOD == 0)
+EVAL_MOD = 13
+
+
+def _gram_hashes(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """distinct (doc_id, 60-bit hash of the word n-gram) pairs.
+
+    Same md5-prefix hashing as ``dedup._exploded_shingle_hashes`` so the
+    DuckDB oracle reproduces values bit-for-bit.
+    """
+    parts = ", ".join(f"ws[i+{k}]" for k in range(n))
+    gram_expr = (
+        f"CASE WHEN size(ws) >= {n} "
+        f"THEN transform(sequence(0, size(ws) - {n}), i -> concat_ws(' ', {parts})) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    g_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
+        .select("doc_id", g_hash.alias("s"))
+        .distinct()
+    )
+
+
+def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Per-training-doc contamination verdict against an eval corpus.
+
+    Returns (doc_id, n_grams, n_hits, overlap_frac, contaminated) for
+    every training document — including gram-less ones (short or NULL
+    text), which are trivially clean. ``contaminated`` is the GPT-3
+    rule: ANY shared n-gram flags the document.
+    """
+    eval_grams = eval_docs.transform(lambda d: _gram_hashes(d, n)).select("s").distinct()
+    train_grams = _gram_hashes(train, n)
+    marked = train_grams.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "s", "left"
+    )
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    )
+    return (
+        train.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                * 1.0
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                4,
+            ).alias("overlap_frac"),
+            F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
+_GRAM_CONCAT = " || ' ' || ".join(f"ws[i+{k}]" for k in range(DECONTAM_N))
+
+_DECONTAM_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5({_GRAM_CONCAT}), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= {DECONTAM_N}
+                 THEN range(1, len(ws) - {DECONTAM_N - 2}) ELSE [] END) AS t(i)),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id % {EVAL_MOD} != 0),
+agg AS (
+  SELECT tr.doc_id, count(*) AS n_grams, count(ev.s) AS n_hits
+  FROM tr LEFT JOIN ev ON tr.s = ev.s GROUP BY tr.doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_hits, 0) AS n_hits,
+       round(coalesce(a.n_hits, 0) * 1.0 / greatest(coalesce(a.n_grams, 0), 1), 4)
+           AS overlap_frac,
+       CASE WHEN coalesce(a.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+WHERE d.doc_id % {EVAL_MOD} != 0 ORDER BY d.doc_id
+"""
+
+
+@query("decontam_eval_overlap", oracle=_DECONTAM_ORACLE)
+def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: train docs vs the doc_id%13 eval holdout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0),
+    ).orderBy("doc_id")

@@ -1,0 +1,58 @@
+"""Benchmark-decontamination operator: planted overlap + scale-shape pins."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.operators.decontam import (
+    DECONTAM_N,
+    decontaminate,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id bigint, text string"
+    )
+
+
+def test_planted_contamination_verdicts(spark):
+    eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    train = _docs(
+        spark,
+        [
+            # shares the 5-gram "beta gamma delta epsilon zeta" with eval
+            (1, "intro beta gamma delta epsilon zeta outro words here"),
+            # same vocabulary, no shared 5-gram
+            (2, "alpha beta gamma wrong delta epsilon zeta beta alpha"),
+            # too short to carry any 5-gram: trivially clean, still emitted
+            (3, "tiny doc"),
+            # NULL text: trivially clean, still emitted
+            (4, None),
+        ],
+    )
+    out = {
+        r["doc_id"]: r for r in decontaminate(train, eval_docs).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["contaminated"] == 1 and out[1]["n_hits"] >= 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_grams"] > 0
+    for short in (3, 4):
+        assert out[short]["contaminated"] == 0
+        assert out[short]["n_grams"] == 0 and out[short]["overlap_frac"] == 0.0
+
+
+def test_fully_duplicated_doc_has_full_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(DECONTAM_N + 3))
+    eval_docs = _docs(spark, [(100, text)])
+    train = _docs(spark, [(1, text)])
+    row = decontaminate(train, eval_docs).collect()[0]
+    assert row["n_hits"] == row["n_grams"] == 4
+    assert row["overlap_frac"] == 1.0 and row["contaminated"] == 1
+
+
+def test_eval_side_is_broadcast(spark):
+    """The corpus must never shuffle against the benchmark set."""
+    eval_docs = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    train = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    plan = decontaminate(train, eval_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
