@@ -75,6 +75,72 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: fixed linear-model weights for the quality classifier (fasttext/DCLM
+#: style scoring distilled to a transparent linear scorer). Chosen so
+#: the score spans (0,1) on the synthetic corpus; arithmetic is pure
+#: +,-,*,/ on doubles with identical association on both engines — no
+#: exp/log, whose last-ulp rounding can differ between JVM and C libm
+#: and flip a round(.,4) boundary.
+QC_WEIGHTS = {"length": 0.35, "unique": 0.25, "wordlen": 0.25, "stopword": 0.15}
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS unique_ratio,
+             (length(text) - len(string_split(text, ' ')) + 1.0)
+               / len(string_split(text, ' ')) AS awl,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents)
+    SELECT doc_id,
+           round({QC_WEIGHTS["length"]} * least(n_words / 100.0, 1.0)
+               + {QC_WEIGHTS["unique"]} * unique_ratio
+               + {QC_WEIGHTS["wordlen"]} * greatest(1.0 - abs(awl - 4.5) / 4.5, 0.0)
+               + {QC_WEIGHTS["stopword"]} * least(stop_ratio * 5.0, 1.0), 4) AS quality_score,
+           CASE WHEN round({QC_WEIGHTS["length"]} * least(n_words / 100.0, 1.0)
+               + {QC_WEIGHTS["unique"]} * unique_ratio
+               + {QC_WEIGHTS["wordlen"]} * greatest(1.0 - abs(awl - 4.5) / 4.5, 0.0)
+               + {QC_WEIGHTS["stopword"]} * least(stop_ratio * 5.0, 1.0), 4) >= 0.5
+                THEN 1 ELSE 0 END AS keep
+    FROM f ORDER BY doc_id
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: fixed-weight linear scorer per doc.
+
+    The production pattern (fasttext / DCLM quality classifiers) is a
+    linear model over cheap document features, applied corpus-wide as a
+    map-only pass — no shuffle, no Python: every feature and the dot
+    product are built-in column expressions inside one codegen stage,
+    so the filter runs at scan speed at 100 TB.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    unique_ratio = F.size(F.array_distinct(words)) * 1.0 / n_words
+    awl = (F.length("text") - n_words + 1.0) / n_words
+    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) * 1.0 / n_words
+    score = F.round(
+        F.lit(QC_WEIGHTS["length"]) * F.least(n_words / 100.0, F.lit(1.0))
+        + F.lit(QC_WEIGHTS["unique"]) * unique_ratio
+        + F.lit(QC_WEIGHTS["wordlen"])
+        * F.greatest(1.0 - F.abs(awl - 4.5) / 4.5, F.lit(0.0))
+        + F.lit(QC_WEIGHTS["stopword"]) * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    ).orderBy("doc_id")
+
+
 @query(
     "text_fingerprint",
     oracle="""
