@@ -118,3 +118,137 @@ def salted_join(
     salts = F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt")
     small_s = small.select("*", salts)
     return big_s.join(small_s, on=[key, "_salt"]).drop("_salt")
+
+
+# ---------------------------------------------------------------------------
+# data-layout clustering (min/max file skipping)
+# ---------------------------------------------------------------------------
+#
+# Parquet readers skip whole files/row-groups whose footer min/max
+# excludes the predicate — but only if the WRITE laid correlated values
+# together. These helpers are the engine's OPTIMIZE path (Delta
+# ZORDER / Iceberg sort-order rewrite): linear range-clustering for
+# one-dimensional access patterns, Morton (Z-order) interleaving when
+# two dimensions must BOTH prune. Verified against the actual parquet
+# footers in tests/test_layout.py, not just the plan.
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, cluster_cols: list[str], n_files: int = 16
+) -> None:
+    """Linear clustering: range-partition + sort by ``cluster_cols``.
+
+    Each output file covers a narrow, non-overlapping slice of the key
+    space, so footer min/max prunes point/range predicates on the
+    leading column to O(1) files.
+    """
+    (
+        df.repartitionByRange(n_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_value(xbin: F.Column, ybin: F.Column, bits: int = 8) -> F.Column:
+    """Morton code: interleave the low ``bits`` of two int bin columns.
+
+    Pure shift/mask built-ins — one codegen expression, no Python in
+    the write path.
+    """
+    z = F.lit(0)
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(xbin, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ybin, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Two-dimensional clustering: range-partition + sort by Morton code.
+
+    Both dimensions are min/max-normalized into ``2**bits`` linear bins
+    (one O(1) stats aggregate to the driver — the same two-pass shape
+    as Delta's OPTIMIZE ZORDER), interleaved into a z-value, and the
+    data is laid out in z order. Every file then covers a small
+    *rectangle* in (x, y) space: predicates on EITHER dimension prune,
+    which no single-column sort can give.
+    """
+    stats = df.agg(
+        F.min(xcol).alias("xmin"),
+        F.max(xcol).alias("xmax"),
+        F.min(ycol).alias("ymin"),
+        F.max(ycol).alias("ymax"),
+    ).first()
+    nbins = 1 << bits
+
+    def _bin(col: str, lo, hi) -> F.Column:
+        span = float(hi) - float(lo)
+        if span <= 0:
+            return F.lit(0)
+        frac = (F.col(col).cast("double") - float(lo)) / span
+        return F.least(F.floor(frac * nbins).cast("int"), F.lit(nbins - 1))
+
+    z = zorder_value(
+        _bin(xcol, stats["xmin"], stats["xmax"]),
+        _bin(ycol, stats["ymin"], stats["ymax"]),
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax(path: str, cols: list[str]) -> list[dict]:
+    """Per-parquet-file footer (min, max) for ``cols`` — ground truth
+    for what a reader's file-skipping would do on this layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _, files in os.walk(path):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fname)).metadata
+            entry: dict = {"file": fname}
+            for ci in range(md.num_columns):
+                name = md.row_group(0).column(ci).path_in_schema
+                if name not in cols:
+                    continue
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                entry[name] = (min(mins), max(maxs)) if mins else None
+            out.append(entry)
+    return out
+
+
+def files_hit(stats: list[dict], col: str, lo, hi) -> int:
+    """How many files a [lo, hi] predicate on ``col`` must read: files
+    with no footer stats count as hits (a reader cannot skip them)."""
+    n = 0
+    for entry in stats:
+        mm = entry.get(col)
+        if mm is None or not (mm[1] < lo or mm[0] > hi):
+            n += 1
+    return n
