@@ -1,0 +1,81 @@
+"""Streaming contamination gate: planted overlap routes to quarantine;
+replays land idempotently."""
+
+import json
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.streaming.jobs import start_streaming_decontam
+
+EVAL_TEXT = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _eval_docs(spark):
+    return spark.createDataFrame(
+        [Row(doc_id=1000, text=EVAL_TEXT)], "doc_id bigint, text string"
+    )
+
+
+def _write_batch(src, name, rows):
+    with open(os.path.join(src, name), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+
+
+def _run(spark, tmp_path, ckpt_name):
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmp_path / "docs"))
+    )
+    q = start_streaming_decontam(
+        spark,
+        stream,
+        _eval_docs(spark),
+        str(tmp_path / "clean"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / ckpt_name),
+    )
+    q.awaitTermination(150)
+
+
+def test_contaminated_docs_quarantined_across_batches(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(src, "b1.jsonl", [
+        # shares a 5-gram with the eval doc → quarantine
+        {"doc_id": 1, "text": "intro beta gamma delta epsilon zeta outro"},
+        {"doc_id": 2, "text": "totally unrelated words in this clean document here"},
+    ])
+    _write_batch(src, "b2.jsonl", [
+        {"doc_id": 3, "text": EVAL_TEXT},  # verbatim eval doc → quarantine
+        {"doc_id": 4, "text": "another clean training document with enough words"},
+    ])
+    _run(spark, tmp_path, "ckpt")
+
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    quar = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    qrows = {r["doc_id"]: r for r in quar.collect()}
+    assert sorted(qrows) == [1, 3]
+    assert qrows[3]["overlap_frac"] == 1.0
+    assert qrows[1]["n_hits"] >= 1
+    # batches landed in separate pbatch partitions (replay-idempotent layout)
+    assert clean.select("pbatch").distinct().count() == 2
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(src, "b1.jsonl", [
+        {"doc_id": 1, "text": "intro beta gamma delta epsilon zeta outro"},
+        {"doc_id": 2, "text": "totally unrelated words in this clean document here"},
+    ])
+    _run(spark, tmp_path, "ckpt1")
+    # full replay with a fresh checkpoint: same batch ids, same
+    # partitions — dynamic overwrite replaces instead of duplicating
+    _run(spark, tmp_path, "ckpt2")
+    clean = spark.read.parquet(str(tmp_path / "clean"))
+    assert [r["doc_id"] for r in clean.collect()] == [2]
+    assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 1
