@@ -59,6 +59,11 @@ HEADLINE = [
     "rollup_hypertable",
     "join_range_binned",
     "ann_pq_topk",
+    # round 3 (final): decontamination sweep, blocked fuzzy ER,
+    # map-only quality classifier
+    "decontam_eval_overlap",
+    "er_fuzzy_matches",
+    "text_quality_classifier",
 ]
 
 

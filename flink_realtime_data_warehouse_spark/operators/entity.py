@@ -55,23 +55,31 @@ def blocked_fuzzy_pairs(
         F.split("text", " ").getItem(0).alias("w1"),
         F.floor(F.size(F.split("text", " ")) / ER_LEN_BUCKET).alias("lb"),
     )
-    a, b = k.alias("a"), k.alias("b")
+    # a small corpus arrives as one parquet split and AQE will happily
+    # run the comparator stage as a single task; spreading the probe
+    # side across the block keys parallelizes the DP work and is the
+    # partitioning the sort-merge join wants at lake scale anyway
+    a = k.repartition("w1", "lb").alias("a")
+    b = k.alias("b")
     # bounded-distance levenshtein returns -1 past the threshold: one
     # expression both filters and yields the distance
     dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), max_dist)
     return (
         a.join(
             b,
+            # cheap ordering predicate FIRST: the conjunction
+            # short-circuits left-to-right, so the DP comparator runs
+            # on each unordered pair once, not twice
             (F.col("a.w1") == F.col("b.w1"))
             & (F.col("a.lb") == F.col("b.lb"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (dist >= 0),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") >= 0)
     )
 
 
