@@ -162,3 +162,91 @@ def pipeline_curation_cc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits
+# ---------------------------------------------------------------------------
+
+_LEAKAGE_SAFE_ORACLE = """
+WITH RECURSIVE {bands_cte},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand_pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+grp AS (SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id)
+SELECT doc_id, group_id,
+       CASE WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                 < {test_pct} THEN 'test'
+            WHEN ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                 < {test_val_pct} THEN 'val'
+            ELSE 'train' END AS split
+FROM grp ORDER BY doc_id
+"""
+
+
+def _leakage_safe_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.dedup import MINHASH_BANDS_CTE
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        SPLIT_TEST_PCT,
+        SPLIT_VAL_PCT,
+    )
+
+    return _LEAKAGE_SAFE_ORACLE.format(
+        bands_cte=MINHASH_BANDS_CTE,
+        test_pct=SPLIT_TEST_PCT,
+        test_val_pct=SPLIT_TEST_PCT + SPLIT_VAL_PCT,
+    )
+
+
+@query("split_leakage_safe", oracle=_leakage_safe_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates.
+
+    ``split_train_val_test`` hashes each doc independently — two
+    near-duplicate documents can land in train AND test, silently
+    inflating eval numbers. Here the hash-bucket split is applied to
+    the **near-dup group representative** (min doc_id of the LSH
+    connected component), so an entire dup group moves to one split
+    atomically. Singleton docs degrade to exactly the per-doc split.
+
+    Scale shape: the expensive part is the LSH + connected components
+    already required for dedup — the split itself adds one md5 over the
+    group label, no extra shuffle beyond the CC join.
+    """
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+    from flink_realtime_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        SPLIT_TEST_PCT,
+        SPLIT_VAL_PCT,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidate_pairs(docs)
+    labels = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        docs.select(F.col("doc_id").alias("id")),
+    )
+    b = hash_bucket(F.col("label"))
+    split = (
+        F.when(b < SPLIT_TEST_PCT, "test")
+        .when(b < SPLIT_TEST_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("train")
+    )
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("label").alias("group_id"),
+            split.alias("split"),
+        )
+        .orderBy("doc_id")
+    )

@@ -260,3 +260,59 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pack_last"
         ),
     ).orderBy("bucket", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# weighted corpus mixture
+# ---------------------------------------------------------------------------
+
+#: DoReMi-style domain keep-rates (percent of each source's docs kept
+#: in the training mixture). Any source not listed gets the default.
+MIXTURE_WEIGHTS = {"src0": 80, "src1": 60, "src2": 40, "src3": 25}
+MIXTURE_DEFAULT_PCT = 15
+
+_MIX_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {p}" for s, p in MIXTURE_WEIGHTS.items())
+    + f" ELSE {MIXTURE_DEFAULT_PCT} END"
+)
+
+
+@query(
+    "sample_weighted_mixture",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_total,
+           count(*) FILTER ({_BUCKET_SQL} < {_MIX_CASE_SQL}) AS n_kept,
+           round(count(*) FILTER ({_BUCKET_SQL} < {_MIX_CASE_SQL}) * 1.0
+                 / count(*), 4) AS keep_frac
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted corpus mixture (DoReMi-style reweighting).
+
+    Each source keeps ``MIXTURE_WEIGHTS[source]``% of its documents via
+    the same engine-portable hash bucket as the other samplers —
+    membership is a pure function of (doc_id, source weight), so the
+    mixture is reproducible anywhere and stable under corpus growth:
+    raising one domain's weight only ADDS documents, it never swaps
+    out previously selected ones (monotone bucket threshold).
+
+    One map-only pass + one tiny aggregate: nothing here scales worse
+    than the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIXTURE_DEFAULT_PCT)
+    for s, p in reversed(MIXTURE_WEIGHTS.items()):
+        rate = F.when(F.col("source") == s, F.lit(p)).otherwise(rate)
+    kept = (hash_bucket(F.col("doc_id")) < rate).cast("int")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.round(F.sum(kept) * 1.0 / F.count("*"), 4).alias("keep_frac"),
+        )
+        .orderBy("source")
+    )

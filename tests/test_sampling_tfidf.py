@@ -107,3 +107,38 @@ def test_pack_training_sequences_stable_under_corpus_growth(spark, sf_dir, tmp_p
     }
     assert full == subset
     assert subset, "fixture subset must not be empty"
+
+
+def test_leakage_safe_split_never_straddles_pairs(spark, sf_dir):
+    """Every LSH near-dup pair lands in ONE split (the whole point)."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_warehouse_spark.operators.curation import split_leakage_safe
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    assigned = split_leakage_safe(spark, sf_dir)
+    pairs = minhash_lsh_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    a = assigned.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    b = assigned.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    straddle = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    assert straddle.count() == 0
+    # and the assignment covers every document exactly once
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert assigned.count() == n_docs
+
+
+def test_weighted_mixture_is_monotone_under_weight_increase(spark, sf_dir):
+    """Raising a domain weight only adds members (stable mixture)."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_warehouse_spark.operators.sampling import hash_bucket
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    low = docs.filter(hash_bucket(F.col("doc_id")) < 25)
+    high = docs.filter(hash_bucket(F.col("doc_id")) < 60)
+    assert low.join(high, "doc_id", "left_anti").count() == 0
