@@ -75,42 +75,37 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-#: fixed linear-model weights for the quality classifier (fasttext/DCLM
-#: style scoring distilled to a transparent linear scorer). Chosen so
-#: the score spans (0,1) on the synthetic corpus; arithmetic is pure
-#: +,-,*,/ on doubles with identical association on both engines — no
-#: exp/log, whose last-ulp rounding can differ between JVM and C libm
-#: and flip a round(.,4) boundary.
-QC_WEIGHTS = {"length": 0.35, "unique": 0.25, "wordlen": 0.25, "stopword": 0.15}
+#: fixed linear-model weights (×100) for the quality classifier
+#: (fasttext/DCLM style scoring distilled to a transparent linear
+#: scorer). The whole score is computed in INTEGER arithmetic quantized
+#: to 1e-4 — float formulations flip round(.,4) half-boundaries between
+#: engines (a doc at exactly 0.59625 rounded differently in Spark vs
+#: DuckDB at sf0.1), integer div on positive operands cannot.
+QC_W_LENGTH, QC_W_UNIQUE, QC_W_WORDLEN, QC_W_STOPWORD = 35, 25, 25, 15
+
+_QC_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS nw,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) AS ns
+  FROM documents),
+q AS (
+  SELECT doc_id,
+         ({QC_W_LENGTH} * least(nw * 100, 10000)
+        + {QC_W_UNIQUE} * ((nd * 10000) // nw)
+        + {QC_W_WORDLEN} * greatest(10000 - (abs(2 * (nc - nw + 1) - 9 * nw) * 10000) // (9 * nw), 0)
+        + {QC_W_STOPWORD} * least((ns * 50000) // nw, 10000)) // 100 AS score_e4
+  FROM f)
+SELECT doc_id, score_e4 / 10000.0 AS quality_score,
+       CASE WHEN score_e4 >= 5000 THEN 1 ELSE 0 END AS keep
+FROM q ORDER BY doc_id
+"""
 
 
-@query(
-    "text_quality_classifier",
-    oracle=f"""
-    WITH f AS (
-      SELECT doc_id,
-             len(string_split(text, ' ')) AS n_words,
-             len(list_distinct(string_split(text, ' '))) * 1.0
-               / len(string_split(text, ' ')) AS unique_ratio,
-             (length(text) - len(string_split(text, ' ')) + 1.0)
-               / len(string_split(text, ' ')) AS awl,
-             len(list_filter(string_split(text, ' '),
-                             w -> w IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) * 1.0
-               / len(string_split(text, ' ')) AS stop_ratio
-      FROM documents)
-    SELECT doc_id,
-           round({QC_WEIGHTS["length"]} * least(n_words / 100.0, 1.0)
-               + {QC_WEIGHTS["unique"]} * unique_ratio
-               + {QC_WEIGHTS["wordlen"]} * greatest(1.0 - abs(awl - 4.5) / 4.5, 0.0)
-               + {QC_WEIGHTS["stopword"]} * least(stop_ratio * 5.0, 1.0), 4) AS quality_score,
-           CASE WHEN round({QC_WEIGHTS["length"]} * least(n_words / 100.0, 1.0)
-               + {QC_WEIGHTS["unique"]} * unique_ratio
-               + {QC_WEIGHTS["wordlen"]} * greatest(1.0 - abs(awl - 4.5) / 4.5, 0.0)
-               + {QC_WEIGHTS["stopword"]} * least(stop_ratio * 5.0, 1.0), 4) >= 0.5
-                THEN 1 ELSE 0 END AS keep
-    FROM f ORDER BY doc_id
-    """,
-)
+@query("text_quality_classifier", oracle=_QC_ORACLE)
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter: fixed-weight linear scorer per doc.
 
@@ -119,25 +114,35 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only pass — no shuffle, no Python: every feature and the dot
     product are built-in column expressions inside one codegen stage,
     so the filter runs at scan speed at 100 TB.
+
+    Features (each quantized to 1e-4 by exact integer arithmetic):
+    length saturation ``min(n_words/100, 1)``, unique-word ratio,
+    closeness of avg word length to 4.5, stopword saturation
+    ``min(5·stop_ratio, 1)``. Final score = weighted mean ∈ [0, 1];
+    ``quality_score = score_e4/1e4`` is an exact dyadic-free division
+    of an integer ≤ 10000 — no float rounding anywhere, so any engine
+    reproduces the bits.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    unique_ratio = F.size(F.array_distinct(words)) * 1.0 / n_words
-    awl = (F.length("text") - n_words + 1.0) / n_words
-    stop_ratio = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))) * 1.0 / n_words
-    score = F.round(
-        F.lit(QC_WEIGHTS["length"]) * F.least(n_words / 100.0, F.lit(1.0))
-        + F.lit(QC_WEIGHTS["unique"]) * unique_ratio
-        + F.lit(QC_WEIGHTS["wordlen"])
-        * F.greatest(1.0 - F.abs(awl - 4.5) / 4.5, F.lit(0.0))
-        + F.lit(QC_WEIGHTS["stopword"]) * F.least(stop_ratio * 5.0, F.lit(1.0)),
-        4,
+    nw = "size(split(text, ' '))"
+    nd = "size(array_distinct(split(text, ' ')))"
+    nc = "length(text)"
+    ns = (
+        "size(filter(split(text, ' '), w -> w IN ("
+        + ", ".join(f"'{s}'" for s in STOPWORDS)
+        + ")))"
+    )
+    score_e4 = F.expr(
+        f"({QC_W_LENGTH} * least({nw} * 100, 10000)"
+        f" + {QC_W_UNIQUE} * (({nd} * 10000) div {nw})"
+        f" + {QC_W_WORDLEN} * greatest(10000 -"
+        f" (abs(2 * ({nc} - {nw} + 1) - 9 * {nw}) * 10000) div (9 * {nw}), 0)"
+        f" + {QC_W_STOPWORD} * least(({ns} * 50000) div {nw}, 10000)) div 100"
     )
     return docs.select(
         "doc_id",
-        score.alias("quality_score"),
-        F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        (score_e4 / 10000.0).alias("quality_score"),
+        F.when(score_e4 >= 5000, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     ).orderBy("doc_id")
 
 
