@@ -234,3 +234,89 @@ def sketch_topk_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# gap-filling + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+GAPFILL_START = "2024-01-01 00:00:00"
+GAPFILL_END = "2024-01-08 00:00:00"  #: first week — bounds the spine
+
+
+@query(
+    "rollup_gapfill_locf",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value
+      FROM events
+      WHERE ts >= TIMESTAMP '{GAPFILL_START}' AND ts < TIMESTAMP '{GAPFILL_END}'
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    actual AS (
+      SELECT user_id, bucket,
+             CAST(round(sum(value::DECIMAL(18,6)), 2) AS DOUBLE) AS v
+      FROM ev GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM actual GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM rng),
+    j AS (
+      SELECT s.user_id, s.bucket, a.v
+      FROM spine s LEFT JOIN actual a USING (user_id, bucket))
+    SELECT user_id, bucket,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+    FROM j ORDER BY user_id, bucket
+    """,
+)
+def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-filled series with last-observation-carried-forward.
+
+    The TimescaleDB ``time_bucket_gapfill + locf`` capability: a dense
+    per-user hourly spine over the user's own active range, observed
+    buckets carry their (decimal-exact) hourly sum, missing buckets are
+    filled from the last observation and flagged.
+
+    Scale shape: the spine is generated PER USER from that user's own
+    [min, max] bucket (``sequence`` + ``explode``) — no global
+    calendar × entity cross join; the LOCF window is partitioned by
+    user (no global sort); the time-range filter pushes to the scan.
+    """
+    from pyspark.sql.window import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit(GAPFILL_START).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(GAPFILL_END).cast("timestamp_ntz"))
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", _bucket_ntz("ts", 3_600_000_000).alias("bucket"), "value")
+    )
+    actual = ev.groupBy("user_id", "bucket").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    rng = actual.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = rng.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    j = spine.join(actual, ["user_id", "bucket"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+    ).orderBy("user_id", "bucket")
