@@ -549,3 +549,67 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_groups"))
         .orderBy("group_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram containment (asymmetric overlap — quote/boilerplate detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_MIN = 0.8  #: fraction of the smaller doc's shingles covered
+
+_CONTAINMENT_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / least(sa.n, sb.n), 4) AS containment
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(common * 1.0 / least(sa.n, sb.n), 4) >= {CONTAINMENT_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs: shared shingles ÷ the SMALLER doc's shingles.
+
+    Jaccard divides by the union, so a long document quoting a short
+    one wholesale scores low (|∩|/|∪| → |B|/|A|) and escapes near-dup
+    removal; containment divides by min(|A|,|B|) and flags exactly the
+    quote/boilerplate-inclusion relation (Broder's containment measure
+    — the CCNet/C4 boilerplate problem at corpus scale).
+
+    Same inverted-index join and single shingle shuffle as
+    ``dedup_ngram_jaccard`` — only the final per-pair arithmetic
+    differs, so the scale shape is identical (collision-bounded, never
+    |docs|²).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_df(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    containment = F.round(
+        F.col("common") * 1.0 / F.least(F.col("na"), F.col("nb")), 4
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "common", containment.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
