@@ -188,6 +188,10 @@ def write_zordered(
         F.min(ycol).alias("ymin"),
         F.max(ycol).alias("ymax"),
     ).first()
+    if stats["xmin"] is None or stats["ymin"] is None:
+        # empty input (or all-NULL dimension): nothing to cluster
+        df.write.mode("overwrite").parquet(path)
+        return
     nbins = 1 << bits
 
     def _bin(col: str, lo, hi) -> F.Column:
@@ -226,6 +230,9 @@ def file_minmax(path: str, cols: list[str]) -> list[dict]:
                 continue
             md = pq.ParquetFile(os.path.join(root, fname)).metadata
             entry: dict = {"file": fname}
+            if md.num_row_groups == 0:
+                out.append(entry)  # statless file: every predicate hits it
+                continue
             for ci in range(md.num_columns):
                 name = md.row_group(0).column(ci).path_in_schema
                 if name not in cols:

@@ -87,3 +87,13 @@ def test_events_roundtrip_through_clustered_layouts(spark, sf_dir, tmp_path):
     write_zordered(ev, p, "user_id", "value", n_files=8)
     got = sorted(map(tuple, spark.read.parquet(p).collect()))
     assert got == sorted(map(tuple, ev.collect()))
+
+
+def test_zorder_empty_input_roundtrips(spark, tmp_path):
+    df = spark.range(0).selectExpr("id", "cast(id as int) x", "cast(id as int) y")
+    p = str(tmp_path / "empty_z")
+    write_zordered(df, p, "x", "y", n_files=4)
+    assert spark.read.parquet(p).count() == 0
+    # footer helper tolerates whatever files an empty write produced
+    for entry in file_minmax(p, ["x", "y"]):
+        assert "file" in entry
