@@ -62,15 +62,31 @@ def _gram_hashes(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
     )
 
 
-def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+def eval_gram_hashes(eval_docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
+    """Distinct eval-side gram hashes — compute (and cache) ONCE for a
+    long-running ingest stream; the benchmark corpus is fixed."""
+    return _gram_hashes(eval_docs, n).select("s").distinct()
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame | None = None,
+    n: int = DECONTAM_N,
+    eval_grams: DataFrame | None = None,
+) -> DataFrame:
     """Per-training-doc contamination verdict against an eval corpus.
 
     Returns (doc_id, n_grams, n_hits, overlap_frac, contaminated) for
     every training document — including gram-less ones (short or NULL
     text), which are trivially clean. ``contaminated`` is the GPT-3
-    rule: ANY shared n-gram flags the document.
+    rule: ANY shared n-gram flags the document. Pass precomputed
+    ``eval_grams`` (``eval_gram_hashes``) to amortize the eval-side
+    explode/distinct across calls.
     """
-    eval_grams = eval_docs.transform(lambda d: _gram_hashes(d, n)).select("s").distinct()
+    if eval_grams is None:
+        if eval_docs is None:
+            raise ValueError("need eval_docs or eval_grams")
+        eval_grams = eval_gram_hashes(eval_docs, n)
     train_grams = _gram_hashes(train, n)
     marked = train_grams.join(
         F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "s", "left"
@@ -86,11 +102,14 @@ def decontaminate(train: DataFrame, eval_docs: DataFrame, n: int = DECONTAM_N) -
             "doc_id",
             F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
             F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0))
-                * 1.0
-                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
-                4,
+            # ×1e4 integer quantization: float round(.,4) can flip a
+            # half-boundary between engines for unlucky gram counts
+            (
+                F.expr(
+                    "(coalesce(n_hits, 0) * 10000)"
+                    " div greatest(coalesce(n_grams, 0), 1)"
+                )
+                / 10000.0
             ).alias("overlap_frac"),
             F.when(F.coalesce("n_hits", F.lit(0)) > 0, F.lit(1))
             .otherwise(F.lit(0))
@@ -116,8 +135,8 @@ agg AS (
 SELECT d.doc_id,
        coalesce(a.n_grams, 0) AS n_grams,
        coalesce(a.n_hits, 0) AS n_hits,
-       round(coalesce(a.n_hits, 0) * 1.0 / greatest(coalesce(a.n_grams, 0), 1), 4)
-           AS overlap_frac,
+       ((coalesce(a.n_hits, 0) * 10000) // greatest(coalesce(a.n_grams, 0), 1))
+           / 10000.0 AS overlap_frac,
        CASE WHEN coalesce(a.n_hits, 0) > 0 THEN 1 ELSE 0 END AS contaminated
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 WHERE d.doc_id % {EVAL_MOD} != 0 ORDER BY d.doc_id

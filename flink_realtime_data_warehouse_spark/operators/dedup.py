@@ -569,9 +569,9 @@ pairs AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})
 SELECT doc_a, doc_b, common,
-       round(common * 1.0 / least(sa.n, sb.n), 4) AS containment
+       ((common * 10000) // least(sa.n, sb.n)) / 10000.0 AS containment
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-WHERE round(common * 1.0 / least(sa.n, sb.n), 4) >= {CONTAINMENT_MIN}
+WHERE (common * 10000) // least(sa.n, sb.n) >= {int(CONTAINMENT_MIN * 10000)}
 ORDER BY doc_a, doc_b
 """
 
@@ -603,13 +603,16 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    containment = F.round(
-        F.col("common") * 1.0 / F.least(F.col("na"), F.col("nb")), 4
-    )
+    # integer-quantized ratio (×1e4): float round(.,4) can flip a
+    # half-boundary between Spark and DuckDB once the smaller doc has
+    # 32·5^m shingles — the same class the quality classifier hit
+    cont_e4 = F.expr("(common * 10000) div least(na, nb)")
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", "common", containment.alias("containment"))
-        .filter(F.col("containment") >= CONTAINMENT_MIN)
+        .filter(cont_e4 >= int(CONTAINMENT_MIN * 10000))
+        .select(
+            "doc_a", "doc_b", "common", (cont_e4 / 10000.0).alias("containment")
+        )
         .orderBy("doc_a", "doc_b")
     )

@@ -151,7 +151,7 @@ def _pagerank_oracle() -> str:
     return f"""
 WITH ev AS (
   SELECT user_id, event_type, ts, event_id FROM events
-  WHERE event_type IS NOT NULL),
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
 tr AS (
   SELECT event_type AS src,
          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
@@ -181,7 +181,13 @@ def graph_pagerank_event_transitions(spark, sf_dir: str) -> DataFrame:
     from flink_realtime_data_warehouse_spark.sources.tables import load_table
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    # NULL ts would sort NULLS FIRST in Spark but NULLS LAST in DuckDB,
+    # silently changing the transition edges — filter keys on BOTH sides
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     win = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tr = ev.select(
         F.col("event_type").alias("src"),

@@ -278,14 +278,22 @@ _MIX_CASE_SQL = (
 )
 
 
+def mixture_rate(weights: dict[str, int] = MIXTURE_WEIGHTS) -> Column:
+    """Per-source keep-rate column (percent) for a weight table."""
+    rate = F.lit(MIXTURE_DEFAULT_PCT)
+    for s, p in reversed(weights.items()):
+        rate = F.when(F.col("source") == s, F.lit(p)).otherwise(rate)
+    return rate
+
+
 @query(
     "sample_weighted_mixture",
     oracle=f"""
     SELECT source,
            count(*) AS n_total,
            count(*) FILTER ({_BUCKET_SQL} < {_MIX_CASE_SQL}) AS n_kept,
-           round(count(*) FILTER ({_BUCKET_SQL} < {_MIX_CASE_SQL}) * 1.0
-                 / count(*), 4) AS keep_frac
+           ((count(*) FILTER ({_BUCKET_SQL} < {_MIX_CASE_SQL}) * 10000)
+                 // count(*)) / 10000.0 AS keep_frac
     FROM documents GROUP BY source ORDER BY source
     """,
 )
@@ -303,16 +311,21 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    rate = F.lit(MIXTURE_DEFAULT_PCT)
-    for s, p in reversed(MIXTURE_WEIGHTS.items()):
-        rate = F.when(F.col("source") == s, F.lit(p)).otherwise(rate)
-    kept = (hash_bucket(F.col("doc_id")) < rate).cast("int")
+    kept = (hash_bucket(F.col("doc_id")) < mixture_rate(MIXTURE_WEIGHTS)).cast(
+        "bigint"
+    )
     return (
-        docs.groupBy("source")
+        docs.withColumn("_kept", kept)
+        .groupBy("source")
         .agg(
             F.count("*").alias("n_total"),
-            F.sum(kept).cast("bigint").alias("n_kept"),
-            F.round(F.sum(kept) * 1.0 / F.count("*"), 4).alias("keep_frac"),
+            F.sum("_kept").alias("n_kept"),
+            # ×1e4 integer quantization — per-source doc counts are
+            # arbitrary, so float round(.,4) half-boundaries are
+            # reachable (e.g. 477 of 800 kept = exactly 0.59625)
+            (F.expr("(sum(_kept) * 10000) div count(*)") / 10000.0).alias(
+                "keep_frac"
+            ),
         )
         .orderBy("source")
     )

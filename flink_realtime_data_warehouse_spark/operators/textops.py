@@ -105,6 +105,27 @@ FROM q ORDER BY doc_id
 """
 
 
+def quality_score_sql(text_col: str = "text") -> str:
+    """The classifier's score_e4 as a Spark-SQL snippet — the single
+    source of truth for both the oracle-checked batch query and the
+    streaming ingest pipeline's quality gate."""
+    nw = f"size(split({text_col}, ' '))"
+    nd = f"size(array_distinct(split({text_col}, ' ')))"
+    nc = f"length({text_col})"
+    ns = (
+        f"size(filter(split({text_col}, ' '), w -> w IN ("
+        + ", ".join(f"'{s}'" for s in STOPWORDS)
+        + ")))"
+    )
+    return (
+        f"({QC_W_LENGTH} * least({nw} * 100, 10000)"
+        f" + {QC_W_UNIQUE} * (({nd} * 10000) div {nw})"
+        f" + {QC_W_WORDLEN} * greatest(10000 -"
+        f" (abs(2 * ({nc} - {nw} + 1) - 9 * {nw}) * 10000) div (9 * {nw}), 0)"
+        f" + {QC_W_STOPWORD} * least(({ns} * 50000) div {nw}, 10000)) div 100"
+    )
+
+
 @query("text_quality_classifier", oracle=_QC_ORACLE)
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filter: fixed-weight linear scorer per doc.
@@ -124,21 +145,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces the bits.
     """
     docs = load_table(spark, sf_dir, "documents")
-    nw = "size(split(text, ' '))"
-    nd = "size(array_distinct(split(text, ' ')))"
-    nc = "length(text)"
-    ns = (
-        "size(filter(split(text, ' '), w -> w IN ("
-        + ", ".join(f"'{s}'" for s in STOPWORDS)
-        + ")))"
-    )
-    score_e4 = F.expr(
-        f"({QC_W_LENGTH} * least({nw} * 100, 10000)"
-        f" + {QC_W_UNIQUE} * (({nd} * 10000) div {nw})"
-        f" + {QC_W_WORDLEN} * greatest(10000 -"
-        f" (abs(2 * ({nc} - {nw} + 1) - 9 * {nw}) * 10000) div (9 * {nw}), 0)"
-        f" + {QC_W_STOPWORD} * least(({ns} * 50000) div {nw}, 10000)) div 100"
-    )
+    score_e4 = F.expr(quality_score_sql())
     return docs.select(
         "doc_id",
         (score_e4 / 10000.0).alias("quality_score"),

@@ -345,13 +345,18 @@ def start_streaming_decontam(
     eval gram hashes plus one keyed aggregate over the batch — nothing
     scales with corpus history.
     """
-    from flink_realtime_data_warehouse_spark.operators.decontam import decontaminate
+    from flink_realtime_data_warehouse_spark.operators.decontam import (
+        decontaminate,
+        eval_gram_hashes,
+    )
 
-    eval_cached = eval_docs.cache()
-    eval_cached.count()  # materialize once; benchmark sets are O(MB)
+    # cache the DERIVED gram hashes, not the raw docs: the explode +
+    # md5 + distinct would otherwise re-run on every micro-batch
+    grams_cached = eval_gram_hashes(eval_docs).cache()
+    grams_cached.count()  # materialize once; benchmark sets are O(MB)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        verdicts = decontaminate(batch, eval_cached).select(
+        verdicts = decontaminate(batch, eval_grams=grams_cached).select(
             "doc_id", "n_hits", "overlap_frac", "contaminated"
         )
         joined = batch.join(verdicts, "doc_id", "left")
@@ -406,28 +411,27 @@ def start_training_ingest_pipeline(
     ``pbatch`` dynamic-partition overwrite as the decontam gate, so
     replays are idempotent.
     """
-    from flink_realtime_data_warehouse_spark.operators.decontam import decontaminate
+    from flink_realtime_data_warehouse_spark.operators.decontam import (
+        decontaminate,
+        eval_gram_hashes,
+    )
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        quality_score_sql,
+    )
 
-    eval_cached = eval_docs.cache()
-    eval_cached.count()
+    grams_cached = eval_gram_hashes(eval_docs).cache()
+    grams_cached.count()
 
     deduped = streaming_exact_dedup(doc_stream)
 
-    # the classifier score as a reusable SQL snippet (same integer
-    # arithmetic as text_quality_classifier's registered query)
-    nw = "size(split(text, ' '))"
-    nd = "size(array_distinct(split(text, ' ')))"
-    nc = "length(text)"
-    ns = "size(filter(split(text, ' '), w -> w IN ('the', 'a')))"
-    score_e4 = (
-        f"(35 * least({nw} * 100, 10000)"
-        f" + 25 * (({nd} * 10000) div {nw})"
-        f" + 25 * greatest(10000 - (abs(2 * ({nc} - {nw} + 1) - 9 * {nw}) * 10000) div (9 * {nw}), 0)"
-        f" + 15 * least(({ns} * 50000) div {nw}, 10000)) div 100"
-    )
+    # the oracle-checked classifier's scoring snippet, imported — not
+    # re-derived — so the gate can never drift from the batch query
+    score_e4 = quality_score_sql()
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        verdicts = decontaminate(batch, eval_cached).select("doc_id", "contaminated")
+        verdicts = decontaminate(batch, eval_grams=grams_cached).select(
+            "doc_id", "contaminated"
+        )
         scored = (
             batch.join(verdicts, "doc_id", "left")
             .withColumn("quality_e4", F.expr(score_e4))

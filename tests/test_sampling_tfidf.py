@@ -133,12 +133,24 @@ def test_leakage_safe_split_never_straddles_pairs(spark, sf_dir):
 
 
 def test_weighted_mixture_is_monotone_under_weight_increase(spark, sf_dir):
-    """Raising a domain weight only adds members (stable mixture)."""
+    """Raising one domain's weight only ADDS members to the mixture —
+    exercised through the operator's own per-source rate chain."""
     from pyspark.sql import functions as F
-    from flink_realtime_data_warehouse_spark.operators.sampling import hash_bucket
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        MIXTURE_WEIGHTS,
+        hash_bucket,
+        mixture_rate,
+    )
     from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    low = docs.filter(hash_bucket(F.col("doc_id")) < 25)
-    high = docs.filter(hash_bucket(F.col("doc_id")) < 60)
-    assert low.join(high, "doc_id", "left_anti").count() == 0
+    bumped = dict(MIXTURE_WEIGHTS)
+    bumped["src3"] = MIXTURE_WEIGHTS["src3"] + 30
+    kept_low = docs.filter(hash_bucket(F.col("doc_id")) < mixture_rate(MIXTURE_WEIGHTS))
+    kept_high = docs.filter(hash_bucket(F.col("doc_id")) < mixture_rate(bumped))
+    # no doc selected under the lower weights disappears under the higher
+    assert kept_low.join(kept_high, "doc_id", "left_anti").count() == 0
+    # and the bump strictly grows exactly the bumped source
+    grew = kept_high.join(kept_low, "doc_id", "left_anti")
+    assert grew.count() > 0
+    assert grew.select("source").distinct().collect()[0]["source"] == "src3"
