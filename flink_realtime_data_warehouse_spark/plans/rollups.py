@@ -244,6 +244,37 @@ GAPFILL_START = "2024-01-01 00:00:00"
 GAPFILL_END = "2024-01-08 00:00:00"  #: first week — bounds the spine
 
 
+def _gapfill_spine_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly spine left-joined with the observed
+    buckets: (user_id, bucket, v DOUBLE, v_e2 BIGINT). ``v_e2`` is the
+    decimal-exact bucket sum ×100 — the integer form the interpolation
+    arithmetic needs (deriving it from the double would re-introduce
+    float truncation)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit(GAPFILL_START).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(GAPFILL_END).cast("timestamp_ntz"))
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("user_id", _bucket_ntz("ts", 3_600_000_000).alias("bucket"), "value")
+    )
+    sum_dec = F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+    actual = ev.groupBy("user_id", "bucket").agg(
+        sum_dec.cast("double").alias("v"),
+        (sum_dec * 100).cast("bigint").alias("v_e2"),
+    )
+    rng = actual.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = rng.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    return spine.join(actual, ["user_id", "bucket"], "left")
+
+
 @query(
     "rollup_gapfill_locf",
     oracle=f"""
@@ -286,29 +317,7 @@ def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(
-            (F.col("ts") >= F.lit(GAPFILL_START).cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit(GAPFILL_END).cast("timestamp_ntz"))
-            & F.col("user_id").isNotNull()
-            & F.col("value").isNotNull()
-        )
-        .select("user_id", _bucket_ntz("ts", 3_600_000_000).alias("bucket"), "value")
-    )
-    actual = ev.groupBy("user_id", "bucket").agg(
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("v")
-    )
-    rng = actual.groupBy("user_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    spine = rng.select(
-        "user_id",
-        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
-    )
-    j = spine.join(actual, ["user_id", "bucket"], "left")
+    j = _gapfill_spine_joined(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy("bucket")
@@ -319,4 +328,94 @@ def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.last("v", ignorenulls=True).over(w).alias("value_locf"),
         F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+    ).orderBy("user_id", "bucket")
+
+
+@query(
+    "rollup_gapfill_interp",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value
+      FROM events
+      WHERE ts >= TIMESTAMP '{GAPFILL_START}' AND ts < TIMESTAMP '{GAPFILL_END}'
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+    actual AS (
+      SELECT user_id, bucket,
+             (round(sum(value::DECIMAL(18,6)), 2) * 100)::BIGINT AS v_e2
+      FROM ev GROUP BY 1, 2),
+    rng AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM actual GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM rng),
+    j AS (
+      SELECT s.user_id, s.bucket,
+             date_diff('hour', TIMESTAMP '1970-01-01 00:00:00', s.bucket) AS t,
+             a.v_e2
+      FROM spine s LEFT JOIN actual a USING (user_id, bucket)),
+    anchored AS (
+      SELECT user_id, bucket, t, v_e2,
+             last_value(v_e2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v_e2 IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v_e2 IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v_e2 IS NOT NULL THEN t END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT user_id, bucket,
+           (CASE WHEN v_e2 IS NOT NULL THEN v_e2
+                 ELSE (pv * (nt - t) + nv * (t - pt)) // (nt - pt) END) / 100.0
+             AS value_interp,
+           CASE WHEN v_e2 IS NULL THEN 1 ELSE 0 END AS filled
+    FROM anchored ORDER BY user_id, bucket
+    """,
+)
+def rollup_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill with LINEAR interpolation between observations
+    (TimescaleDB ``interpolate()``) — the LOCF sibling for gauges that
+    drift rather than hold.
+
+    Interpolated value = time-weighted blend of the two anchoring
+    observations, computed entirely in scaled integers:
+    ``(pv·(nt−t) + nv·(t−pt)) div (nt−pt)``. Every term is
+    non-negative, so trunc-vs-floor division semantics can never
+    diverge between engines; the /100.0 at the end is one IEEE double
+    division, identical everywhere. Spine endpoints are observed by
+    construction, so interior gaps always have both anchors.
+    """
+    from pyspark.sql.window import Window
+
+    j = _gapfill_spine_joined(spark, sf_dir).withColumn(
+        "t", F.expr("timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', bucket)")
+    )
+    prev_w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    next_w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_obs = F.when(F.col("v_e2").isNotNull(), F.col("t"))
+    anchored = (
+        j.withColumn("pv", F.last("v_e2", ignorenulls=True).over(prev_w))
+        .withColumn("pt", F.last(t_obs, ignorenulls=True).over(prev_w))
+        .withColumn("nv", F.first("v_e2", ignorenulls=True).over(next_w))
+        .withColumn("nt", F.first(t_obs, ignorenulls=True).over(next_w))
+    )
+    interp_e2 = F.when(F.col("v_e2").isNotNull(), F.col("v_e2")).otherwise(
+        F.expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")
+    )
+    return anchored.select(
+        "user_id",
+        "bucket",
+        (interp_e2 / 100.0).alias("value_interp"),
+        F.when(F.col("v_e2").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
     ).orderBy("user_id", "bucket")
