@@ -169,3 +169,44 @@ def compact_minute_rollup(spark: SparkSession, store_dir: str) -> None:
     os.rename(store_dir, old_dir)
     os.rename(tmp, store_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def read_minute_rollup_gapfilled(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Serving face with a dense minute spine: the continuous aggregate
+    and the gapfill operator composed.
+
+    Dashboards read time series, not sparse buckets — this applies the
+    same spine + LOCF shape as ``plans/rollups.py::rollup_gapfill_locf``
+    on top of the merged partials: a dense minute axis over the store's
+    own [min, max] bucket, observed minutes carry their merged
+    aggregates, silent minutes carry the last observation (flagged).
+    The spine stays O(|span minutes|) and the store scan O(|partials|);
+    epoch-ms arithmetic keeps it timezone-free like the store itself.
+    """
+    from pyspark.sql.window import Window
+
+    merged = read_minute_rollup(spark, store_dir)
+    rng = merged.groupBy().agg(
+        F.min("bucket_ms").alias("b0"), F.max("bucket_ms").alias("b1")
+    )
+    if merged.isEmpty():
+        return spark.createDataFrame([], _SERVING_SCHEMA + ", filled int")
+    spine = rng.select(
+        F.explode(
+            F.sequence("b0", "b1", F.lit(MINUTE_MS).cast("bigint"))
+        ).alias("bucket_ms")
+    )
+    j = spine.join(merged, "bucket_ms", "left")
+    w = Window.orderBy("bucket_ms").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # single-series windows run on one task; per-entity stores would
+    # partition this window by the entity key exactly like
+    # rollup_gapfill_locf does per user
+    return j.select(
+        "bucket_ms",
+        F.last("n_events", ignorenulls=True).over(w).alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(w).alias("total_value"),
+        F.last("max_value", ignorenulls=True).over(w).alias("max_value"),
+        F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+    )

@@ -117,3 +117,37 @@ def test_compaction_preserves_serving_results(spark, tmp_path):
     # compaction is repeatable (the -1 segment folds into itself)
     compact_minute_rollup(spark, store)
     assert _serving(spark, store) == before
+
+
+def test_gapfilled_serving_read(spark, tmp_path):
+    """Dense minute spine over the store: gaps carry the last
+    observation and are flagged; observed minutes match the sparse
+    serving view exactly."""
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        read_minute_rollup_gapfilled,
+    )
+
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    m0 = BASE - BASE % MINUTE_MS
+    m3 = m0 + 3 * MINUTE_MS  # two silent minutes between observations
+    _write(src, "a.jsonl", [_row(m0 + 1000, 2.0), _row(m3 + 500, 8.0)])
+    _run(spark, src, store, ckpt)
+
+    rows = {
+        r["bucket_ms"]: r
+        for r in read_minute_rollup_gapfilled(spark, store).collect()
+    }
+    assert sorted(rows) == [m0, m0 + MINUTE_MS, m0 + 2 * MINUTE_MS, m3]
+    assert (rows[m0]["n_events"], rows[m0]["filled"]) == (1, 0)
+    assert (rows[m3]["n_events"], rows[m3]["filled"]) == (1, 0)
+    for gap in (m0 + MINUTE_MS, m0 + 2 * MINUTE_MS):
+        assert rows[gap]["filled"] == 1
+        assert rows[gap]["total_value"] == rows[m0]["total_value"]
+
+
+def test_gapfilled_serving_read_empty_store(spark, tmp_path):
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        read_minute_rollup_gapfilled,
+    )
+
+    assert read_minute_rollup_gapfilled(spark, str(tmp_path / "nope")).count() == 0
