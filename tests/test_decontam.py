@@ -56,3 +56,38 @@ def test_eval_side_is_broadcast(spark):
     train = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
     plan = decontaminate(train, eval_docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontam_matches_bruteforce_on_random_docs(spark):
+    """Randomized cross-check: verdicts equal a pure-Python 5-gram
+    overlap computation on arbitrary corpora."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+
+    def rand_doc():
+        return " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+
+    eval_rows = [(100 + i, rand_doc()) for i in range(5)]
+    train_rows = [(i, rand_doc()) for i in range(30)]
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+
+    eval_grams = set().union(*(grams(t) for _, t in eval_rows))
+    expect = {
+        i: (len(grams(t)), len(grams(t) & eval_grams)) for i, t in train_rows
+    }
+
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            _docs(spark, train_rows), _docs(spark, eval_rows)
+        ).collect()
+    }
+    assert set(out) == set(expect)
+    for i, (n_grams, n_hits) in expect.items():
+        assert (out[i]["n_grams"], out[i]["n_hits"]) == (n_grams, n_hits), i
+        assert out[i]["contaminated"] == (1 if n_hits else 0)
