@@ -186,27 +186,36 @@ def read_minute_rollup_gapfilled(spark: SparkSession, store_dir: str) -> DataFra
     from pyspark.sql.window import Window
 
     merged = read_minute_rollup(spark, store_dir)
-    rng = merged.groupBy().agg(
+    # one O(1) bounds job doubles as the emptiness check; building the
+    # spine from the collected literals leaves a single store scan in
+    # the serving plan (vs. three with an isEmpty probe + a rng branch)
+    bounds = merged.agg(
         F.min("bucket_ms").alias("b0"), F.max("bucket_ms").alias("b1")
-    )
-    if merged.isEmpty():
+    ).first()
+    if bounds["b0"] is None:
         return spark.createDataFrame([], _SERVING_SCHEMA + ", filled int")
-    spine = rng.select(
-        F.explode(
-            F.sequence("b0", "b1", F.lit(MINUTE_MS).cast("bigint"))
-        ).alias("bucket_ms")
-    )
+    spine = spark.range(
+        bounds["b0"], bounds["b1"] + 1, MINUTE_MS
+    ).select(F.col("id").alias("bucket_ms"))
     j = spine.join(merged, "bucket_ms", "left")
     w = Window.orderBy("bucket_ms").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # single-series windows run on one task; per-entity stores would
-    # partition this window by the entity key exactly like
-    # rollup_gapfill_locf does per user
+    # carry the WHOLE observed row atomically (struct LOCF): per-column
+    # last(ignorenulls) would let an observed minute with NULL
+    # total/max silently inherit the previous minute's values while
+    # reporting filled=0 — stale data dressed as an observation.
+    # Single-series windows run on one task; per-entity stores would
+    # partition this window by the entity key like rollup_gapfill_locf.
+    observed = F.when(
+        F.col("n_events").isNotNull(),
+        F.struct("n_events", "total_value", "max_value"),
+    )
+    carried = F.last(observed, ignorenulls=True).over(w)
     return j.select(
         "bucket_ms",
-        F.last("n_events", ignorenulls=True).over(w).alias("n_events"),
-        F.last("total_value", ignorenulls=True).over(w).alias("total_value"),
-        F.last("max_value", ignorenulls=True).over(w).alias("max_value"),
+        carried["n_events"].alias("n_events"),
+        carried["total_value"].alias("total_value"),
+        carried["max_value"].alias("max_value"),
         F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
     )

@@ -151,3 +151,30 @@ def test_gapfilled_serving_read_empty_store(spark, tmp_path):
     )
 
     assert read_minute_rollup_gapfilled(spark, str(tmp_path / "nope")).count() == 0
+
+
+def test_gapfilled_read_does_not_mix_null_value_observations(spark, tmp_path):
+    """An observed minute whose events carry NULL values keeps its own
+    NULL aggregates (filled=0) — it must not inherit the previous
+    minute's numbers."""
+    import json as _json
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        read_minute_rollup_gapfilled,
+    )
+
+    src, store, ckpt = (str(tmp_path / d) for d in ("src", "store", "ckpt"))
+    m0 = BASE - BASE % MINUTE_MS
+    m1 = m0 + MINUTE_MS
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write(_json.dumps({"ts": m0 + 1000, "value": 5.0}) + "\n")
+        f.write(_json.dumps({"ts": m1 + 1000, "value": None}) + "\n")
+    _run(spark, src, store, ckpt)
+
+    rows = {
+        r["bucket_ms"]: r
+        for r in read_minute_rollup_gapfilled(spark, store).collect()
+    }
+    assert rows[m1]["filled"] == 0 and rows[m1]["n_events"] == 1
+    assert rows[m1]["total_value"] is None and rows[m1]["max_value"] is None
+    assert rows[m0]["total_value"] == 5.0
