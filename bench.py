@@ -64,6 +64,14 @@ HEADLINE = [
     "decontam_eval_overlap",
     "er_fuzzy_matches",
     "text_quality_classifier",
+    # round 3 (closing): gapfill pair, leakage-safe splits, containment,
+    # PageRank, weighted mixture
+    "rollup_gapfill_locf",
+    "rollup_gapfill_interp",
+    "split_leakage_safe",
+    "dedup_ngram_containment",
+    "graph_pagerank_event_transitions",
+    "sample_weighted_mixture",
 ]
 
 
