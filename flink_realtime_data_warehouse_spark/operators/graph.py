@@ -140,8 +140,8 @@ def _pagerank_oracle() -> str:
     for k in range(1, PR_ITERS + 1):
         iters.append(f"""r{k} AS (
   SELECT nodes.node,
-         (SELECT ({PR_DAMP_DEN - PR_DAMP_NUM}::BIGINT * {PR_SCALE}) // ({PR_DAMP_DEN} * n) FROM nn)
-         + ({PR_DAMP_NUM}::BIGINT * coalesce(s.c, 0)) // {PR_DAMP_DEN} AS r
+         CAST((SELECT ({PR_DAMP_DEN - PR_DAMP_NUM}::BIGINT * {PR_SCALE}) // ({PR_DAMP_DEN} * n) FROM nn)
+         + ({PR_DAMP_NUM}::BIGINT * coalesce(s.c, 0)) // {PR_DAMP_DEN} AS BIGINT) AS r
   FROM nodes LEFT JOIN (
     SELECT e.dst AS node, sum(({prev}.r * e.p) // {PR_SCALE}) AS c
     FROM edges e JOIN {prev} ON e.src = {prev}.node
@@ -165,7 +165,7 @@ nodes AS (SELECT DISTINCT event_type AS node FROM ev),
 nn AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT node, (SELECT {PR_SCALE} // n FROM nn) AS r FROM nodes),
 {iters_sql}
-SELECT node AS event_type, r AS rank_e9 FROM {prev} ORDER BY event_type
+SELECT node AS event_type, CAST(r AS BIGINT) AS rank_e9 FROM {prev} ORDER BY event_type
 """
 
 

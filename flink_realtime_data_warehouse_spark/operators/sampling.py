@@ -214,9 +214,10 @@ PACK_N_BUCKETS = 8  #: independent packing streams (the unit of parallelism)
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                - n_tokens AS tok_start
       FROM toks)
-    SELECT doc_id, bucket, n_tokens, tok_start,
-           tok_start // {PACK_SEQ_LEN} AS pack_first,
-           (tok_start + n_tokens - 1) // {PACK_SEQ_LEN} AS pack_last
+    SELECT doc_id, bucket, n_tokens,
+           CAST(tok_start AS BIGINT) AS tok_start,
+           CAST(tok_start // {PACK_SEQ_LEN} AS BIGINT) AS pack_first,
+           CAST((tok_start + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS pack_last
     FROM pos ORDER BY bucket, doc_id
     """,
 )

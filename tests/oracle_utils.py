@@ -1,8 +1,21 @@
-"""DuckDB-oracle comparison harness.
+"""DuckDB-oracle comparison harness — driver-faithful.
 
-Mirrors the driver's correctness gate: run the Spark query and the
-oracle SQL on the same parquet tables, sort columns by name, compare
-row multisets order-insensitively with numeric tolerance.
+The external driver canonicalizes BOTH sides through pandas (DuckDB via
+``cur.df()``, Spark via Arrow/`toPandas`), sorts columns by name, sorts
+rows on all columns, and hashes the values. Two rounds were lost to the
+local harness diverging from that path (r2: unhashable array cells
+slipped through ``fetchall``; r3: DuckDB HUGEINT window-sum promotion
+rendered ``72.0`` against Spark's int64 ``72``). This harness therefore
+mirrors the driver exactly:
+
+* the oracle result is fetched with ``con.execute(sql).df()`` (pandas),
+  never ``fetchall()`` — dtype promotion (HUGEINT -> float64) happens
+  here the same way it happens in the driver;
+* per-column dtype KINDS must agree (int vs float vs object vs
+  datetime) — a value-equal but dtype-divergent result is a local
+  FAILURE, because the driver's value hash would differ;
+* container-typed cells (arrays/structs) raise immediately — the
+  driver's row sort would crash or mis-hash on them.
 """
 
 from __future__ import annotations
@@ -11,35 +24,48 @@ import datetime as _dt
 import math
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from flink_realtime_data_warehouse_spark.sources.tables import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
-    con.close()
-    return cols, rows
+    return con
+
+
+def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run oracle SQL and fetch through pandas, exactly like the driver."""
+    con = oracle_connection(sf_dir)
+    try:
+        return con.execute(sql).df()
+    finally:
+        con.close()
 
 
 def _norm(v):
-    if v is None:
+    """Canonicalize one pandas cell; dtype-sensitive for int vs float."""
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # driver hashes values; we emit pre-rounded floats, so tiny
-        # tolerance here only guards against representation noise
-        return round(v, 6)
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        return str(v)
-    if isinstance(v, (list, tuple, dict, set)):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            return ("f", "NaN")
+        # queries pre-round their doubles; 1e-6 guards representation noise
+        return ("f", round(f, 6))
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        # normalize ns (Spark) vs us (DuckDB) resolution to seconds-level str
+        return ("t", pd.Timestamp(v).isoformat())
+    if isinstance(v, _dt.date):
+        return ("d", str(v))
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
         # The driver canonicalizes with pandas sort_values on ALL columns,
         # which raises "unhashable type" on container cells. Surface that
         # locally instead of silently tolerating it (fn_array_suite, r2).
@@ -48,27 +74,72 @@ def _norm(v):
             "serialize array/struct columns to strings (concat_ws / to_json) "
             "in both the Spark query and the DuckDB oracle"
         )
-    return v
+    if isinstance(v, str):
+        return ("s", v)
+    # Decimals and anything exotic: the driver would hash the repr
+    return (type(v).__name__, str(v))
 
 
-def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the class the driver's hash is sensitive to."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "timestamp"
+    if k == "b":
+        return "bool"
+    return "object"
+
+
+def _canon(df: pd.DataFrame) -> tuple[dict[str, str], list[tuple]]:
+    cols = sorted(df.columns)
+    kinds = {c: _kind(df[c].dtype) for c in cols}
+    rows = []
+    for tup in df[cols].itertuples(index=False, name=None):
+        rows.append(tuple(_norm(v) if not _is_na_scalar(v) else None for v in tup))
+    rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return kinds, rows
+
+
+def _is_na_scalar(v) -> bool:
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        return False
+    res = pd.isna(v)
+    return bool(res) if isinstance(res, (bool, np.bool_)) else False
 
 
 def compare_query_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
-    spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    ora_cols, ora_rows = run_oracle(oracle_sql, sf_dir)
+    sdf = spark_df.toPandas()
+    odf = run_oracle_df(oracle_sql, sf_dir)
 
-    assert sorted(spark_cols) == sorted(ora_cols), (
-        f"column mismatch: spark={sorted(spark_cols)} oracle={sorted(ora_cols)}"
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"column mismatch: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     )
-    assert len(spark_rows) == len(ora_rows), (
-        f"row count mismatch: spark={len(spark_rows)} oracle={len(ora_rows)}"
+    assert len(sdf) == len(odf), (
+        f"row count mismatch: spark={len(sdf)} oracle={len(odf)}"
     )
-    s_sorted = _sorted_rows(spark_cols, spark_rows)
-    o_sorted = _sorted_rows(ora_cols, ora_rows)
-    for i, (a, b) in enumerate(zip(s_sorted, o_sorted)):
+
+    s_kinds, s_rows = _canon(sdf)
+    o_kinds, o_rows = _canon(odf)
+
+    # dtype-kind agreement: this is what the r3 HUGEINT red actually was —
+    # identical values hashed through different pandas dtypes. An all-null
+    # column can legitimately differ in dtype (object vs float64), so only
+    # enforce when both sides have at least one non-null value.
+    for c in s_kinds:
+        if s_kinds[c] != o_kinds[c]:
+            s_has = sdf[c].notna().any()
+            o_has = odf[c].notna().any()
+            if s_has and o_has and {s_kinds[c], o_kinds[c]} != {"int", "object"}:
+                raise AssertionError(
+                    f"dtype-kind mismatch on column {c!r}: spark={s_kinds[c]} "
+                    f"oracle={o_kinds[c]} (driver hashes through pandas; "
+                    "value-equal but dtype-divergent results go hash-red — "
+                    "CAST the oracle or the Spark column so kinds agree)"
+                )
+
+    for i, (a, b) in enumerate(zip(s_rows, o_rows)):
         assert a == b, f"row {i} mismatch:\n spark : {a}\n oracle: {b}"
