@@ -20,10 +20,60 @@ variant halves the rounds — not needed for dedup workloads.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from flink_realtime_data_warehouse_spark.plans.registry import query
+
+
+#: active-subgraph size below which the fixpoint runs as ONE
+#: single-partition union-find job instead of the iterative join loop.
+#: Near-dup edge sets are a sliver of any corpus (they are *pairs of
+#: near-duplicates*, not documents), so even 100 TB corpora usually
+#: land under this; the distributed loop remains the fallback above it.
+CC_LOCAL_EDGE_THRESHOLD = 1_000_000
+
+
+def _union_find_single_partition(sym: DataFrame) -> DataFrame:
+    """Exact min-label CC over a small edge set, one Arrow job.
+
+    The iterative join loop pays per-round Catalyst compilation + job
+    scheduling, which dominates wall time when the active subgraph is
+    thousands of rows (r3 bench: ~1.2 s of pure round overhead on 256
+    pairs). Union-find over one coalesced partition computes the same
+    fixpoint in a single job; union-by-min keeps the invariant that a
+    component's root IS its minimum vertex id.
+    """
+    id_type = sym.schema["src"].dataType
+    out_schema = StructType(
+        [StructField("id", id_type), StructField("label", id_type)]
+    )
+
+    def run(batches):
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        cols = None
+        for pdf in batches:
+            cols = pdf.columns
+            for a, b in zip(pdf["src"], pdf["dst"]):
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+        ids = list(parent)
+        yield pd.DataFrame({"id": ids, "label": [find(v) for v in ids]})
+
+    return sym.coalesce(1).mapInPandas(run, out_schema)
 
 
 def connected_components(
@@ -34,10 +84,30 @@ def connected_components(
     ``edges``: (src, dst) undirected pairs (each pair once is enough);
     ``vertices``: (id) — must include isolated vertices.
     Returns (id, label).
+
+    Hybrid execution (the GraphFrames strategy): the symmetrized edge
+    set is materialized once and counted; below
+    ``CC_LOCAL_EDGE_THRESHOLD`` rows the whole fixpoint is one
+    single-partition union-find job, above it the iterative min-label
+    join loop runs (two hops of lineage per action round). Both paths
+    are exact and deterministic; only edge-connected vertices enter
+    either one — isolated vertices keep their own label by
+    construction.
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    if sym.count() <= CC_LOCAL_EDGE_THRESHOLD:
+        labels = _union_find_single_partition(sym)
+        return (
+            vertices.select("id")
+            .join(
+                labels.withColumnRenamed("id", "cid"),
+                F.col("id") == F.col("cid"),
+                "left",
+            )
+            .select("id", F.coalesce("label", "id").alias("label"))
+        )
     # only edge-connected vertices need iteration — for a dedup workload
     # that set is a sliver of the corpus (pairs, not documents), so each
     # round's join runs over thousands of rows even on a 100 TB corpus;
@@ -45,32 +115,51 @@ def connected_components(
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    converged = False
-    for _ in range(max_iter):
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        """One min-label hop: each vertex takes min(own, neighbor min)."""
         neigh_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
+            sym.join(lbl, sym["dst"] == lbl["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        return lbl.join(neigh_min, lbl["id"] == neigh_min["src"], "left").select(
+            "id", F.least(F.col("label"), F.coalesce("nmin", "label")).alias("label")
+        )
+
+    # r3 bench regression fix (VERDICT item 3): the loop used to run
+    # THREE jobs per hop — eager localCheckpoint, an isEmpty probe that
+    # full-scans exactly on the converged round, and the next round's
+    # recompute. Now each action round (a) covers TWO hops of lineage,
+    # (b) checkpoints lazily so the convergence agg materializes it as
+    # a side effect, and (c) detects convergence from the same scalar
+    # agg. Job count per converged run: ceil(diameter/2)+1 instead of
+    # ~2·diameter — pure scheduling overhead removed, the shuffle work
+    # per hop is unchanged (labels stay key-partitioned either way).
+    converged = False
+    for _ in range(max_iter):
+        stepped = _propagate(_propagate(labels))
         new_labels = (
-            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias("new_label"),
-                F.col("label").alias("old_label"),
-            )
-        ).localCheckpoint()
-        converged = new_labels.filter(F.col("new_label") != F.col("old_label")).isEmpty()
+            labels.withColumnRenamed("label", "old_label")
+            .join(stepped, "id")
+            .select("id", F.col("label").alias("new_label"), "old_label")
+            .localCheckpoint(eager=False)
+        )
+        n_changed = new_labels.agg(
+            F.count_if(F.col("new_label") < F.col("old_label")).alias("n")
+        ).first()[0]
         labels = new_labels.select("id", F.col("new_label").alias("label"))
-        if converged:
+        if not n_changed:
+            converged = True
             break
     if not converged:
-        # a component with diameter > max_iter would otherwise silently
-        # keep split labels and corrupt dedup groups downstream (ADVICE
-        # r2) — fail loudly; callers can raise max_iter for deep graphs
+        # a component with diameter > 2·max_iter would otherwise
+        # silently keep split labels and corrupt dedup groups downstream
+        # (ADVICE r2) — fail loudly; callers can raise max_iter for deep
+        # graphs
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations; "
-            "a component has diameter > max_iter — raise max_iter"
+            f"connected_components did not converge in {max_iter} two-hop rounds; "
+            "a component has diameter > 2*max_iter — raise max_iter"
         )
     return (
         vertices.select("id")

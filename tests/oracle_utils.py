@@ -61,10 +61,14 @@ def _norm(v):
         # queries pre-round their doubles; 1e-6 guards representation noise
         return ("f", round(f, 6))
     if isinstance(v, (pd.Timestamp, _dt.datetime)):
-        # normalize ns (Spark) vs us (DuckDB) resolution to seconds-level str
-        return ("t", pd.Timestamp(v).isoformat())
+        # normalize ns (Spark) vs us (DuckDB) resolution and drop any tz
+        # wall-clock tag; DATE and midnight-TIMESTAMP canonicalize equal
+        # because DuckDB's .df() renders DATE as datetime64 while Spark's
+        # toPandas keeps datetime.date objects — the driver grades that
+        # pair green (q3/q18/ads_* were hash-green in r3)
+        return ("t", pd.Timestamp(v).replace(tzinfo=None).isoformat())
     if isinstance(v, _dt.date):
-        return ("d", str(v))
+        return ("t", f"{v}T00:00:00")
     if isinstance(v, (list, tuple, dict, set, np.ndarray)):
         # The driver canonicalizes with pandas sort_values on ALL columns,
         # which raises "unhashable type" on container cells. Surface that
@@ -125,21 +129,23 @@ def compare_query_to_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     s_kinds, s_rows = _canon(sdf)
     o_kinds, o_rows = _canon(odf)
 
-    # dtype-kind agreement: this is what the r3 HUGEINT red actually was —
-    # identical values hashed through different pandas dtypes. An all-null
-    # column can legitimately differ in dtype (object vs float64), so only
-    # enforce when both sides have at least one non-null value.
+    # numeric dtype-kind agreement: this is what the r3 HUGEINT red
+    # actually was — identical values hashed through int64 on one side
+    # and float64 on the other (72 vs 72.0). Non-numeric kind pairs
+    # (date-as-object vs date-as-datetime64, int-in-object) canonicalize
+    # equal in the driver — r3 graded them green — so only the
+    # int-vs-float pair is a hard local failure; everything else is
+    # settled by the value comparison below. Skip all-null columns
+    # (pandas legitimately types them differently per side).
     for c in s_kinds:
-        if s_kinds[c] != o_kinds[c]:
-            s_has = sdf[c].notna().any()
-            o_has = odf[c].notna().any()
-            if s_has and o_has and {s_kinds[c], o_kinds[c]} != {"int", "object"}:
-                raise AssertionError(
-                    f"dtype-kind mismatch on column {c!r}: spark={s_kinds[c]} "
-                    f"oracle={o_kinds[c]} (driver hashes through pandas; "
-                    "value-equal but dtype-divergent results go hash-red — "
-                    "CAST the oracle or the Spark column so kinds agree)"
-                )
+        pair = {s_kinds[c], o_kinds[c]}
+        if pair == {"int", "float"} and sdf[c].notna().any() and odf[c].notna().any():
+            raise AssertionError(
+                f"dtype-kind mismatch on column {c!r}: spark={s_kinds[c]} "
+                f"oracle={o_kinds[c]} (driver hashes through pandas; "
+                "value-equal but int-vs-float results go hash-red — "
+                "CAST the oracle or the Spark column so kinds agree)"
+            )
 
     for i, (a, b) in enumerate(zip(s_rows, o_rows)):
         assert a == b, f"row {i} mismatch:\n spark : {a}\n oracle: {b}"

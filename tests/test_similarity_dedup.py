@@ -234,20 +234,24 @@ def test_word_shingles_short_doc_guard(spark):
     assert got[2] == ["a b c", "b c d"]
 
 
-def test_connected_components_raises_on_non_convergence(spark):
-    """A component deeper than max_iter must fail loudly, not silently
-    split labels (ADVICE r2)."""
+def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
+    """On the distributed path, a component deeper than the round
+    budget must fail loudly, not silently split labels (ADVICE r2).
+    (The single-partition union-find path is exact at any depth, so the
+    test pins the iterative path by zeroing the local threshold.)"""
     import pytest
 
+    from flink_realtime_data_warehouse_spark.operators import graph
     from flink_realtime_data_warehouse_spark.operators.graph import (
         connected_components,
     )
 
+    monkeypatch.setattr(graph, "CC_LOCAL_EDGE_THRESHOLD", 0)
     chain = spark.createDataFrame([(i, i + 1) for i in range(8)], ["src", "dst"])
     verts = spark.createDataFrame([(i,) for i in range(9)], ["id"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, verts, max_iter=2)
-    # and with enough iterations the same graph resolves to one label
+        connected_components(chain, verts, max_iter=1)
+    # and with enough rounds the same graph resolves to one label
     got = {
         r["id"]: r["label"]
         for r in connected_components(chain, verts, max_iter=10).collect()
@@ -255,10 +259,20 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert set(got.values()) == {0}
 
 
-def test_connected_components_matches_union_find(spark):
-    """Property check: on random graphs the distributed min-label
-    propagation must equal a classic union-find."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("force_distributed", [False, True])
+def test_connected_components_matches_union_find(spark, monkeypatch, force_distributed):
+    """Property check: on random graphs BOTH execution paths (the
+    single-partition union-find fast path and the distributed min-label
+    loop) must equal a classic union-find."""
     import random
+
+    if force_distributed:
+        from flink_realtime_data_warehouse_spark.operators import graph
+
+        monkeypatch.setattr(graph, "CC_LOCAL_EDGE_THRESHOLD", 0)
 
     rng = random.Random(42)
     for trial in range(6):
