@@ -31,6 +31,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.operators.similarity import (
@@ -224,17 +225,32 @@ def ann_pq_probe(
     scored = _index_df(spark, index_path).mapInPandas(
         _scan, schema="query_id bigint, neighbor_id bigint, approx_sim double"
     )
-    import pandas as pd
-
-    local = [r.asDict() for r in scored.collect()]
+    merged = _merged_shortlist_df(scored, "approx_sim", shortlist)
     short: dict[int, list[int]] = {}
-    if local:
-        df = pd.DataFrame(local).sort_values(
-            ["query_id", "approx_sim", "neighbor_id"], ascending=[True, False, True]
-        )
-        for qid, grp in df.groupby("query_id"):
-            short[int(qid)] = [int(x) for x in grp["neighbor_id"].head(shortlist)]
+    for r in sorted(merged.collect(), key=lambda r: (r["query_id"], r["rn"])):
+        short.setdefault(int(r["query_id"]), []).append(int(r["neighbor_id"]))
     return short
+
+
+def _merged_shortlist_df(scored: DataFrame, sim_col: str, shortlist: int) -> DataFrame:
+    """Executor-side global merge of per-task shortlists (VERDICT r3 #5).
+
+    The compressed scan emits a top-``shortlist`` per (task, query), so
+    its total row count grows with task/Arrow-batch count at corpus
+    scale. One shuffle on ``query_id`` (over the shortlist triples, not
+    the corpus) + a JVM ``row_number`` window caps what reaches the
+    driver at EXACTLY ≤ nq × shortlist rows, independent of partition
+    count. Tie-break (sim desc, neighbor asc) matches the in-kernel
+    lexsort so the merge is deterministic.
+    """
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(sim_col), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "neighbor_id", "rn")
+    )
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -393,25 +393,22 @@ def _probe_partitioned_index(
                 yield _pd.concat(out, ignore_index=True)
 
     scored = pruned.mapInPandas(_score_local_topk, schema=_SCORED_SCHEMA)
-    # global merge on the driver — the takeOrdered pattern: each scan
-    # task emits ≤ nq·topk triples, so the collect is bounded by plan
-    # shape (tasks × 10 × 5 ≈ a few KB), NOT by corpus size, and it
-    # replaces a whole shuffle + second Python stage (which cost more
-    # than the scan itself at sf0.1)
-    import pandas as pd
-
-    out_schema = _SCORED_SCHEMA + ", rank int"
-    local = [r.asDict() for r in scored.collect()]
-    if not local:
-        return spark.createDataFrame([], out_schema)
-    df = pd.DataFrame(local)
-    df = df.drop_duplicates(["query_id", "neighbor_id"]).sort_values(
-        ["query_id", "cos_sim", "neighbor_id"], ascending=[True, False, True]
+    # executor-side global merge (VERDICT r3 #5): each scan task emits
+    # ≤ nq·topk triples, but the union of those grows with task/Arrow-
+    # batch count at corpus scale, so merging on the driver would not
+    # stay bounded. One shuffle on query_id (tiny — the triples, not
+    # the corpus) + a JVM row_number window caps the result at exactly
+    # ≤ nq × topk rows and keeps it distributed: no collect at all on
+    # this path. Same (cos desc, neighbor asc) tie-break as the
+    # brute-force kernel, so results stay bit-identical.
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype("int32")
-    df = df[df["rank"] <= topk]
-    return spark.createDataFrame(
-        df[["query_id", "neighbor_id", "cos_sim", "rank"]], out_schema
+    return (
+        scored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 

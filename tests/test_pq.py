@@ -87,3 +87,33 @@ def test_pq_checked_verdict_all_true(spark, sf_dir):
     rows = ann_pq_topk_checked(spark, sf_dir).collect()
     assert len(rows) == 1
     assert rows[0]["recall_ok"] is True
+
+
+def test_probe_merge_bounded_independent_of_partitions(spark):
+    """The probe-tail merge must hand the driver ≤ nq × shortlist rows
+    no matter how many scan tasks emitted local shortlists (VERDICT r3
+    #5: the old driver-side pandas merge grew with Arrow-batch count)."""
+    from flink_realtime_data_warehouse_spark.operators.pq import _merged_shortlist_df
+
+    nq, shortlist, n_parts = 7, 5, 64
+    # synthetic per-task local top-k: every partition claims its own
+    # shortlist for every query -> n_parts × nq × shortlist input rows
+    rows = [
+        (q, p * 1000 + i, float(1.0 - 0.001 * (p + i)))
+        for q in range(nq)
+        for p in range(n_parts)
+        for i in range(shortlist)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id bigint, neighbor_id bigint, approx_sim double"
+    ).repartition(n_parts)
+    merged = _merged_shortlist_df(scored, "approx_sim", shortlist)
+    assert merged.count() == nq * shortlist  # not n_parts × nq × shortlist
+    got = merged.collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append((r["rn"], r["neighbor_id"]))
+    for q, lst in per_q.items():
+        assert sorted(x[0] for x in lst) == list(range(1, shortlist + 1))
+    # determinism: global best neighbor (p=0, i=0 -> sim 1.0) ranks first
+    assert min(per_q[0])[1] == 0
