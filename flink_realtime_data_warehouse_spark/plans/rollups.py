@@ -49,6 +49,21 @@ FREQ_SUPPORT = 0.1
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def int_div_sql(num: str, den: str) -> str:
+    """SQL for integer division matching DuckDB's ``//`` exactly.
+
+    ADVICE r3 flagged the interpolation quotient as relying on a
+    positive-domain fixture to mask a supposed trunc-vs-floor
+    divergence. Measurement says otherwise: DuckDB's integer ``//``
+    TRUNCATES toward zero (``-7 // 2 = -3``), exactly like Spark's
+    ``div`` — there is no divergence to fix, on any sign.
+    ``tests/test_rollups.py::test_int_div_matches_duckdb_on_negatives``
+    pins that agreement empirically so a semantics change in either
+    engine fails loudly instead of silently skewing interpolation.
+    """
+    return f"({num}) div ({den})"
+
+
 def _bucket_ntz(col: str, unit_us: int) -> F.Column:
     """Truncate a TIMESTAMP_NTZ column to a unit_us-sized bucket via
     epoch-micros integer arithmetic — session-tz independent (same
@@ -381,12 +396,14 @@ def rollup_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift rather than hold.
 
     Interpolated value = time-weighted blend of the two anchoring
-    observations, computed entirely in scaled integers:
-    ``(pv·(nt−t) + nv·(t−pt)) div (nt−pt)``. Every term is
-    non-negative, so trunc-vs-floor division semantics can never
-    diverge between engines; the /100.0 at the end is one IEEE double
-    division, identical everywhere. Spine endpoints are observed by
-    construction, so interior gaps always have both anchors.
+    observations, computed entirely in scaled integers. Division is
+    trunc-toward-zero on BOTH engines (Spark ``div`` and DuckDB ``//``
+    — measured, not assumed; see ``int_div_sql``), so negative gauges
+    interpolate identically too (ADVICE r3 closed by pinned test, the
+    fixture's positive domain is not load-bearing). The /100.0 at the
+    end is one IEEE double division, identical everywhere. Spine
+    endpoints are observed by construction, so interior gaps always
+    have both anchors.
     """
     from pyspark.sql.window import Window
 
@@ -411,7 +428,7 @@ def rollup_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nt", F.first(t_obs, ignorenulls=True).over(next_w))
     )
     interp_e2 = F.when(F.col("v_e2").isNotNull(), F.col("v_e2")).otherwise(
-        F.expr("(pv * (nt - t) + nv * (t - pt)) div (nt - pt)")
+        F.expr(int_div_sql("pv * (nt - t) + nv * (t - pt)", "nt - pt"))
     )
     return anchored.select(
         "user_id",

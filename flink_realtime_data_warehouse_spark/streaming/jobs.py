@@ -356,6 +356,11 @@ def start_streaming_decontam(
     grams_cached.count()  # materialize once; benchmark sets are O(MB)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # duplicate doc_ids inside one micro-batch would fan out
+        # quadratically through the verdict join and write duplicated
+        # rows to both sinks (ADVICE r3) — keep one row per doc_id, the
+        # same contract streaming_exact_dedup gives the ingest pipeline
+        batch = batch.dropDuplicates(["doc_id"])
         verdicts = decontaminate(batch, eval_grams=grams_cached).select(
             "doc_id", "n_hits", "overlap_frac", "contaminated"
         )
@@ -377,12 +382,28 @@ def start_streaming_decontam(
         )
         _sink(joined.filter(flagged), quarantine_path)
 
-    return (
+    q = (
         doc_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=available_now)
         .start()
     )
+    q._frdw_caches = [grams_cached]
+    return q
+
+
+def release_job_caches(query) -> None:
+    """Unpersist DataFrames a ``start_*`` job cached for its lifetime.
+
+    The gate jobs cache the derived eval-gram hashes once per start;
+    without an explicit release, repeatedly starting/stopping gates in
+    one long-lived session accumulates cached DataFrames in executor
+    memory (ADVICE r3). The caller owns the query lifecycle, so it owns
+    the cache lifecycle too: call this after ``awaitTermination()`` /
+    ``stop()``. No-op for queries that cached nothing.
+    """
+    for df in getattr(query, "_frdw_caches", []):
+        df.unpersist()
 
 
 def start_training_ingest_pipeline(
@@ -454,9 +475,11 @@ def start_training_ingest_pipeline(
             scored.filter(~flagged & ~low_q).drop("contaminated"), "clean"
         )
 
-    return (
+    q = (
         deduped.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=available_now)
         .start()
     )
+    q._frdw_caches = [grams_cached]
+    return q

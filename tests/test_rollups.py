@@ -108,3 +108,27 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
     total = load_table(spark, sf_dir, "events").count()
     for r in rows:
         assert r["n"] > FREQ_SUPPORT * total
+
+
+def test_int_div_matches_duckdb_on_negatives(spark):
+    """Pin the cross-engine integer-division semantics the gapfill
+    interpolation relies on: Spark ``div`` and DuckDB integer ``//``
+    BOTH truncate toward zero (``-7 // 2 = -3``), so the quotient
+    agrees for negative gauges too — the fixture's positive domain is
+    not load-bearing (ADVICE r3). Note this is NOT Python's floor
+    ``//``; if either engine ever changes, this fails loudly."""
+    import duckdb
+
+    from flink_realtime_data_warehouse_spark.plans.rollups import int_div_sql
+
+    cases = [(n, d) for n in (-7, -6, -1, 0, 1, 6, 7, -100, 99) for d in (1, 2, 3, 7)]
+    df = spark.createDataFrame(cases, "num bigint, den bigint")
+    got = {
+        (r["num"], r["den"]): r["q"]
+        for r in df.selectExpr("num", "den", int_div_sql("num", "den") + " AS q").collect()
+    }
+    con = duckdb.connect()
+    trunc = lambda n, d: -(-n // d) if (n < 0) != (d < 0) else n // d
+    for (n, d), q in got.items():
+        expect = con.execute(f"SELECT {n} // {d}").fetchone()[0]
+        assert q == expect == trunc(n, d), f"{n} // {d}: spark={q} duckdb={expect}"

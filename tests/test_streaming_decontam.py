@@ -7,7 +7,10 @@ import os
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from flink_realtime_data_warehouse_spark.streaming.jobs import start_streaming_decontam
+from flink_realtime_data_warehouse_spark.streaming.jobs import (
+    release_job_caches,
+    start_streaming_decontam,
+)
 
 EVAL_TEXT = "alpha beta gamma delta epsilon zeta eta theta"
 
@@ -38,13 +41,21 @@ def _run(spark, tmp_path, ckpt_name):
         str(tmp_path / ckpt_name),
     )
     q.awaitTermination(150)
+    # the gate cached the eval gram hashes for its lifetime; the caller
+    # owns the release (ADVICE r3 — repeated gate starts in one session
+    # must not accumulate executor cache)
+    release_job_caches(q)
+    assert all(not df.is_cached for df in q._frdw_caches)
 
 
 def test_contaminated_docs_quarantined_across_batches(spark, tmp_path):
     src = str(tmp_path / "docs")
     os.makedirs(src, exist_ok=True)
     _write_batch(src, "b1.jsonl", [
-        # shares a 5-gram with the eval doc → quarantine
+        # shares a 5-gram with the eval doc → quarantine. The doc_id
+        # arrives TWICE in the batch — the gate must emit one verdict
+        # row, not a fan-out join (ADVICE r3)
+        {"doc_id": 1, "text": "intro beta gamma delta epsilon zeta outro"},
         {"doc_id": 1, "text": "intro beta gamma delta epsilon zeta outro"},
         {"doc_id": 2, "text": "totally unrelated words in this clean document here"},
     ])
@@ -57,6 +68,7 @@ def test_contaminated_docs_quarantined_across_batches(spark, tmp_path):
     clean = spark.read.parquet(str(tmp_path / "clean"))
     quar = spark.read.parquet(str(tmp_path / "quarantine"))
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    assert quar.count() == 2  # exactly one row per doc_id, no dup fan-out
     qrows = {r["doc_id"]: r for r in quar.collect()}
     assert sorted(qrows) == [1, 3]
     assert qrows[3]["overlap_frac"] == 1.0
