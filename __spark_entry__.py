@@ -15,30 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _load_registry():
     # importing the modules populates the central registry
-    import flink_realtime_data_warehouse_spark.operators.curation  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.decontam  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.dq  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.entity  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.graph  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.pq  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.sampling  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
-    import flink_realtime_data_warehouse_spark.operators.visitors  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.cep_queries  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.functions_surface  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.ads  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.profiling  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.rollups  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.analytics  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.streaming_parity  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.tpch_extra  # noqa: F401
-    import flink_realtime_data_warehouse_spark.plans.windows  # noqa: F401
-    from flink_realtime_data_warehouse_spark.plans.registry import ORACLES, QUERIES
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
 
-    return QUERIES, ORACLES
+    return load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
