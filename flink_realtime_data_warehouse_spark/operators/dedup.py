@@ -644,3 +644,158 @@ def dedup_ngram_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against an already-ingested history corpus
+# ---------------------------------------------------------------------------
+
+INCR_HISTORY_MOD = 5  #: doc_id % 5 != 4 plays the "already ingested" corpus
+
+_INCR_ORACLE = f"""
+WITH digests AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         (doc_id % {INCR_HISTORY_MOD}) = {INCR_HISTORY_MOD - 1} AS incoming
+  FROM documents),
+hist AS (SELECT DISTINCT content_hash FROM digests WHERE NOT incoming),
+inc AS (
+  SELECT d.doc_id, d.content_hash,
+         h.content_hash IS NOT NULL AS in_hist,
+         min(d.doc_id) OVER (PARTITION BY d.content_hash) AS first_id
+  FROM digests d LEFT JOIN hist h USING (content_hash)
+  WHERE d.incoming)
+SELECT doc_id, content_hash,
+       CASE WHEN in_hist THEN 'dup_history'
+            WHEN doc_id > first_id THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM inc ORDER BY doc_id
+"""
+
+
+def incremental_dedup(incoming: DataFrame, history_hashes: DataFrame) -> DataFrame:
+    """Classify an incoming batch against an already-ingested corpus.
+
+    ``incoming`` needs (doc_id, text); ``history_hashes`` is the
+    persisted digest table (one 16-byte ``content_hash`` per previously
+    ingested unique document). Emits every incoming doc tagged
+    ``dup_history`` (digest already ingested), ``dup_batch`` (an earlier
+    doc in THIS batch carries the same digest), or ``new``.
+
+    Design for 100 TB: the join side is the digest table, never the
+    text — 16 bytes per historical unique doc. Persist the history
+    bucketed by ``content_hash`` (operators/scale.py::write_bucketed)
+    and the left join runs shuffle-free on the history side; the
+    incoming batch shuffles once on the digest for both the join and
+    the first-copy window. This is the batch face of the streaming
+    digest gate (streaming/jobs.py::streaming_exact_dedup) — same
+    semantics, replayable over a whole crawl instead of a micro-batch.
+    """
+    from pyspark.sql import Window
+
+    hist = history_hashes.select("content_hash").distinct().withColumn(
+        "in_hist", F.lit(True)
+    )
+    inc = incoming.select("doc_id", F.md5("text").alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return (
+        inc.join(hist, "content_hash", "left")
+        .withColumn("first_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "content_hash",
+            F.when(F.col("in_hist"), F.lit("dup_history"))
+            .when(F.col("doc_id") > F.col("first_id"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_incremental_history", oracle=_INCR_ORACLE)
+def dedup_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark entry: docs with ``doc_id % 5 != 4`` play the ingested
+    history, the rest arrive as the new crawl batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    history = docs.filter(~is_inc).select(F.md5("text").alias("content_hash"))
+    incoming = docs.filter(is_inc).select("doc_id", "text")
+    return incremental_dedup(incoming, history)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span coverage (exact-substring dedup, Lee et al. 2022 flavor)
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+shared AS (
+  SELECT s, 1 AS dup_flag
+  FROM pos GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT pos.doc_id, count(*) AS n_grams, count(shared.dup_flag) AS dup_grams
+  FROM pos LEFT JOIN shared USING (s) GROUP BY pos.doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.dup_grams, 0) AS dup_grams,
+       CAST(CASE WHEN coalesce(per.n_grams, 0) = 0 THEN 0
+                 ELSE (per.dup_grams * 10000) // per.n_grams END AS BIGINT) AS dup_bp
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("dedup_substring_span_stats", oracle=_SPAN_ORACLE)
+def dedup_substring_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of 3-gram
+    positions whose gram also appears in ANOTHER document.
+
+    This is the gram-granular form of exact-substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — there via a corpus suffix array): a
+    high ``dup_bp`` marks boilerplate-heavy or wholesale-copied text
+    even when no whole-document digest matches. Downstream curation
+    cuts on the basis-point score (exact integer arithmetic, so the
+    cut is engine-portable).
+
+    Design for 100 TB: the gram stream is reduced to 8-byte hashes
+    before any shuffle; "shared" grams come from one hash-keyed
+    aggregation (count-distinct-docs >= 2 — at scale an approx
+    distinct or a 2-doc early-exit cap bounds the agg state); the
+    coverage count is a second hash-keyed join + per-doc aggregation.
+    Nothing is quadratic: cost tracks gram positions, i.e. corpus
+    length, times two shuffles of 8-byte keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = _exploded_shingle_hashes(docs)
+    shared = (
+        pos.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("s", F.lit(1).alias("dup_flag"))
+    )
+    per = (
+        pos.join(shared, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("dup_flag").alias("dup_grams"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+            F.coalesce(
+                F.expr("(dup_grams * 10000) div n_grams"), F.lit(0)
+            ).alias("dup_bp"),
+        )
+        .orderBy("doc_id")
+    )

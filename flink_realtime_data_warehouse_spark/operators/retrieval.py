@@ -1,0 +1,182 @@
+"""Full-text retrieval over the documents corpus: Okapi BM25 top-k.
+
+A training-data pipeline needs corpus search for inspection, targeted
+curation ("show me docs about X"), and retrieval-based eval-set
+construction. This module implements the classic sparse path: an
+inverted (term -> doc) index with BM25 scoring, expressed as plain
+DataFrame aggregations so Catalyst keeps every step in whole-stage
+codegen.
+
+Design for 100 TB:
+- the corpus is scanned ONCE: per-doc length is a map-only
+  ``size(split(...))`` projection, term frequencies come from one
+  explode restricted to the query vocabulary *before* the aggregation
+  shuffle (the filter prunes the exploded stream to matching terms, so
+  the shuffle moves only |matching (doc, term)| rows, not every word);
+- document frequencies derive from the TF table (no second corpus
+  scan) and are broadcast back (|query vocabulary| rows);
+- corpus scalars (N, avgdl) travel as a 1-row broadcast cross join —
+  the same decorrelation shape as the TPC-H scalar subqueries;
+- per-term score contributions are quantized to integers (1e-6) and
+  summed as BIGINT, so the per-(query, doc) sum is exact and
+  independent of float summation order — bit-identical across engines
+  and across partitionings;
+- the final top-k is a per-query window over only scored candidates.
+
+Reference parity: the reference engine has no retrieval surface; this
+extends the LLM-data-pipeline operator family (SURVEY.md "beyond the
+reference" §2 footer) alongside TF-IDF keyword extraction
+(textops.py::text_tfidf_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+#: the benchmark query set: (query_id, term) pairs. Fixed so the DuckDB
+#: oracle can inline the identical relation.
+BM25_QUERIES: list[tuple[str, str]] = [
+    ("q_stream", "spark"),
+    ("q_stream", "stream"),
+    ("q_stream", "window"),
+    ("q_join", "hash"),
+    ("q_join", "join"),
+    ("q_join", "merge"),
+]
+
+_QUERY_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+_BM25_ORACLE = f"""
+WITH qt(query_id, term) AS (VALUES {_QUERY_VALUES}),
+corpus AS (
+  SELECT count(*)::DOUBLE AS n,
+         avg(len(string_split(text, ' ')))::DOUBLE AS avgdl
+  FROM documents),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents),
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM w
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (corpus.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({BM25_K1} + 1.0)
+           / (tf.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * dl.dl / corpus.avgdl))
+           * 1000000.0) AS BIGINT) AS c_e6
+  FROM tf
+  JOIN qt USING (term)
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus),
+scored AS (
+  SELECT query_id, doc_id, sum(c_e6) AS score_e6
+  FROM contrib GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_e6 DESC, doc_id) AS rnk
+  FROM scored)
+SELECT query_id, doc_id, score_e6, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {BM25_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 top-k documents per query over ``docs(doc_id, text)``.
+
+    ``queries`` is (query_id, term) pairs. Returns
+    (query_id, doc_id, score_e6, rnk) with the score quantized to 1e-6
+    and summed in exact integer arithmetic.
+    """
+    qt = spark.createDataFrame(queries, "query_id string, term string")
+    vocab = sorted({t for _, t in queries})
+
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(vocab))
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    contrib = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * F.col("tf")
+                * F.lit(k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("c_e6"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c_e6").alias("score_e6")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= topk)
+        .select("query_id", "doc_id", F.col("score_e6").cast("bigint"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@query("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval benchmark entry: the fixed two-query set over the
+    documents corpus. See module docstring for the 100 TB shuffle
+    budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(spark, docs, BM25_QUERIES)

@@ -439,3 +439,71 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus data-card report (per-source profiling)
+# ---------------------------------------------------------------------------
+
+_CORPUS_REPORT_ORACLE = """
+WITH per AS (
+  SELECT source, doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         md5(text) AS h
+  FROM documents),
+dups AS (
+  SELECT md5(text) AS h, 1 AS dup_flag
+  FROM documents GROUP BY 1 HAVING count(*) > 1)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(per.n_words) AS BIGINT) AS total_words,
+       CAST((sum(per.n_chars) * 100) // count(*) AS BIGINT) AS avg_chars_e2,
+       count(DISTINCT per.lang) AS n_langs,
+       count(dups.dup_flag) AS dup_docs,
+       CAST((count(dups.dup_flag) * 10000) // count(*) AS BIGINT) AS dup_bp
+FROM per LEFT JOIN dups USING (h)
+GROUP BY source ORDER BY source
+"""
+
+
+@query("corpus_summary_report", oracle=_CORPUS_REPORT_ORACLE)
+def corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card: volume, token mass, mean length,
+    language spread, and exact-duplicate burden in one report — the
+    table a dataset release documents ("data card") and a mixture
+    designer reads before setting sampling weights.
+
+    One corpus scan: per-doc features are map-only projections; the
+    corpus-wide duplicate digests come from one digest-keyed
+    aggregation (16-byte shuffle keys) joined back by digest; the
+    per-source rollup is a tiny final aggregation. Averages and rates
+    are integer-quantized (1e-2 chars, basis points) so the report is
+    bit-identical on any engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.md5("text").alias("h"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h", F.lit(1).alias("dup_flag"))
+    )
+    return (
+        per.join(dups, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.expr("(sum(n_chars) * 100) div count(1)").alias("avg_chars_e2"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count("dup_flag").alias("dup_docs"),
+            F.expr("(count(dup_flag) * 10000) div count(1)").alias("dup_bp"),
+        )
+        .orderBy("source")
+    )

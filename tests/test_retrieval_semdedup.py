@@ -1,0 +1,159 @@
+"""Planted-case tests for the round-4 operators: BM25 retrieval,
+incremental history dedup, semantic dedup, duplicated-span coverage,
+and the corpus data card."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_realtime_data_warehouse_spark.operators.dedup import incremental_dedup
+from flink_realtime_data_warehouse_spark.operators.retrieval import bm25_topk
+from flink_realtime_data_warehouse_spark.operators.semdedup import (
+    semantic_bucket_pairs,
+    semantic_dedup,
+)
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream window spark stream filler filler"),
+            (2, "spark filler filler filler filler filler filler"),
+            (3, "nothing relevant here at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(spark, docs, [("q", "spark"), ("q", "stream")]).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1  # two terms, higher tf
+    assert 2 in ids and 3 not in ids  # no-match docs never scored
+    assert all(r.score_e6 > 0 for r in out)
+    assert [r.rnk for r in out] == list(range(1, len(out) + 1))
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    # same tf for the term; the longer doc is penalized by the b term
+    docs = spark.createDataFrame(
+        [
+            (1, "spark " + "pad " * 4),
+            (2, "spark " + "pad " * 40),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(spark, docs, [("q", "spark")]).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+
+
+def test_incremental_dedup_statuses(spark):
+    history = spark.createDataFrame(
+        [("already seen text",)], "text string"
+    ).select(F.md5("text").alias("content_hash"))
+    incoming = spark.createDataFrame(
+        [
+            (10, "already seen text"),  # dup_history
+            (11, "fresh text a"),  # new
+            (12, "fresh text a"),  # dup_batch (11 is first)
+            (13, "fresh text b"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.status for r in incremental_dedup(incoming, history).collect()}
+    assert rows == {10: "dup_history", 11: "new", 12: "dup_batch", 13: "new"}
+
+
+def test_incremental_dedup_history_beats_batch_order(spark):
+    # a digest both in history AND duplicated in-batch is dup_history for
+    # every copy — history membership dominates
+    history = spark.createDataFrame([("t",)], "text string").select(
+        F.md5("text").alias("content_hash")
+    )
+    incoming = spark.createDataFrame(
+        [(1, "t"), (2, "t")], "doc_id long, text string"
+    )
+    statuses = {r.status for r in incremental_dedup(incoming, history).collect()}
+    assert statuses == {"dup_history"}
+
+
+def _vec(base, eps=0.0, dim=8):
+    v = [0.0] * dim
+    v[0] = base
+    v[1] = 1.0
+    v[2] = eps
+    return v
+
+
+def test_semantic_dedup_groups_planted_near_dups(spark):
+    # vectors 1 and 2 are nearly identical (cos ~ 1); 3 is orthogonal
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] * 8),
+            (2, [1.0, 0.5, 0.001, 0.0, 0.0, 0.0, 0.0, 0.0] * 8),
+            (3, [-1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0] * 8),
+        ],
+        "vec_id long, v array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert out[1].rep_id == 1 and out[1].is_kept
+    assert out[2].rep_id == 1 and not out[2].is_kept
+    assert out[3].rep_id == 3 and out[3].is_kept
+
+
+def test_semantic_bucket_pairs_only_within_bucket(spark):
+    # opposite sign on the first coded dimension -> different buckets ->
+    # never compared, even though cosine would clear the threshold on
+    # the shared tail mass
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0] + [1.0] * 63),
+            (2, [-0.001] + [1.0] * 63),
+        ],
+        "vec_id long, v array<double>",
+    )
+    assert semantic_bucket_pairs(emb, threshold=0.1).count() == 0
+
+
+def test_span_stats_flags_cross_doc_gram(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, _ = load_all()
+    out = queries["dedup_substring_span_stats"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r.dup_grams <= r.n_grams
+        assert 0 <= r.dup_bp <= 10000
+        if r.n_grams:
+            assert r.dup_bp == (r.dup_grams * 10000) // r.n_grams
+
+
+def test_corpus_report_totals_consistent(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    queries, _ = load_all()
+    rep = queries["corpus_summary_report"](spark, sf_dir)
+    total_docs = sum(r.n_docs for r in rep.collect())
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "search_bm25_topk",
+        "dedup_incremental_history",
+        "dedup_semantic_groups",
+        "dedup_substring_span_stats",
+        "corpus_summary_report",
+    ],
+)
+def test_round4_oracle_parity(spark, sf_dir, name):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare_query_to_oracle
+
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, oracles = load_all()
+    compare_query_to_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
