@@ -75,6 +75,12 @@ HEADLINE = [
     # round 4: combined jaccard+containment single-pass (shares the
     # shingle shuffle the two separate rows above each pay)
     "dedup_ngram_pair_stats",
+    # round 4: retrieval + semantic/incremental/substring dedup + data card
+    "search_bm25_topk",
+    "dedup_semantic_groups",
+    "dedup_incremental_history",
+    "dedup_substring_span_stats",
+    "corpus_summary_report",
 ]
 
 
@@ -151,16 +157,19 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # scalar metrics FIRST: the r3 driver capture truncated
+                # mid-dict and lost every key after "queries" — keep the
+                # headline numbers parseable even under truncation
                 "metric": "headline_queries_total_wall_sec",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "total_min": round(sum(timings_min.values()), 3),
                 "calib_shuffle_sec": calib,
                 "ann_lsh_warm_sec": ann_lsh_warm,
                 "ann_pq_warm_sec": ann_pq_warm,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": timings,
+                "queries_min": timings_min,
             }
         )
     )

@@ -330,3 +330,63 @@ def sample_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# class-balanced resampling (labeled data)
+# ---------------------------------------------------------------------------
+
+_CLASS_BALANCED_ORACLE = """
+WITH e AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
+target AS (
+  SELECT min(c) AS t FROM (SELECT count(*) AS c FROM e GROUP BY label)),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM e)
+SELECT vec_id, label
+FROM ranked CROSS JOIN target
+WHERE rn <= target.t
+ORDER BY vec_id
+"""
+
+
+@query("sample_class_balanced", oracle=_CLASS_BALANCED_ORACLE)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of labeled vectors: every label keeps
+    exactly ``min(class size)`` rows, chosen deterministically by
+    content-hash order (the first-N rows of each class under the
+    md5(vec_id) ordering — RNG-free, so reruns and engines agree
+    byte-for-byte, and the kept set only shrinks/grows at the hash-order
+    boundary when the corpus changes).
+
+    Shuffle budget: one tiny per-label count aggregation (|labels|
+    rows, broadcast back as a 1-row scalar), one window partitioned by
+    label for the rank — the same per-key top-N shape as every other
+    deterministic sampler here. Heavily skewed classes cost one
+    window partition each; at 100 TB-scale label cardinality the
+    window key has far more partitions than executors and balances
+    itself.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    ).select("vec_id", "label")
+    target = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("t"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("t"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

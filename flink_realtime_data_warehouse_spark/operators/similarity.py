@@ -731,3 +731,99 @@ def ann_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_cosine_topk(spark, sf_dir)
     approx = ann_ivf_topk(spark, sf_dir)
     return _recall_verdict(exact, approx, IVF_MIN_MEAN_RECALL)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (contrastive-training data construction)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS qlabel
+  FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * e.v[i]))
+           / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cs
+  FROM q JOIN e ON e.label <> q.qlabel),
+ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, round(cs, 3) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cs, 3) DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, neighbor_label, cos_sim, rank FROM ranked
+WHERE rank <= {TOPK} ORDER BY query_id, rank
+"""
+
+
+@query("ann_hard_negatives", oracle=_HARDNEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-k most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually teach an embedding model (easy negatives
+    are already far away).
+
+    Same scale shape as ``ann_cosine_topk``: the anchor block (ids +
+    labels + normalized matrix) is broadcast, the corpus streams
+    through one Arrow-batched matmul and the label-mismatch mask is
+    applied in-kernel — only (anchor, negative, score) triples ever
+    shuffle, never vectors. At index-backed scale the same mask drops
+    into the LSH/IVF/PQ probes (filter on the shortlist before
+    rescoring) — the operator is the brute-force exact form the
+    recall-checked probes are graded against.
+    """
+    import numpy as np
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == EMBED_DIM)
+            & F.col("label").isNotNull()
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+    )
+    anchors = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    schema = (
+        "query_id bigint, neighbor_id bigint, neighbor_label int, cos_sim double"
+    )
+    if not len(anchors):
+        return spark.createDataFrame([], schema + ", rank int")
+
+    q_ids = anchors["vec_id"].to_numpy()
+    q_labels = anchors["label"].to_numpy()
+    q_mat = np.stack(anchors["v"].to_numpy())
+    q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_labels, q_n))
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_q, labels_q, qn = bc.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            block = np.stack(pdf["v"].to_numpy())
+            block_n = block / np.linalg.norm(block, axis=1, keepdims=True)
+            sims = np.round(block_n @ qn.T, 3)
+            rows_i, cols_j = np.nonzero(labels[:, None] != labels_q[None, :])
+            yield pd.DataFrame(
+                {
+                    "query_id": ids_q[cols_j],
+                    "neighbor_id": ids[rows_i],
+                    "neighbor_label": labels[rows_i],
+                    "cos_sim": sims[rows_i, cols_j],
+                }
+            )
+
+    scored = emb.mapInPandas(_score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .orderBy("query_id", "rank")
+    )

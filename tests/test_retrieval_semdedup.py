@@ -157,3 +157,42 @@ def test_round4_oracle_parity(spark, sf_dir, name):
 
     queries, oracles = load_all()
     compare_query_to_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_hard_negatives_never_same_label(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    queries, _ = load_all()
+    out = queries["ann_hard_negatives"](spark, sf_dir)
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r.query_id] != r.neighbor_label
+        assert labels[r.neighbor_id] == r.neighbor_label
+
+
+def test_class_balanced_equal_counts(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, _ = load_all()
+    out = queries["sample_class_balanced"](spark, sf_dir)
+    counts = [r["c"] for r in out.groupBy("label").agg(F.count("*").alias("c")).collect()]
+    assert len(set(counts)) == 1  # every class at exactly the min size
+
+
+@pytest.mark.parametrize("name", ["ann_hard_negatives", "sample_class_balanced"])
+def test_round4_wave2_oracle_parity(spark, sf_dir, name):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare_query_to_oracle
+
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, oracles = load_all()
+    compare_query_to_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
