@@ -483,3 +483,82 @@ def start_training_ingest_pipeline(
     )
     q._frdw_caches = [grams_cached]
     return q
+
+
+def start_history_dedup_ingest(
+    spark: SparkSession,
+    doc_stream: DataFrame,
+    out_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Continuous ingest with GLOBAL dedup against everything ever
+    ingested — the streaming face of
+    ``operators/dedup.py::incremental_dedup``.
+
+    Each micro-batch is classified against a persistent digest store:
+
+        new docs        → ``{out_root}/clean``  (payload rows)
+        duplicate docs  → ``{out_root}/dups``   (doc_id + status evidence)
+        new digests     → ``{out_root}/digests`` (16 bytes/doc history)
+
+    Unlike ``streaming_exact_dedup`` (whose watermark bounds the dedup
+    horizon), the digest store remembers forever: a doc that arrived
+    last month still blocks today's copy. State lives in the lake, not
+    the state store — the history side is a parquet digest table a
+    compaction job can bucket by ``content_hash``
+    (operators/scale.py::write_bucketed) so the per-batch classify join
+    runs shuffle-free on the history side at 100 TB.
+
+    Replay idempotency: every sink (including the digest store) writes
+    under a ``pbatch=<batch_id>`` dynamic-overwrite partition, and the
+    classify step reads the store EXCLUDING the current batch's own
+    partition — a replayed batch therefore never sees the digests its
+    failed first attempt wrote, and re-derives the identical verdicts
+    (pinned by test_streaming_history_dedup.py::test_replay_idempotent).
+    """
+    from flink_realtime_data_warehouse_spark.operators.dedup import incremental_dedup
+
+    digests_path = f"{out_root}/digests"
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["doc_id"])
+        try:
+            history = spark.read.parquet(digests_path).filter(
+                F.col("pbatch") != batch_id
+            )
+        except Exception:
+            history = spark.createDataFrame(
+                [], "content_hash string, pbatch bigint"
+            )
+        statuses = incremental_dedup(
+            batch.select("doc_id", "text"), history
+        )
+        routed = batch.join(statuses, "doc_id")
+
+        def _sink(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("pbatch", F.lit(batch_id).cast("bigint"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pbatch")
+                .parquet(path)
+            )
+
+        is_new = F.col("status") == "new"
+        _sink(routed.filter(is_new).drop("content_hash", "status"), f"{out_root}/clean")
+        _sink(
+            routed.filter(~is_new).select("doc_id", "content_hash", "status"),
+            f"{out_root}/dups",
+        )
+        _sink(
+            routed.filter(is_new).select("content_hash"),
+            digests_path,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
