@@ -507,3 +507,106 @@ def corpus_summary_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-tier curriculum report (quantile cuts without a global sort)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of quality_score_sql() — same integer arithmetic as the
+#: classifier oracle above, as a standalone CTE pair
+_TIER_SCORED_CTE = f"""f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS nw,
+         len(list_distinct(string_split(text, ' '))) AS nd,
+         length(text) AS nc,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('{STOPWORDS[0]}', '{STOPWORDS[1]}'))) AS ns
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         ({QC_W_LENGTH} * least(nw * 100, 10000)
+        + {QC_W_UNIQUE} * ((nd * 10000) // nw)
+        + {QC_W_WORDLEN} * greatest(10000 - (abs(2 * (nc - nw + 1) - 9 * nw) * 10000) // (9 * nw), 0)
+        + {QC_W_STOPWORD} * least((ns * 50000) // nw, 10000)) // 100 AS q
+  FROM f)"""
+
+_TIER_ORACLE = f"""
+WITH {_TIER_SCORED_CTE},
+hist AS (SELECT q, count(*) AS c FROM scored GROUP BY q),
+cum AS (
+  SELECT q, CAST(sum(c) OVER (ORDER BY q) AS BIGINT) AS cc FROM hist),
+n AS (SELECT count(*) AS n FROM scored),
+cuts AS (
+  SELECT min(CASE WHEN cc >= (1 * n.n + 3) // 4 THEN q END) AS q1,
+         min(CASE WHEN cc >= (2 * n.n + 3) // 4 THEN q END) AS q2,
+         min(CASE WHEN cc >= (3 * n.n + 3) // 4 THEN q END) AS q3
+  FROM cum CROSS JOIN n),
+tiered AS (
+  SELECT s.doc_id, s.q,
+         1 + CASE WHEN s.q > c.q1 THEN 1 ELSE 0 END
+           + CASE WHEN s.q > c.q2 THEN 1 ELSE 0 END
+           + CASE WHEN s.q > c.q3 THEN 1 ELSE 0 END AS tier
+  FROM scored s CROSS JOIN cuts c)
+SELECT CAST(tier AS BIGINT) AS tier, count(*) AS n_docs,
+       min(q) AS min_score_e4, max(q) AS max_score_e4,
+       CAST(sum(q) // count(*) AS BIGINT) AS avg_score_e4
+FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+
+@query("curation_quality_tiers", oracle=_TIER_ORACLE)
+def curation_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile quality tiers for curriculum/mixture design: every doc
+    is assigned tier 1-4 by exact score quartiles, reported as per-tier
+    count + score range.
+
+    Scale shape: NO global sort ever touches the corpus. The integer
+    score domain (0..10000) is aggregated into a bounded histogram
+    (<= 10001 rows), the cumulative window runs over that tiny
+    relation, and the three cut scores broadcast back for a map-only
+    tier assignment — the classic "exact quantiles of a bounded integer
+    domain" trick. Deterministic: cut_k = min score whose cumulative
+    count reaches ceil(k*n/4); ties share a tier, so tier populations
+    wobble around n/4 only at tie boundaries, identically on every
+    engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", F.expr(quality_score_sql()).alias("q"))
+    hist = scored.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    # window over the HISTOGRAM (bounded score domain), not the corpus
+    cum = hist.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    cuts = cum.crossJoin(F.broadcast(n)).agg(
+        F.min(F.when(F.expr("cc >= (1 * n + 3) div 4"), F.col("q"))).alias("q1"),
+        F.min(F.when(F.expr("cc >= (2 * n + 3) div 4"), F.col("q"))).alias("q2"),
+        F.min(F.when(F.expr("cc >= (3 * n + 3) div 4"), F.col("q"))).alias("q3"),
+    )
+    tiered = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "q",
+        (
+            F.lit(1)
+            + F.when(F.col("q") > F.col("q1"), 1).otherwise(0)
+            + F.when(F.col("q") > F.col("q2"), 1).otherwise(0)
+            + F.when(F.col("q") > F.col("q3"), 1).otherwise(0)
+        ).alias("tier"),
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_score_e4"),
+            F.max("q").alias("max_score_e4"),
+            F.expr("sum(q) div count(1)").alias("avg_score_e4"),
+        )
+        .withColumn("tier", F.col("tier").cast("bigint"))
+        .orderBy("tier")
+    )

@@ -196,3 +196,40 @@ def test_round4_wave2_oracle_parity(spark, sf_dir, name):
 
     queries, oracles = load_all()
     compare_query_to_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_lsh_recall_verdict_green(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, _ = load_all()
+    row = queries["dedup_lsh_recall_checked"](spark, sf_dir).collect()[0]
+    assert row.n_true > 0  # the fixture plants near-dups
+    assert row.n_caught <= row.n_true
+    assert row.verdict  # banded LSH must clear the 80% recall gate
+
+
+def test_quality_tiers_partition_corpus(spark, sf_dir):
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    queries, _ = load_all()
+    rows = queries["curation_quality_tiers"](spark, sf_dir).collect()
+    assert [r.tier for r in rows] == [1, 2, 3, 4]
+    assert sum(r.n_docs for r in rows) == load_table(spark, sf_dir, "documents").count()
+    # tiers are ordered, non-overlapping score ranges
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_score_e4 < hi.min_score_e4
+        assert lo.min_score_e4 <= lo.avg_score_e4 <= lo.max_score_e4
+
+
+@pytest.mark.parametrize("name", ["dedup_lsh_recall_checked", "curation_quality_tiers"])
+def test_round4_wave3_oracle_parity(spark, sf_dir, name):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare_query_to_oracle
+
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, oracles = load_all()
+    compare_query_to_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
