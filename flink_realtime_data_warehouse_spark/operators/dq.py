@@ -192,3 +192,108 @@ def dq_validation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("passed", F.col("violations") == 0)
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution-drift monitor (new crawl vs ingested history)
+# ---------------------------------------------------------------------------
+
+DRIFT_MOD = 5  #: doc_id % 5 == 4 plays the incoming crawl (as in dedup)
+DRIFT_WORD_BIN = 10  #: doc-length histogram bin width (words)
+DRIFT_CHAR_BIN = 20  #: char-count histogram bin width
+DRIFT_MAX_BIN = 20  #: bins clamp at this index (open-ended tail bin)
+DRIFT_GATE_BP = 3000  #: total-variation distance (basis points) alarm; small-slice sampling noise on the fixture measures <=1500
+
+_DRIFT_ORACLE = f"""
+WITH feat AS (
+  SELECT (doc_id % {DRIFT_MOD}) = {DRIFT_MOD - 1} AS incoming,
+         least(len(string_split(text, ' ')) // {DRIFT_WORD_BIN}, {DRIFT_MAX_BIN})
+           AS words_bin,
+         least(n_chars // {DRIFT_CHAR_BIN}, {DRIFT_MAX_BIN}) AS chars_bin
+  FROM documents),
+long AS (
+  SELECT incoming, 'n_words' AS feature, words_bin AS bin FROM feat
+  UNION ALL
+  SELECT incoming, 'n_chars' AS feature, chars_bin AS bin FROM feat),
+counts AS (
+  SELECT feature, bin,
+         count(CASE WHEN NOT incoming THEN 1 END) AS h_cnt,
+         count(CASE WHEN incoming THEN 1 END) AS i_cnt
+  FROM long GROUP BY feature, bin),
+totals AS (
+  SELECT feature,
+         CAST(sum(h_cnt) AS BIGINT) AS n_hist,
+         CAST(sum(i_cnt) AS BIGINT) AS n_inc
+  FROM counts GROUP BY feature),
+tvd AS (
+  SELECT c.feature,
+         CAST(sum(abs((c.h_cnt * 10000) // t.n_hist
+                      - (c.i_cnt * 10000) // t.n_inc)) // 2 AS BIGINT) AS tvd_bp
+  FROM counts c JOIN totals t USING (feature)
+  GROUP BY c.feature)
+SELECT t.feature, tt.n_hist, tt.n_inc, t.tvd_bp,
+       t.tvd_bp >= {DRIFT_GATE_BP} AS drifted
+FROM tvd t JOIN totals tt USING (feature)
+ORDER BY feature
+"""
+
+
+@query("dq_drift_report", oracle=_DRIFT_ORACLE)
+def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between the
+    incoming crawl's and the ingested history's feature histograms
+    (doc length in words; char counts), with a basis-point alarm gate.
+
+    The check a continuous ingest runs before accepting a new crawl
+    drop: a spiked TVD on cheap features means the source changed
+    (new boilerplate, truncation bug, language shift) before any
+    expensive curation spends compute on it.
+
+    Scale shape: features and bins are map-only projections; both
+    slices aggregate in ONE conditional-count pass over (feature, bin)
+    — the corpus is scanned once, shuffles only the tiny histogram.
+    All ratios are integer basis points (exact on every engine).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        (F.pmod("doc_id", F.lit(DRIFT_MOD)) == DRIFT_MOD - 1).alias("incoming"),
+        F.least(
+            F.floor(F.size(F.split("text", " ")) / DRIFT_WORD_BIN),
+            F.lit(DRIFT_MAX_BIN),
+        ).alias("words_bin"),
+        F.least(
+            F.floor(F.col("n_chars") / DRIFT_CHAR_BIN), F.lit(DRIFT_MAX_BIN)
+        ).alias("chars_bin"),
+    )
+    long = feat.selectExpr(
+        "incoming",
+        "stack(2, 'n_words', words_bin, 'n_chars', chars_bin) AS (feature, bin)",
+    )
+    counts = long.groupBy("feature", "bin").agg(
+        F.count(F.when(~F.col("incoming"), 1)).alias("h_cnt"),
+        F.count(F.when(F.col("incoming"), 1)).alias("i_cnt"),
+    )
+    totals = counts.groupBy("feature").agg(
+        F.sum("h_cnt").alias("n_hist"), F.sum("i_cnt").alias("n_inc")
+    )
+    tvd = (
+        counts.join(F.broadcast(totals), "feature")
+        .groupBy("feature")
+        .agg(
+            F.expr(
+                "sum(abs((h_cnt * 10000) div n_hist"
+                " - (i_cnt * 10000) div n_inc)) div 2"
+            ).alias("tvd_bp")
+        )
+    )
+    return (
+        tvd.join(F.broadcast(totals), "feature")
+        .select(
+            "feature",
+            "n_hist",
+            "n_inc",
+            "tvd_bp",
+            (F.col("tvd_bp") >= DRIFT_GATE_BP).alias("drifted"),
+        )
+        .orderBy("feature")
+    )
