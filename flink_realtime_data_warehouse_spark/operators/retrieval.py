@@ -8,11 +8,15 @@ DataFrame aggregations so Catalyst keeps every step in whole-stage
 codegen.
 
 Design for 100 TB:
-- the corpus is scanned ONCE: per-doc length is a map-only
-  ``size(split(...))`` projection, term frequencies come from one
-  explode restricted to the query vocabulary *before* the aggregation
-  shuffle (the filter prunes the exploded stream to matching terms, so
-  the shuffle moves only |matching (doc, term)| rows, not every word);
+- term frequencies come from one explode restricted to the query
+  vocabulary *before* the aggregation shuffle (the filter prunes the
+  exploded stream to matching terms, so the shuffle moves only
+  |matching (doc, term)| rows, not every word), and the per-doc length
+  rides through the explode as a constant recovered by max() in the
+  same aggregation — no corpus-sized doc-length join;
+- corpus scalars (N, avgdl) cost one extra column-pruned scan (they
+  need every doc, matched or not); at a real deployment they are table
+  statistics maintained by ingest, not recomputed per query;
 - document frequencies derive from the TF table (no second corpus
   scan) and are broadcast back (|query vocabulary| rows);
 - corpus scalars (N, avgdl) travel as a 1-row broadcast cross join —
@@ -119,21 +123,24 @@ def bm25_topk(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.avg(F.size(F.split("text", " "))).alias("avgdl"),
     )
-    dl = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dl")
-    )
-    words = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    # carry the doc length THROUGH the explode so tf never needs a
+    # corpus-sized join back to a doc-length table: dl is constant per
+    # doc, so max() over the (doc, term) group recovers it for free
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    words = ws.select(
+        "doc_id",
+        F.size("ws").cast("double").alias("dl"),
+        F.explode("ws").alias("term"),
     ).filter(F.col("term").isin(vocab))
     tf = words.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.max("dl").alias("dl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
 
     contrib = (
         tf.join(F.broadcast(qt), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus))
         .select(
             "query_id",
