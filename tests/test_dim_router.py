@@ -270,3 +270,47 @@ def test_dim_store_schema_evolution(spark, tmp_path):
     got = {r["id"]: (r["name"], r["logo_url"]) for r in store.read("dim_e").collect()}
     assert got["2"] == ("b2", None)
     assert got["1"] == ("a", None)
+
+
+def test_dim_store_delete_touched_partitions_only(spark, tmp_path):
+    """GDPR-style erasure: deleted keys disappear, the delete count is
+    right, and files of partitions no deleted key maps to stay
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    store = DimStore(spark, str(tmp_path / "dim"), n_partitions=8)
+    seed = spark.createDataFrame(
+        [(str(i), f"name_{i}") for i in range(64)], ["id", "tm_name"]
+    )
+    store.upsert("dim_t", seed)
+    root = tmp_path / "dim" / "dim_t"
+
+    def snapshot():
+        return {
+            str(f.relative_to(root)): f.read_bytes()
+            for pdir in root.glob("_pk_part=*")
+            for f in pdir.glob("*.parquet")
+        }
+
+    before = snapshot()
+    keys = spark.createDataFrame([("3",), ("17",)], ["id"])
+    assert store.delete("dim_t", keys) == 2
+
+    touched = {
+        r["p"]
+        for r in keys.select(
+            F.pmod(F.xxhash64("id"), F.lit(8)).cast("int").alias("p")
+        ).collect()
+    }
+    after = snapshot()
+    for relpath, data in before.items():
+        part = int(relpath.split("/")[0].split("=")[1])
+        if part not in touched:
+            assert relpath in after and after[relpath] == data, f"{relpath} rewritten"
+
+    got = {r["id"] for r in store.read("dim_t").collect()}
+    assert "3" not in got and "17" not in got and len(got) == 62
+    # deleting unknown keys is a no-op that reports zero
+    assert store.delete("dim_t", spark.createDataFrame([("999",)], ["id"])) == 0
+    # deleting from a table that does not exist is a zero, not a crash
+    assert store.delete("no_such_table", keys) == 0
