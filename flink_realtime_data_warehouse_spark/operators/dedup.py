@@ -866,3 +866,99 @@ def dedup_lsh_recall_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("recall_bp"),
         (recall >= LSH_MIN_RECALL_BP).alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup gate: persisted MinHash band index + probe
+# ---------------------------------------------------------------------------
+
+_INCR_LSH_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE},
+incr_pairs AS (
+  SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+  FROM bands n JOIN bands h ON n.band = h.band AND n.key = h.key
+  WHERE (n.doc_id % {INCR_HISTORY_MOD}) = {INCR_HISTORY_MOD - 1}
+    AND (h.doc_id % {INCR_HISTORY_MOD}) <> {INCR_HISTORY_MOD - 1})
+SELECT doc_new, doc_hist FROM incr_pairs ORDER BY doc_new, doc_hist
+"""
+
+
+def band_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band rows — the persistable dedup index.
+
+    One shingle pass -> signatures -> stacked band keys; identical
+    construction to ``minhash_lsh_candidate_pairs``'s in-plan bands.
+    """
+    sig = minhash_signatures(docs)
+    stack_args = ", ".join(
+        f"{b}, concat_ws('|', "
+        + ", ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
+        + ")"
+        for b in range(_N_BANDS)
+    )
+    return sig.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {stack_args}) AS (band, key)"
+    )
+
+
+def build_dedup_lsh_index(docs: DataFrame, path: str) -> None:
+    """Materialize the band index for an ingested corpus. Layout:
+    partitioned by band (the probe joins on (band, key); at real scale
+    bucket each band directory by key via operators/scale.py so probes
+    co-locate shuffle-free)."""
+    band_keys(docs).write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def append_dedup_lsh_index(new_docs: DataFrame, path: str) -> None:
+    """Incrementally index newly accepted docs: band rows APPEND —
+    existing index files are never rewritten (same economics as the
+    ANN index appends in operators/similarity.py)."""
+    band_keys(new_docs).write.mode("append").partitionBy("band").parquet(path)
+
+
+def probe_dedup_lsh_index(
+    spark: SparkSession, new_docs: DataFrame, path: str
+) -> DataFrame:
+    """Near-dup candidates of ``new_docs`` against the persisted index:
+    distinct (doc_new, doc_hist) sharing >= 1 full band. The probe
+    shuffles only the batch's band rows (|batch| x bands) against the
+    index join — history text is never read, never shuffled."""
+    hist = spark.read.parquet(path)
+    probe = band_keys(new_docs)
+    return (
+        probe.alias("n")
+        .join(
+            hist.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("h.doc_id").alias("doc_hist")
+        )
+        .distinct()
+    )
+
+
+@query("dedup_incremental_lsh", oracle=_INCR_LSH_ORACLE)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup sibling of ``dedup_incremental_history``: incoming
+    docs (doc_id % 5 == 4) probed against the ingested corpus's LSH
+    band index — catches paraphrased/boilerplate re-crawls an exact
+    digest can never match. In-plan form of the persisted-index probe
+    (``build/append/probe_dedup_lsh_index``), which the tests prove
+    emits identical candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    bands = band_keys(docs)
+    inc = bands.filter(is_inc).alias("n")
+    hist = bands.filter(~is_inc).alias("h")
+    return (
+        inc.join(
+            hist,
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("h.doc_id").alias("doc_hist")
+        )
+        .distinct()
+        .orderBy("doc_new", "doc_hist")
+    )

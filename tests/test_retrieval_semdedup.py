@@ -233,3 +233,74 @@ def test_round4_wave3_oracle_parity(spark, sf_dir, name):
 
     queries, oracles = load_all()
     compare_query_to_oracle(queries[name](spark, sf_dir), oracles[name], sf_dir)
+
+
+def test_lsh_index_build_append_probe_matches_inplan(spark, tmp_path, sf_dir):
+    """The persisted band index (build + append) probed by the incoming
+    slice must emit exactly the in-plan query's candidates, and append
+    must not rewrite existing index files."""
+    import os
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        INCR_HISTORY_MOD,
+        append_dedup_lsh_index,
+        build_dedup_lsh_index,
+        probe_dedup_lsh_index,
+    )
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    queries, _ = load_all()
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    hist = docs.filter(~is_inc)
+    inc = docs.filter(is_inc)
+
+    idx = str(tmp_path / "lsh_idx")
+    # build from the first half of history, append the rest — split on
+    # a different modulus so both parts are non-trivial
+    first = hist.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    rest = hist.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    build_dedup_lsh_index(first, idx)
+
+    def file_bytes():
+        out = {}
+        for root, _, files in os.walk(idx):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p), os.path.getsize(p)
+        return out
+
+    before = file_bytes()
+    append_dedup_lsh_index(rest, idx)
+    after = file_bytes()
+    for p, stamp in before.items():
+        assert after[p] == stamp, f"existing index file rewritten: {p}"
+    assert len(after) > len(before)  # append added files
+
+    probed = {
+        (r.doc_new, r.doc_hist)
+        for r in probe_dedup_lsh_index(spark, inc, idx).collect()
+    }
+    inplan = {
+        (r.doc_new, r.doc_hist)
+        for r in queries["dedup_incremental_lsh"](spark, sf_dir).collect()
+    }
+    assert probed == inplan
+
+
+def test_round4_incr_lsh_oracle_parity(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_utils import compare_query_to_oracle
+
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    queries, oracles = load_all()
+    compare_query_to_oracle(
+        queries["dedup_incremental_lsh"](spark, sf_dir),
+        oracles["dedup_incremental_lsh"],
+        sf_dir,
+    )
