@@ -81,6 +81,12 @@ HEADLINE = [
     "dedup_incremental_history",
     "dedup_substring_span_stats",
     "corpus_summary_report",
+    # round 4 (late): hard negatives, incremental near-dup gate,
+    # quality tiers, drift monitor
+    "ann_hard_negatives",
+    "dedup_incremental_lsh",
+    "curation_quality_tiers",
+    "dq_drift_report",
 ]
 
 
