@@ -962,3 +962,100 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_new", "doc_hist")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span REMOVAL (the rewrite counterpart of span *stats*)
+# ---------------------------------------------------------------------------
+
+SPAN_CHUNK_WORDS = 5  #: words per non-overlapping dedup chunk
+
+_SPAN_REWRITE_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(ws, i*{SPAN_CHUNK_WORDS}+1, i*{SPAN_CHUNK_WORDS}+{SPAN_CHUNK_WORDS}), ' ') AS chunk
+  FROM w, UNNEST(range(0, (len(ws) + {SPAN_CHUNK_WORDS - 1}) // {SPAN_CHUNK_WORDS})) AS t(i)),
+fo AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch),
+agg AS (
+  SELECT doc_id, count(*) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text
+  FROM fo WHERE rn = 1 GROUP BY doc_id),
+nc AS (SELECT doc_id, (len(ws) + {SPAN_CHUNK_WORDS - 1}) // {SPAN_CHUNK_WORDS} AS n_chunks FROM w)
+SELECT d.doc_id,
+       CAST(nc.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(agg.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM documents d JOIN nc USING (doc_id) LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query("dedup_span_rewrite", oracle=_SPAN_REWRITE_ORACLE)
+def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL: cut every repeated fixed-width
+    word chunk from all but its first (doc_id, position) occurrence and
+    reassemble the surviving text per document.
+
+    This is the rewrite counterpart of ``dedup_substring_span_stats``
+    (reference has no analog; pattern from Lee et al. arXiv:2107.06499
+    and C4's repeated-span removal): stats tell you how much boilerplate
+    a document carries, this operator actually strips it while keeping
+    exactly one canonical occurrence corpus-wide, so no content is lost.
+
+    Design for 100 TB: chunking is a map-only array transform (the
+    words array is materialized once per doc — no per-element re-split);
+    global first-occurrence election is ONE shuffle keyed by the chunk
+    digest (a window per digest group sorts only same-digest rows, a
+    handful each — at corpus scale the digest would be reduced to 8
+    bytes exactly like ``_exploded_shingle_hashes``); reassembly is one
+    doc-keyed aggregation whose in-group sort is bounded by document
+    length. Nothing is quadratic and no stage sorts globally.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(ws) - 1) div {SPAN_CHUNK_WORDS}), "
+                f"i -> concat_ws(' ', slice(ws, i*{SPAN_CHUNK_WORDS}+1, {SPAN_CHUNK_WORDS})))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("kept_chunks"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(chunk_idx, chunk))), x -> x.chunk)"
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    n_chunks = w.select(
+        "doc_id",
+        F.expr(f"(size(ws) + {SPAN_CHUNK_WORDS - 1}) div {SPAN_CHUNK_WORDS}")
+        .cast("bigint")
+        .alias("n_chunks"),
+    )
+    return (
+        n_chunks.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).cast("bigint").alias("kept_chunks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

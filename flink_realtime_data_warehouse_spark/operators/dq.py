@@ -297,3 +297,85 @@ def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (data-card metric)
+# ---------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+pos AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+tot AS (SELECT source, count(*) AS n FROM pos GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM pos a JOIN pos b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT src_a, src_b,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST((n_shared * 10000) // least(ta.n, tb.n) AS BIGINT) AS ov_bp
+FROM pairs
+JOIN tot ta ON ta.source = src_a
+JOIN tot tb ON tb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
+@query("dq_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def dq_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between corpus sources: for every source
+    pair, how many distinct 3-gram shingles they share, and that count
+    as basis points of the smaller source's shingle vocabulary.
+
+    A mixture designer reads this before assigning sampling weights —
+    two "different" crawls with 40% shingle overlap are not independent
+    evidence, and a high-overlap pair flags a mirrored/re-hosted source
+    (the cross-source form of the per-document containment check).
+
+    Design for 100 TB: shingles reduce to 8-byte hashes in the map
+    stage; the only large shuffles are one distinct over (source, hash)
+    and one hash-keyed self-join whose fan-out is bounded by sources
+    sharing a given shingle (<= |sources|, a small constant — never
+    |docs|^2). The pair aggregation output is |sources|^2/2 rows, a few
+    KB. Per-source totals ride the same distinct relation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("source", F.split("text", " ").alias("ws"))
+    shingle_expr = (
+        "CASE WHEN size(ws) >= 3 "
+        "THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    s_hash = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    pos = (
+        ws.select("source", F.explode(F.expr(shingle_expr)).alias("sh"))
+        .select("source", s_hash.alias("s"))
+        .distinct()
+    )
+    tot = pos.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = tot.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")
+    tb = tot.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.expr("(n_shared * 10000) div least(na, nb)")
+            .cast("bigint")
+            .alias("ov_bp"),
+        )
+        .orderBy("src_a", "src_b")
+    )

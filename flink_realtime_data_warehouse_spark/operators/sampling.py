@@ -390,3 +390,86 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language quality quota (top-N by score, no global sort)
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_LANG = 40  #: docs kept per language stratum
+
+
+def _quota_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        _TIER_SCORED_CTE,
+    )
+
+    return f"""
+WITH {_TIER_SCORED_CTE},
+ranked AS (
+  SELECT d.lang, s.doc_id, s.q,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.q DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id))
+SELECT lang, doc_id, CAST(q AS BIGINT) AS score_e4, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {QUOTA_PER_LANG} ORDER BY lang, rn
+"""
+
+
+@query("sample_quality_quota", oracle=_quota_oracle())
+def sample_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota selection: the top ``QUOTA_PER_LANG`` documents per
+    language by quality score (deterministic ``doc_id`` tiebreak) —
+    how a mixture designer caps a dominant stratum while keeping only
+    its best documents (complements ``sample_class_balanced``, which
+    caps by hash order, quality-blind).
+
+    Scale shape: the naive formulation is a corpus-wide per-stratum
+    sort (row_number over every doc). Here NO corpus-wide sort runs:
+    the bounded integer score domain (0..10000) is aggregated into a
+    per-lang histogram (map-side combinable; <= 10001 rows per lang),
+    a cumulative window over that tiny relation finds each stratum's
+    cutoff score (the score of the QUOTA-th best doc), the cutoffs
+    broadcast back as a filter, and the exact rank window runs only
+    over the ~QUOTA survivors per lang. Equivalent to the direct
+    window — excluded docs all rank strictly below every survivor —
+    which is exactly what the oracle states in its naive form.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        quality_score_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "doc_id", F.expr(quality_score_sql()).alias("q")
+    )
+    hist = scored.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy(F.col("q").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.coalesce(
+            F.min(F.when(F.col("cc") >= QUOTA_PER_LANG, F.col("q"))), F.lit(-1)
+        ).alias("cut")
+    )
+    survivors = scored.join(F.broadcast(cuts), "lang").filter(
+        F.col("q") >= F.col("cut")
+    )
+    rank_w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    return (
+        survivors.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("q").cast("bigint").alias("score_e4"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("lang", "rn")
+    )
