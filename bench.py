@@ -87,6 +87,11 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "curation_quality_tiers",
     "dq_drift_report",
+    # round 4 (closing): span removal rewrite, source overlap matrix,
+    # per-lang quality quota
+    "dedup_span_rewrite",
+    "dq_source_overlap",
+    "sample_quality_quota",
 ]
 
 
