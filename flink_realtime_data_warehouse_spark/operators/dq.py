@@ -336,11 +336,12 @@ def dq_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cross-source form of the per-document containment check).
 
     Design for 100 TB: shingles reduce to 8-byte hashes in the map
-    stage; the only large shuffles are one distinct over (source, hash)
-    and one hash-keyed self-join whose fan-out is bounded by sources
-    sharing a given shingle (<= |sources|, a small constant — never
-    |docs|^2). The pair aggregation output is |sources|^2/2 rows, a few
-    KB. Per-source totals ride the same distinct relation.
+    stage; ONE hash-keyed aggregation per shingle collects the (small,
+    <= |sources|) distinct source set, pairs explode from that bounded
+    array map-side, and the pair counts aggregate into |sources|^2/2
+    rows — never a row-level self-join, never |docs|^2. Per-source
+    totals ride the same aggregated relation (explode of the source
+    set), so the shingle relation shuffles exactly once.
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("source", F.split("text", " ").alias("ws"))
@@ -350,18 +351,27 @@ def dq_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE CAST(array() AS array<string>) END"
     )
     s_hash = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
-    pos = (
+    # one shuffle: per-shingle distinct source set (bounded by |sources|)
+    srcsets = (
         ws.select("source", F.explode(F.expr(shingle_expr)).alias("sh"))
         .select("source", s_hash.alias("s"))
-        .distinct()
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    tot = pos.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a, b = pos.alias("a"), pos.alias("b")
+    tot = (
+        srcsets.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # unordered pairs generated map-side from the tiny sorted array
+    pair_expr = (
+        "flatten(transform(sequence(0, size(srcs) - 2), i -> "
+        "transform(sequence(i + 1, size(srcs) - 1), j -> struct(srcs[i] AS src_a, srcs[j] AS src_b))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
+        srcsets.filter(F.size("srcs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     ta = tot.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")
