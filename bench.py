@@ -92,6 +92,7 @@ HEADLINE = [
     "dedup_span_rewrite",
     "dq_source_overlap",
     "sample_quality_quota",
+    "text_collocation_lift",
 ]
 
 

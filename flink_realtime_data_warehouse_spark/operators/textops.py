@@ -610,3 +610,103 @@ def curation_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tier", F.col("tier").cast("bigint"))
         .orderBy("tier")
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (PMI-style bigram lift)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_COUNT = 5  #: minimum bigram occurrences to report
+COLLOC_TOP_K = 50
+
+#: staged integer lift — BOTH engines evaluate the divisions in this
+#: exact order, so the result is bit-identical (and each intermediate
+#: stays far below int64: c_ab*N_uni*100 <= ~1e12 at sf0.1; at true
+#: corpus scale promote the chain to DECIMAL(38,0) on both sides)
+_COLLOC_LIFT = (
+    "(( (c_ab * n_uni * 100) {div} c_a ) * n_uni) {div} (c_b * n_bi)"
+)
+
+_COLLOC_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c_ab
+  FROM w, UNNEST(CASE WHEN len(ws) >= 2 THEN range(1, len(ws)) ELSE [] END) AS t(i)
+  GROUP BY 1, 2),
+uni AS (
+  SELECT u.w, count(*) AS c
+  FROM w, UNNEST(ws) AS u(w) GROUP BY 1),
+n AS (
+  SELECT (SELECT sum(c) FROM uni) AS n_uni,
+         (SELECT sum(c_ab) FROM bi) AS n_bi)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       CAST({_COLLOC_LIFT.format(div='//')} AS BIGINT) AS lift_e2
+FROM (
+  SELECT bi.w1, bi.w2, bi.c_ab, ua.c AS c_a, ub.c AS c_b, n.n_uni, n.n_bi
+  FROM bi JOIN uni ua ON ua.w = bi.w1
+          JOIN uni ub ON ub.w = bi.w2
+          CROSS JOIN n
+  WHERE bi.c_ab >= {COLLOC_MIN_COUNT})
+ORDER BY lift_e2 DESC, w1, w2 LIMIT {COLLOC_TOP_K}
+"""
+
+
+@query("text_collocation_lift", oracle=_COLLOC_ORACLE)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the corpus's top adjacent-bigram
+    collocations ranked by lift (PMI without the log — the observed
+    bigram rate over the rate independence predicts), the classic
+    phrase-discovery pass a tokenizer/vocab builder runs before
+    merging multi-word units.
+
+    Design for 100 TB: bigram and unigram counts are two map-side-
+    combinable aggregations over exploded tokens (the heavy shuffles,
+    both keyed by token text — at scale reduce to 8-byte token hashes
+    exactly like the shingle ops); the unigram relation is vocabulary-
+    sized, so its two joins back onto bigram counts broadcast; corpus
+    totals are one-row broadcast scalars. The lift arithmetic is a
+    staged integer chain evaluated in the identical order by the
+    DuckDB oracle, so the ranking is engine-exact (no float PMI
+    round-trip).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("ws"))
+    bi = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), "
+                    "i -> struct(ws[i] AS w1, ws[i+1] AS w2)) "
+                    "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        w.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.expr(_COLLOC_LIFT.format(div="div"))
+            .cast("bigint")
+            .alias("lift_e2"),
+        )
+        .orderBy(F.col("lift_e2").desc(), "w1", "w2")
+        .limit(COLLOC_TOP_K)
+    )
