@@ -93,6 +93,8 @@ HEADLINE = [
     "dq_source_overlap",
     "sample_quality_quota",
     "text_collocation_lift",
+    "export_user_event_sequences",
+    "split_temporal_embargo",
 ]
 
 

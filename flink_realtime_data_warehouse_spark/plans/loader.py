@@ -17,6 +17,7 @@ def load_all() -> tuple[dict, dict]:
     import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.dq  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.entity  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.export  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.graph  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.pq  # noqa: F401
