@@ -95,6 +95,7 @@ HEADLINE = [
     "text_collocation_lift",
     "export_user_event_sequences",
     "split_temporal_embargo",
+    "dq_lang_confusion",
 ]
 
 

@@ -389,3 +389,98 @@ def dq_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# declared-vs-predicted language confusion matrix
+# ---------------------------------------------------------------------------
+
+#: the same marker profiles as functions.text.PROFILES, but evaluated
+#: as pure SQL (shared verbatim between Spark and the DuckDB oracle) so
+#: the classifier is oracle-checkable in-plan — the Arrow UDF in
+#: functions/text.py remains the streaming-side form of the same model
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " to ", " is ", " in ", "ing ", " that "),
+    "fr": (" le ", " la ", " les ", " et ", " de ", " est ", " une ", " que "),
+    "de": (" der ", " die ", " das ", " und ", " ist ", " nicht ", "sch", " ein "),
+    "es": (" el ", " la ", " los ", " y ", " de ", " es ", " una ", " que "),
+    "zh": ("的", "是", "了", "在", "我", "不", "人", "有"),
+}
+
+
+def _lang_pred_sql(div: str) -> str:
+    """Predicted-language CASE expression over a padded column ``p``.
+
+    Marker occurrences = chars-removed-by-replace // marker-length;
+    the CASE walks profiles in the fixed registration order, so ties
+    resolve to the earlier language exactly like the Python UDF's
+    first-strictly-greater loop."""
+
+    def count(m: str) -> str:
+        esc = m.replace("'", "''")
+        return f"((length(p) - length(replace(p, '{esc}', ''))) {div} {len(m)})"
+
+    scores = {
+        lang: " + ".join(count(m) for m in markers)
+        for lang, markers in _LANG_PROFILES.items()
+    }
+    score_cols = ", ".join(f"({v}) AS s_{k}" for k, v in scores.items())
+    langs = list(_LANG_PROFILES)
+    whens = []
+    for lang in langs:
+        others = ", ".join(f"s_{o}" for o in langs if o != lang)
+        whens.append(
+            f"WHEN s_{lang} > 0 AND s_{lang} >= greatest({others}) THEN '{lang}'"
+        )
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return score_cols, case
+
+
+_LP_SCORES, _LP_CASE = _lang_pred_sql("//")
+_LP_SCORES_SPARK, _LP_CASE_SPARK = _lang_pred_sql("div")
+
+_LANG_CONFUSION_ORACLE = f"""
+WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+s AS (SELECT doc_id, lang, {_LP_SCORES} FROM p),
+pred AS (SELECT lang AS declared, {_LP_CASE} AS predicted FROM s)
+SELECT declared, predicted, count(*) AS n_docs,
+       (declared = predicted) AS agree
+FROM pred GROUP BY declared, predicted ORDER BY declared, predicted
+"""
+
+
+@query("dq_lang_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def dq_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label audit: declared ``lang`` column vs the n-gram
+    marker classifier's prediction, as a confusion matrix — the check
+    a curation pipeline runs to find mislabeled-language partitions
+    before per-language mixture weights are trusted.
+
+    The classifier here is the SAME marker model as the streaming-side
+    Arrow UDF (``functions/text.py::lang_id``) but expressed as pure
+    SQL string expressions — 40 replace/length terms, all map-only
+    whole-stage codegen, zero Python in the plan — so the whole audit
+    is one scan plus a tiny (|langs|², ≤ 36-row) aggregation and is
+    bit-identical on any engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "lang", F.expr("' ' || lower(text) || ' '").alias("p")
+    )
+    s = p.select("lang", F.expr(f"struct({_LP_SCORES_SPARK})").alias("sc")).select(
+        "lang", F.col("sc.*")
+    )
+    pred = s.select(
+        F.col("lang").alias("declared"), F.expr(_LP_CASE_SPARK).alias("predicted")
+    )
+    return (
+        pred.groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "declared",
+            "predicted",
+            "n_docs",
+            (F.col("declared") == F.col("predicted")).alias("agree"),
+        )
+        .orderBy("declared", "predicted")
+    )
