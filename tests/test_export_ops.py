@@ -36,6 +36,18 @@ def test_sequence_export_cap_and_total(spark, sf_dir):
     df.unpersist()
 
 
+def test_sequence_export_single_hash_exchange(spark, sf_dir):
+    """The rank/count windows and the final aggregation all key on
+    user_id — Catalyst must plan exactly ONE hash exchange (the
+    orderBy's range exchange is presentation, not data movement
+    between compute stages)."""
+    import re
+
+    df = _QUERIES["export_user_event_sequences"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_temporal_embargo_no_leakage_window(spark, sf_dir):
     df = _QUERIES["split_temporal_embargo"](spark, sf_dir).cache()
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
