@@ -44,8 +44,8 @@ def word_shingles(col_name: str = "text", n: int = 3) -> Column:
     )
 
 
-def _exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle-hash) rows, duplicates included.
+def _exploded_shingle_hashes(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """(key, shingle-hash) rows, duplicates included.
 
     The words array is materialized in a projection BEFORE the
     transform lambda — inlining split() into the lambda re-evaluates
@@ -55,15 +55,15 @@ def _exploded_shingle_hashes(docs: DataFrame) -> DataFrame:
     1M shingles ≈ 4e-7 — and the oracle uses the byte-identical
     reduction, so parity is exact either way).
     """
-    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = docs.select(key, F.split("text", " ").alias("ws"))
     shingle_expr = (
         "CASE WHEN size(ws) >= 3 "
         "THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
         "ELSE CAST(array() AS array<string>) END"
     )
     s_hash = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint")
-    return ws.select("doc_id", F.explode(F.expr(shingle_expr)).alias("s")).select(
-        "doc_id", s_hash.alias("s")
+    return ws.select(key, F.explode(F.expr(shingle_expr)).alias("s")).select(
+        key, s_hash.alias("s")
     )
 
 
@@ -279,15 +279,13 @@ ORDER BY doc_a, doc_b
 
 
 def minhash_lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs (doc_a < doc_b), unsorted."""
-    sig = minhash_signatures(docs)
-    stack_args = ", ".join(
-        f"{b}, concat_ws('|', "
-        + ", ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
-        + ")"
-        for b in range(_N_BANDS)
-    )
-    bands = sig.selectExpr("doc_id", f"stack({_N_BANDS}, {stack_args}) AS (band, key)")
+    """Banded-LSH candidate pairs (doc_a < doc_b), unsorted.
+
+    The band rows come from ``band_keys`` — the SAME construction the
+    persisted incremental index uses, so the in-plan pairs and the
+    build/append/probe path can never diverge on banding scheme.
+    """
+    bands = band_keys(docs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -708,19 +706,21 @@ def incremental_dedup(incoming: DataFrame, history_hashes: DataFrame) -> DataFra
             .otherwise(F.lit("new"))
             .alias("status"),
         )
-        .orderBy("doc_id")
     )
 
 
 @query("dedup_incremental_history", oracle=_INCR_ORACLE)
 def dedup_incremental_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark entry: docs with ``doc_id % 5 != 4`` play the ingested
-    history, the rest arrive as the new crawl batch."""
+    history, the rest arrive as the new crawl batch. The deterministic
+    ordering lives HERE (oracle presentation) — the reusable operator
+    stays unsorted so per-micro-batch callers don't pay a global
+    sort-exchange whose order the next join destroys."""
     docs = load_table(spark, sf_dir, "documents")
     is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
     history = docs.filter(~is_inc).select(F.md5("text").alias("content_hash"))
     incoming = docs.filter(is_inc).select("doc_id", "text")
-    return incremental_dedup(incoming, history)
+    return incremental_dedup(incoming, history).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -227,8 +227,8 @@ totals AS (
   FROM counts GROUP BY feature),
 tvd AS (
   SELECT c.feature,
-         CAST(sum(abs((c.h_cnt * 10000) // t.n_hist
-                      - (c.i_cnt * 10000) // t.n_inc)) // 2 AS BIGINT) AS tvd_bp
+         CAST(sum(abs((c.h_cnt * 10000) // greatest(t.n_hist, 1)
+                      - (c.i_cnt * 10000) // greatest(t.n_inc, 1))) // 2 AS BIGINT) AS tvd_bp
   FROM counts c JOIN totals t USING (feature)
   GROUP BY c.feature)
 SELECT t.feature, tt.n_hist, tt.n_inc, t.tvd_bp,
@@ -253,6 +253,12 @@ def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices aggregate in ONE conditional-count pass over (feature, bin)
     — the corpus is scanned once, shuffles only the tiny histogram.
     All ratios are integer basis points (exact on every engine).
+
+    Degenerate slices FAIL CLOSED: an empty incoming (or history)
+    slice divides by ``greatest(n, 1)``, so its fractions read as all
+    zero and the TVD lands near 5000 bp — well above the gate — and
+    ``drifted`` fires instead of silently reporting NULL (a monitoring
+    query must alarm on a day with no data, not go quiet).
     """
     docs = load_table(spark, sf_dir, "documents")
     feat = docs.select(
@@ -281,8 +287,8 @@ def dq_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("feature")
         .agg(
             F.expr(
-                "sum(abs((h_cnt * 10000) div n_hist"
-                " - (i_cnt * 10000) div n_inc)) div 2"
+                "sum(abs((h_cnt * 10000) div greatest(n_hist, 1)"
+                " - (i_cnt * 10000) div greatest(n_inc, 1))) div 2"
             ).alias("tvd_bp")
         )
     )
@@ -343,18 +349,17 @@ def dq_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals ride the same aggregated relation (explode of the source
     set), so the shingle relation shuffles exactly once.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("source", F.split("text", " ").alias("ws"))
-    shingle_expr = (
-        "CASE WHEN size(ws) >= 3 "
-        "THEN transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
-        "ELSE CAST(array() AS array<string>) END"
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _exploded_shingle_hashes,
     )
-    s_hash = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
-    # one shuffle: per-shingle distinct source set (bounded by |sources|)
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one shuffle: per-shingle distinct source set (bounded by |sources|);
+    # the shingle construction + 60-bit hash reduction is dedup's shared
+    # helper, so this matrix can never drift from the per-document
+    # containment check it cross-source-izes
     srcsets = (
-        ws.select("source", F.explode(F.expr(shingle_expr)).alias("sh"))
-        .select("source", s_hash.alias("s"))
+        _exploded_shingle_hashes(docs, key="source")
         .groupBy("s")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
@@ -408,8 +413,9 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _lang_pred_sql(div: str) -> str:
-    """Predicted-language CASE expression over a padded column ``p``.
+def _lang_pred_sql(div: str) -> tuple[str, str]:
+    """(score-columns SQL, predicted-language CASE SQL) over a padded
+    column ``p``.
 
     Marker occurrences = chars-removed-by-replace // marker-length;
     the CASE walks profiles in the fixed registration order, so ties

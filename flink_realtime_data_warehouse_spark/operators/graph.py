@@ -60,9 +60,7 @@ def _union_find_single_partition(sym: DataFrame) -> DataFrame:
                 x = parent[x]
             return x
 
-        cols = None
         for pdf in batches:
-            cols = pdf.columns
             for a, b in zip(pdf["src"], pdf["dst"]):
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)

@@ -511,25 +511,50 @@ def start_history_dedup_ingest(
     runs shuffle-free on the history side at 100 TB.
 
     Replay idempotency: every sink (including the digest store) writes
-    under a ``pbatch=<batch_id>`` dynamic-overwrite partition, and the
-    classify step reads the store EXCLUDING the current batch's own
-    partition — a replayed batch therefore never sees the digests its
-    failed first attempt wrote, and re-derives the identical verdicts
-    (pinned by test_streaming_history_dedup.py::test_replay_idempotent).
+    under a ``pbatch=<run_id>-<batch_id>`` dynamic-overwrite partition,
+    where ``run_id`` derives deterministically from the CHECKPOINT path
+    — so a batch redelivered after a mid-batch crash (same checkpoint,
+    same batch_id) lands on its own partition and re-derives identical
+    verdicts, because the classify step reads the store EXCLUDING the
+    current partition (pinned by
+    test_streaming_history_dedup.py::test_replay_idempotent_same_checkpoint).
+    A NEW job incarnation (fresh checkpoint) gets a fresh run_id: its
+    batch 0 can never collide with — and silently dynamic-overwrite —
+    a prior incarnation's ``pbatch=0`` history, and its documents
+    classify against everything every earlier incarnation ingested
+    (the "remembers forever" contract; re-submitting the same corpus
+    under a new checkpoint therefore routes it to ``dups``, not to a
+    second copy in ``clean``).
+
+    The digest-store read fails LOUDLY on storage errors: only the
+    does-not-exist-yet cold start yields an empty history (an explicit
+    filesystem existence probe, not a broad except — a transient read
+    fault must fail the batch and let the checkpoint retry it, never
+    classify known duplicates as new).
     """
+    import hashlib
+
     from flink_realtime_data_warehouse_spark.operators.dedup import incremental_dedup
 
     digests_path = f"{out_root}/digests"
+    run_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+
+    def _digest_store_exists() -> bool:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(digests_path)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(path))
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        pbatch = f"{run_id}-{batch_id}"
         batch = batch.dropDuplicates(["doc_id"])
-        try:
+        if _digest_store_exists():
             history = spark.read.parquet(digests_path).filter(
-                F.col("pbatch") != batch_id
+                F.col("pbatch") != pbatch
             )
-        except Exception:
+        else:
             history = spark.createDataFrame(
-                [], "content_hash string, pbatch bigint"
+                [], "content_hash string, pbatch string"
             )
         statuses = incremental_dedup(
             batch.select("doc_id", "text"), history
@@ -538,7 +563,7 @@ def start_history_dedup_ingest(
 
         def _sink(df: DataFrame, path: str) -> None:
             (
-                df.withColumn("pbatch", F.lit(batch_id).cast("bigint"))
+                df.withColumn("pbatch", F.lit(pbatch))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("pbatch")

@@ -193,22 +193,22 @@ class DimStore:
         n_parts = int(meta["n_partitions"])
         path = self._path(table)
         key_col = keys.columns[0]
-        key_df = keys.select(F.col(key_col).cast("string").alias(pk)).distinct()
+        # hash the key at the STORED pk dtype — upsert partitions by
+        # xxhash64 of the native value, and xxhash64('3') != xxhash64(3L):
+        # a string-cast here would target the wrong buckets for any
+        # non-string PK and the erasure would silently delete nothing
+        stored = self.spark.read.option("mergeSchema", "true").parquet(path)
+        pk_type = dict(zip(stored.schema.names, [f.dataType for f in stored.schema.fields]))[pk]
+        key_df = keys.select(F.col(key_col).cast(pk_type).alias(pk)).distinct()
         part_expr = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_parts)).cast("int")
         touched = [
             r[0] for r in key_df.select(part_expr.alias("p")).distinct().collect()
         ]
         if not touched:
             return 0
-        current = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(path)
-            .filter(F.col("_pk_part").isin(touched))
-        )
+        current = stored.filter(F.col("_pk_part").isin(touched))
         before = current.count()
-        kept = current.join(
-            F.broadcast(key_df), current[pk].cast("string") == key_df[pk], "left_anti"
-        )
+        kept = current.join(F.broadcast(key_df), pk, "left_anti")
         after = kept.count()
         tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
         kept.write.mode("overwrite").partitionBy("_pk_part").parquet(tmp)

@@ -109,7 +109,17 @@ def _canon(df: pd.DataFrame) -> tuple[dict[str, str], list[tuple]]:
 
 
 def _is_na_scalar(v) -> bool:
+    """True only for genuine NULL carriers (None / NaT / pd.NA).
+
+    Float NaN is deliberately NOT null here: it flows through ``_norm``
+    to the distinct ('f', 'NaN') token. In float64 columns pandas
+    renders NULL as NaN on BOTH sides identically, so parity is
+    unaffected — but in object-typed columns pandas preserves the
+    None-vs-NaN distinction and so does the driver's hash; collapsing
+    them locally would hide a real driver-side mismatch."""
     if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        return False
+    if isinstance(v, (float, np.floating)) and math.isnan(v):
         return False
     res = pd.isna(v)
     return bool(res) if isinstance(res, (bool, np.bool_)) else False

@@ -314,3 +314,27 @@ def test_dim_store_delete_touched_partitions_only(spark, tmp_path):
     assert store.delete("dim_t", spark.createDataFrame([("999",)], ["id"])) == 0
     # deleting from a table that does not exist is a zero, not a crash
     assert store.delete("no_such_table", keys) == 0
+
+
+def test_dim_store_delete_non_string_pk(spark, tmp_path):
+    """Erasure on a BIGINT-PK table: upsert partitions by the native
+    key's xxhash64, so delete must hash at the stored dtype — and must
+    work whether the erasure request arrives typed or as strings."""
+    store = DimStore(spark, str(tmp_path / "dim"), n_partitions=8)
+    seed = spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(64)], "id bigint, tm_name string"
+    )
+    store.upsert("dim_n", seed)
+
+    # native-typed keys
+    assert store.delete(
+        "dim_n", spark.createDataFrame([(3,), (17,)], "id bigint")
+    ) == 2
+    got = {r["id"] for r in store.read("dim_n").collect()}
+    assert 3 not in got and 17 not in got and len(got) == 62
+
+    # string keys against the bigint table: cast to the stored dtype
+    assert store.delete(
+        "dim_n", spark.createDataFrame([("25",)], "id string")
+    ) == 1
+    assert 25 not in {r["id"] for r in store.read("dim_n").collect()}

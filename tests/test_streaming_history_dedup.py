@@ -67,10 +67,24 @@ def test_history_survives_job_restart(spark, tmp_path):
     )
     q.awaitTermination(150)
     dups = spark.read.parquet(str(tmp_path / "out" / "dups"))
-    assert {r.doc_id: r.status for r in dups.collect()} == {2: "dup_history"}
+    # the fresh checkpoint re-reads b1 too: doc 1 (already ingested by
+    # incarnation 1) correctly classifies dup_history instead of being
+    # silently re-admitted — exactly one copy of each text in clean
+    assert {r.doc_id: r.status for r in dups.collect()} == {
+        1: "dup_history",
+        2: "dup_history",
+    }
+    clean = spark.read.parquet(str(tmp_path / "out" / "clean"))
+    assert sorted(r.doc_id for r in clean.collect()) == [1]
 
 
-def test_replay_idempotent(spark, tmp_path):
+def test_replay_idempotent_same_checkpoint(spark, tmp_path):
+    """True replay = Spark redelivering a batch from the SAME checkpoint
+    (e.g. after a crash between sink write and commit). The redelivered
+    batch has the same batch_id and run_id, so it overwrites its own
+    partition and must not see its own first-attempt digests."""
+    import shutil
+
     src = str(tmp_path / "docs")
     os.makedirs(src, exist_ok=True)
     _write_batch(src, "b1.jsonl", [
@@ -81,10 +95,11 @@ def test_replay_idempotent(spark, tmp_path):
     before_clean = sorted(
         r.doc_id for r in spark.read.parquet(str(tmp_path / "out" / "clean")).collect()
     )
-    # replay the SAME input from a fresh checkpoint: the batch's own
-    # digests (written by the first run under some pbatch) must not
-    # make its docs classify as dup_history; partitions overwrite
-    _run(spark, tmp_path, "ckpt2")
+    # simulate the crash-after-write: erase the commit marker so the
+    # restarted query redelivers batch 0 with the SAME batch_id
+    commits = tmp_path / "ckpt1" / "commits"
+    shutil.rmtree(str(commits))
+    _run(spark, tmp_path, "ckpt1")
     clean = spark.read.parquet(str(tmp_path / "out" / "clean"))
     assert sorted(r.doc_id for r in clean.collect()) == before_clean == [1, 2]
     dups_dir = str(tmp_path / "out" / "dups")
@@ -93,3 +108,42 @@ def test_replay_idempotent(spark, tmp_path):
             assert spark.read.parquet(dups_dir).count() == 0
         except Exception:
             pass  # empty sink dir with no parquet footers
+
+
+def test_new_incarnation_preserves_history_and_rededups(spark, tmp_path):
+    """A fresh-checkpoint rerun is a NEW incarnation, not a replay: its
+    batch ids restart at 0 but its run_id differs, so it must NOT
+    dynamic-overwrite the prior incarnation's pbatch=...-0 partitions,
+    and re-submitted documents classify as dup_history (exactly one
+    copy ever reaches clean)."""
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(src, "b1.jsonl", [
+        {"doc_id": 1, "text": "doc one"},
+        {"doc_id": 2, "text": "doc two"},
+    ])
+    _run(spark, tmp_path, "ckpt1")
+    # second incarnation over the same corpus plus one new doc
+    src2 = str(tmp_path / "docs2")
+    os.makedirs(src2, exist_ok=True)
+    _write_batch(src2, "c1.jsonl", [
+        {"doc_id": 11, "text": "doc one"},
+        {"doc_id": 12, "text": "a genuinely new doc"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src2)
+    )
+    q = start_history_dedup_ingest(
+        spark, stream, str(tmp_path / "out"), str(tmp_path / "ckpt2")
+    )
+    q.awaitTermination(150)
+    clean = spark.read.parquet(str(tmp_path / "out" / "clean"))
+    # incarnation-1 clean rows survived; only the new doc was admitted
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2, 12]
+    dups = spark.read.parquet(str(tmp_path / "out" / "dups"))
+    assert {r.doc_id: r.status for r in dups.collect()} == {11: "dup_history"}
+    # digest store holds one hash per distinct content, across incarnations
+    digests = spark.read.parquet(str(tmp_path / "out" / "digests"))
+    assert digests.select("content_hash").distinct().count() == 3
