@@ -96,6 +96,7 @@ HEADLINE = [
     "export_user_event_sequences",
     "split_temporal_embargo",
     "dq_lang_confusion",
+    "events_winsorized_stats",
 ]
 
 
