@@ -97,6 +97,7 @@ HEADLINE = [
     "split_temporal_embargo",
     "dq_lang_confusion",
     "events_winsorized_stats",
+    "search_hybrid_rrf",
 ]
 
 

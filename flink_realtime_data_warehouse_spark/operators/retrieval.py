@@ -58,8 +58,9 @@ BM25_QUERIES: list[tuple[str, str]] = [
 
 _QUERY_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
 
-_BM25_ORACLE = f"""
-WITH qt(query_id, term) AS (VALUES {_QUERY_VALUES}),
+#: shared CTE chain (query terms -> per-doc BM25 ranks) reused by the
+#: plain BM25 oracle and the hybrid RRF fusion oracle
+_BM25_RANKED_CTE = f"""qt(query_id, term) AS (VALUES {_QUERY_VALUES}),
 corpus AS (
   SELECT count(*)::DOUBLE AS n,
          avg(len(string_split(text, ' ')))::DOUBLE AS avgdl
@@ -95,7 +96,10 @@ ranked AS (
   SELECT query_id, doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY score_e6 DESC, doc_id) AS rnk
-  FROM scored)
+  FROM scored)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_RANKED_CTE}
 SELECT query_id, doc_id, score_e6, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= {BM25_TOPK}
 ORDER BY query_id, rnk
@@ -187,3 +191,136 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(spark, docs, BM25_QUERIES)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: sparse (BM25) + dense (embedding cosine) rank fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  #: the standard reciprocal-rank-fusion damping constant
+HYBRID_TOPK = 10
+#: per-query dense anchors: the query's embedding is played by a fixed
+#: corpus vector (in production the encoder embeds the query text)
+HYBRID_ANCHORS: list[tuple[str, int]] = [("q_stream", 0), ("q_join", 1)]
+
+_ANCHOR_VALUES = ", ".join(f"('{q}', {a})" for q, a in HYBRID_ANCHORS)
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_RANKED_CTE},
+sparse AS (
+  SELECT query_id, doc_id, rnk AS r_sparse FROM ranked WHERE rnk <= {HYBRID_TOPK}),
+anchors(query_id, anchor_id) AS (VALUES {_ANCHOR_VALUES}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+av AS (SELECT a.query_id, e.v AS av FROM anchors a JOIN e ON e.vec_id = a.anchor_id),
+dscore AS (
+  SELECT av.query_id, e.vec_id AS doc_id,
+         CAST(round(
+           list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * av.av[i]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(av.av, x -> x * x))))
+           * 1000000.0) AS BIGINT) AS cs_e6
+  FROM e CROSS JOIN av),
+dense AS (
+  SELECT query_id, doc_id, r_dense FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs_e6 DESC, doc_id) AS r_dense
+    FROM dscore)
+  WHERE r_dense <= {HYBRID_TOPK}),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         coalesce(1000000 // ({RRF_K} + s.r_sparse), 0)
+           + coalesce(1000000 // ({RRF_K} + d.r_dense), 0) AS rrf_e6
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+SELECT query_id, doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT query_id, doc_id, rrf_e6,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_e6 DESC, doc_id) AS rnk
+  FROM fused)
+WHERE rnk <= {HYBRID_TOPK}
+ORDER BY query_id, rnk
+"""
+
+
+@query("search_hybrid_rrf", oracle=_HYBRID_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion: the BM25 lexical
+    top-k and an embedding-cosine dense top-k merge per query with
+    ``score = Σ 1/(60 + rank)`` (Cormack et al.'s RRF, the standard
+    rank-level fusion that needs no score calibration between arms).
+    A doc present in only one arm still fuses (outer join; the absent
+    arm contributes zero) — realistic, since at corpus scale not every
+    document carries an embedding.
+
+    Scale shape: each arm is already a scale-shaped top-k (BM25's
+    query-vocabulary-restricted inverted index; the dense arm streams
+    the embedding table past a broadcast anchor block — at real scale
+    the IVF/PQ probe replaces the linear scan, same contract). Fusion
+    itself touches only 2·k rows per query: a per-query outer join and
+    a window over ≤ 2·k rows. All scores integer (1e-6 quantized),
+    ranking engine-exact.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import cosine_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = (
+        bm25_topk(spark, docs, BM25_QUERIES)
+        .filter(F.col("rnk") <= HYBRID_TOPK)
+        .select("query_id", "doc_id", F.col("rnk").alias("r_sparse"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = spark.createDataFrame(
+        HYBRID_ANCHORS, "query_id string, anchor_id bigint"
+    )
+    av = (
+        emb.join(F.broadcast(anchors), emb["vec_id"] == anchors["anchor_id"])
+        .select("query_id", F.col("v").alias("av"))
+    )
+    dscore = emb.crossJoin(F.broadcast(av)).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_expr(F.col("v"), F.col("av")) * 1_000_000.0)
+        .cast("bigint")
+        .alias("cs_e6"),
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(F.col("cs_e6").desc(), "doc_id")
+    dense = (
+        dscore.withColumn("r_dense", F.row_number().over(w_dense))
+        .filter(F.col("r_dense") <= HYBRID_TOPK)
+        .select("query_id", "doc_id", "r_dense")
+    )
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + r_sparse)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + r_dense)"), F.lit(0)
+                )
+            ).alias("rrf_e6"),
+        )
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.col("rrf_e6").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f))
+        .filter(F.col("rnk") <= HYBRID_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rrf_e6").cast("bigint").alias("rrf_e6"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("query_id", "rnk")
+    )
