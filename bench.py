@@ -98,6 +98,7 @@ HEADLINE = [
     "dq_lang_confusion",
     "events_winsorized_stats",
     "search_hybrid_rrf",
+    "sample_token_budget",
 ]
 
 

@@ -473,3 +473,109 @@ def sample_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (greedy by quality, no corpus sort)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 20_000  #: total training-token budget for the selection
+
+
+def _token_budget_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        _TIER_SCORED_CTE,
+    )
+
+    return f"""
+WITH {_TIER_SCORED_CTE},
+sized AS (
+  SELECT s.doc_id, s.q, len(string_split(d.text, ' ')) AS nw
+  FROM scored s JOIN documents d USING (doc_id)),
+ordered AS (
+  SELECT doc_id, q, nw,
+         sum(nw) OVER (ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nw AS cum_before
+  FROM sized)
+SELECT doc_id, CAST(q AS BIGINT) AS score_e4, CAST(nw AS BIGINT) AS n_tokens
+FROM ordered WHERE cum_before < {TOKEN_BUDGET}
+ORDER BY q DESC, doc_id
+"""
+
+
+@query("sample_token_budget", oracle=_token_budget_oracle())
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents (quality-score order, ``doc_id``
+    tiebreak) until a global TOKEN budget is spent — the greedy
+    selection a team runs when the training budget is "N tokens", not
+    "N documents". A document is admitted iff the token mass of every
+    strictly-better document leaves room for at least one of its
+    tokens (``cum_before < budget`` — the crossing doc is included, so
+    the budget is always reached when the corpus can fill it).
+
+    Scale shape: the oracle's formulation is a corpus-wide sort +
+    running sum. Here NO corpus sort runs: per-score token mass
+    aggregates into a bounded histogram (≤ 10001 rows), a cumulative
+    window over the histogram classifies every score as full-keep
+    (strictly-better mass + own mass fits), full-drop (strictly-better
+    mass already ≥ budget), or THE single boundary score; only the
+    boundary score's documents (one score group) pay an exact
+    prefix-sum window. Provably identical to the naive order because
+    admission depends only on (strictly-better mass, within-score
+    prefix) — exactly what the two phases compute.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        quality_score_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.expr(quality_score_sql()).alias("q"),
+        F.size(F.split("text", " ")).cast("bigint").alias("nw"),
+    )
+    hist = sized.groupBy("q").agg(F.sum("nw").alias("mass"))
+    cum = hist.withColumn(
+        "pre",
+        F.coalesce(
+            F.sum("mass").over(
+                Window.orderBy(F.col("q").desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    verdict = cum.select(
+        "q",
+        F.when(F.col("pre") + F.col("mass") <= TOKEN_BUDGET, F.lit("keep"))
+        .when(F.col("pre") >= TOKEN_BUDGET, F.lit("drop"))
+        .otherwise(F.lit("boundary"))
+        .alias("v"),
+        "pre",
+    )
+    tagged = sized.join(F.broadcast(verdict), "q")
+    kept_full = tagged.filter(F.col("v") == "keep")
+    w_in = (
+        Window.partitionBy("q")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        tagged.filter(F.col("v") == "boundary")
+        .withColumn("within_before", F.coalesce(F.sum("nw").over(w_in), F.lit(0)))
+        .filter(F.col("pre") + F.col("within_before") < TOKEN_BUDGET)
+        .drop("within_before")
+    )
+    return (
+        kept_full.unionByName(kept_boundary)
+        .select(
+            "doc_id",
+            F.col("q").cast("bigint").alias("score_e4"),
+            F.col("nw").alias("n_tokens"),
+        )
+        .orderBy(F.col("score_e4").desc(), "doc_id")
+    )

@@ -68,3 +68,25 @@ def test_temporal_embargo_no_leakage_window(spark, sf_dir):
     # nonempty whenever events span the gap densely (our fixtures do)
     assert EMBARGO_TRAIN_PCT < EMBARGO_TEST_PCT
     df.unpersist()
+
+
+def test_token_budget_greedy_bounds(spark, sf_dir):
+    """The selection spends the budget exactly greedily: total selected
+    token mass reaches the budget and overshoots by less than one
+    document (the crossing doc)."""
+    from flink_realtime_data_warehouse_spark.operators.sampling import TOKEN_BUDGET
+
+    sel = _QUERIES["sample_token_budget"](spark, sf_dir).cache()
+    total = sel.agg(F.sum("n_tokens")).first()[0]
+    biggest = sel.agg(F.max("n_tokens")).first()[0]
+    corpus_mass = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.size(F.split("text", " ")).alias("nw"))
+        .agg(F.sum("nw"))
+        .first()[0]
+    )
+    if corpus_mass >= TOKEN_BUDGET:
+        assert TOKEN_BUDGET <= total < TOKEN_BUDGET + biggest
+    else:
+        assert total == corpus_mass
+    sel.unpersist()
