@@ -1,0 +1,141 @@
+"""Equivalence of the histogram-cut scale tricks against their naive
+window formulations ON ADVERSARIAL DATA — heavy score ties right at the
+cut, empty strata, single-score corpora. The oracle parity suite proves
+equivalence on the fixture distributions; these prove it where it's
+actually hard.
+
+Both sides run in Spark on the same DataFrame, so any divergence is the
+algorithm's, not an engine artifact."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_realtime_data_warehouse_spark.operators.sampling import (
+    QUOTA_PER_LANG,
+    TOKEN_BUDGET,
+)
+
+# (q, nw) generators: lots of ties, boundary-straddling masses
+CASES = {
+    "all_one_score": [(5000, 10)] * 40,
+    "tie_at_cut": [(9000, 100)] * 5 + [(5000, 97)] * 300 + [(1000, 3)] * 50,
+    "single_doc_over_budget": [(9999, 50_000), (5000, 10)],
+    "exact_boundary": [(9000, 10_000), (8000, 10_000), (7000, 5)],
+    "many_distinct": [(i % 997 * 10, (i * 7) % 23 + 1) for i in range(500)],
+}
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, q, nw) for i, (q, nw) in enumerate(rows)],
+        "doc_id bigint, q bigint, nw bigint",
+    )
+
+
+def _naive_budget(scored):
+    w = (
+        Window.orderBy(F.col("q").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        scored.withColumn("cum_before", F.coalesce(F.sum("nw").over(w), F.lit(0)))
+        .filter(F.col("cum_before") < TOKEN_BUDGET)
+        .select("doc_id")
+    )
+
+
+def _histogram_budget(scored):
+    """Same phases as sample_token_budget, over an arbitrary scored DF."""
+    hist = scored.groupBy("q").agg(F.sum("nw").alias("mass"))
+    cum = hist.withColumn(
+        "pre",
+        F.coalesce(
+            F.sum("mass").over(
+                Window.orderBy(F.col("q").desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    verdict = cum.select(
+        "q",
+        F.when(F.col("pre") + F.col("mass") <= TOKEN_BUDGET, F.lit("keep"))
+        .when(F.col("pre") >= TOKEN_BUDGET, F.lit("drop"))
+        .otherwise(F.lit("boundary"))
+        .alias("v"),
+        "pre",
+    )
+    tagged = scored.join(F.broadcast(verdict), "q")
+    w_in = (
+        Window.partitionBy("q")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        tagged.filter(F.col("v") == "boundary")
+        .withColumn("wb", F.coalesce(F.sum("nw").over(w_in), F.lit(0)))
+        .filter(F.col("pre") + F.col("wb") < TOKEN_BUDGET)
+    )
+    return tagged.filter(F.col("v") == "keep").select("doc_id").unionByName(
+        boundary.select("doc_id")
+    )
+
+
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_token_budget_histogram_equals_naive(spark, case):
+    scored = _df(spark, CASES[case])
+    naive = {r.doc_id for r in _naive_budget(scored).collect()}
+    hist = {r.doc_id for r in _histogram_budget(scored).collect()}
+    assert hist == naive, f"{case}: {sorted(hist ^ naive)[:10]}"
+
+
+QUOTA_CASES = {
+    "all_tied": [("a", 5000)] * 100,
+    "tie_at_rank_boundary": [("a", 9000)] * 39 + [("a", 5000)] * 10 + [("a", 1)] * 5,
+    "under_quota_stratum": [("a", 7000)] * 7 + [("b", 6000)] * 90,
+    "two_strata_mixed": [("a", i % 11 * 100) for i in range(200)]
+    + [("b", i % 3 * 1000) for i in range(50)],
+}
+
+
+@pytest.mark.parametrize("case", sorted(QUOTA_CASES))
+def test_quality_quota_precut_equals_naive(spark, case):
+    rows = QUOTA_CASES[case]
+    scored = spark.createDataFrame(
+        [(lang, i, q) for i, (lang, q) in enumerate(rows)],
+        "lang string, doc_id bigint, q bigint",
+    )
+    rank_w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    naive = {
+        (r.lang, r.doc_id)
+        for r in scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+        .collect()
+    }
+    # pre-cut phases (same as sample_quality_quota)
+    hist = scored.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.withColumn(
+        "cc",
+        F.sum("c").over(
+            Window.partitionBy("lang")
+            .orderBy(F.col("q").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.coalesce(
+            F.min(F.when(F.col("cc") >= QUOTA_PER_LANG, F.col("q"))), F.lit(-1)
+        ).alias("cut")
+    )
+    survivors = scored.join(F.broadcast(cuts), "lang").filter(
+        F.col("q") >= F.col("cut")
+    )
+    precut = {
+        (r.lang, r.doc_id)
+        for r in survivors.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= QUOTA_PER_LANG)
+        .collect()
+    }
+    assert precut == naive, f"{case}: {sorted(precut ^ naive)[:10]}"
