@@ -99,6 +99,7 @@ HEADLINE = [
     "events_winsorized_stats",
     "search_hybrid_rrf",
     "sample_token_budget",
+    "dq_snapshot_diff",
 ]
 
 

@@ -490,3 +490,73 @@ def dq_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("declared", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (incremental-export bookkeeping)
+# ---------------------------------------------------------------------------
+
+SNAP_MOD = 7  #: doc_id % 7 carves the two overlapping snapshot slices
+
+_SNAPSHOT_DIFF_ORACLE = f"""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {SNAP_MOD} <> {SNAP_MOD - 1}),
+new AS (
+  SELECT doc_id, md5(upper(substr(text, 1, 1)) || substr(text, 2)) AS h
+  FROM documents WHERE doc_id % {SNAP_MOD} <> 0),
+diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.h <> n.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+SELECT status, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM diff GROUP BY status ORDER BY status
+"""
+
+
+@query("dq_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff: added / removed / changed / unchanged
+    document counts between two snapshots, keyed by doc_id with a
+    content digest detecting in-place edits — the bookkeeping report an
+    incremental training-export runs to size the delta before deciding
+    between a delta push and a full re-export. (Fixture: two
+    overlapping doc_id slices; "today's" copy also re-cases the first
+    character so a deterministic subset reads as changed.)
+
+    Scale shape: each snapshot reduces to (doc_id, 16-byte digest)
+    map-side; ONE doc_id-keyed full-outer join; the verdict is a
+    map-only CASE and the output a 4-row aggregation. With both
+    snapshots bucketed by doc_id on disk (operators/scale.py) the join
+    plans shuffle-free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % SNAP_MOD != SNAP_MOD - 1).select(
+        "doc_id", F.md5("text").alias("h_old")
+    )
+    new = docs.filter(F.col("doc_id") % SNAP_MOD != 0).select(
+        "doc_id",
+        F.md5(
+            F.concat(F.upper(F.substring("text", 1, 1)), F.expr("substr(text, 2)"))
+        ).alias("h_new"),
+    )
+    diff = old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("status")
+    )
