@@ -100,6 +100,7 @@ HEADLINE = [
     "search_hybrid_rrf",
     "sample_token_budget",
     "dq_snapshot_diff",
+    "ts_similarity_pairs",
 ]
 
 
