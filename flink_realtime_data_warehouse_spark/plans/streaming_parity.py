@@ -433,3 +433,54 @@ def win_session_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "export_streaming_parity",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events)
+SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY rn) AS seq
+FROM r WHERE rn <= 64 GROUP BY user_id ORDER BY user_id
+""",
+)
+def export_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING sequence accumulator (applyInPandasWithState,
+    bounded per-user state) must reproduce the batch
+    ``export_user_event_sequences`` answer — same capped ``a>b>c``
+    prefix, same totals. Single-file availableNow run → one snapshot
+    row per user; the cross-batch changelog form is pinned separately
+    in tests/test_state_ops.py."""
+    from flink_realtime_data_warehouse_spark.streaming.state import (
+        SEQ_EVENT_SCHEMA,
+        build_user_sequences,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    flat = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), F.col("ts")).alias("ts"),
+    )
+    root = tempfile.mkdtemp(prefix="frdw_seqparity_")
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "ckpt")
+    flat.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(SEQ_EVENT_SCHEMA).parquet(src)
+    q = (
+        build_user_sequences(stream, cap=64)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).orderBy("user_id")

@@ -309,3 +309,69 @@ def detect_bounces(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded behavioral-sequence accumulator (streaming face of
+# operators/export.py::export_user_event_sequences)
+# ---------------------------------------------------------------------------
+
+SEQ_EVENT_SCHEMA = "user_id bigint, event_type string, event_id bigint, ts bigint"
+SEQ_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, seq string"
+_SEQ_STATE = "seq string, n bigint, slots bigint"
+
+
+def make_seq_fn(cap: int):
+    """Per-user bounded sequence accumulator: state = (capped ``a>b>c``
+    prefix, total event count). Each batch emits the user's CURRENT
+    snapshot row — a changelog the sink compacts by keeping the last
+    row per user (exactly one row under a single-batch run). State is
+    bounded by the cap — the prefix stops growing once full while the
+    total keeps counting, so a hot user cannot blow up the state store.
+    """
+
+    def seq_fn(key, pdfs, state):
+        import pandas as pd
+
+        seq, n, cnt = state.get if state.exists else ("", 0, 0)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        whole = (
+            chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        ).sort_values(["ts", "event_id"], kind="mergesort")
+        parts = [seq] if seq else []
+        for row in whole.itertuples(index=False):
+            n += 1
+            if cnt < cap:
+                # NULL event types consume their cap slot but add no
+                # token — exactly concat_ws/string_agg null semantics
+                # in the batch form and its oracle
+                if row.event_type is not None:
+                    parts.append(row.event_type)
+                cnt += 1
+        seq = ">".join(parts)
+        state.update((seq, int(n), int(cnt)))
+        yield pd.DataFrame(
+            [(key[0], int(n), seq)], columns=["user_id", "n_events", "seq"]
+        )
+
+    return seq_fn
+
+
+def build_user_sequences(events: DataFrame, cap: int = 64) -> DataFrame:
+    """Streaming behavioral-sequence export: per-user capped
+    ``event_type`` prefix in (ts, event_id) order plus the running
+    total, emitted as a per-batch snapshot changelog.
+
+    Input columns: ``SEQ_EVENT_SCHEMA``. Latest row per user ≡ the
+    batch ``export_user_event_sequences`` answer over the same prefix
+    of the stream (pinned by the parity oracle and the cross-batch
+    test)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_seq_fn(cap),
+        outputStructType=SEQ_OUTPUT_SCHEMA,
+        stateStructType=_SEQ_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

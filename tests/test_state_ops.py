@@ -235,3 +235,69 @@ def test_st1_multi_chunk_event_time_order(spark, tmp_path):
     # first day stays new; every day-2 event corrected to 0
     assert got[DAY1] == "1" and got[DAY1 + 1000] == "1" and got[DAY1 + 2000] == "1"
     assert got[DAY2 + 1000] == "0" and got[DAY2 + 2000] == "0" and got[DAY2 + 3000] == "0"
+
+
+def test_sequence_accumulator_cross_batch_changelog(spark, tmp_path):
+    """Two micro-batches: the accumulator's LAST snapshot per user must
+    equal a one-shot run over the concatenated input, and the capped
+    prefix never re-orders across batches."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_data_warehouse_spark.streaming.state import (
+        SEQ_EVENT_SCHEMA,
+        build_user_sequences,
+    )
+
+    rows_b1 = [(1, "view", 10, 100), (1, "cart", 11, 200), (2, "view", 12, 150)]
+    rows_b2 = [(1, "purchase", 13, 300), (2, "error", 14, 250), (3, "view", 15, 50)]
+
+    def run(files, tag):
+        src = str(tmp_path / f"src_{tag}")
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(files):
+            spark.createDataFrame(rows, SEQ_EVENT_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src, f"f{i}"))
+        # register the files as a streamed dir read one file per trigger
+        flat_dir = str(tmp_path / f"flat_{tag}")
+        os.makedirs(flat_dir, exist_ok=True)
+        for i in range(len(files)):
+            for f in os.listdir(os.path.join(src, f"f{i}")):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(src, f"f{i}", f),
+                        os.path.join(flat_dir, f"{i:04d}.parquet"),
+                    )
+        stream = (
+            spark.readStream.schema(SEQ_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat_dir)
+        )
+        sink = str(tmp_path / f"sink_{tag}")
+        q = (
+            build_user_sequences(stream, cap=2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(150)
+        snap = spark.read.parquet(sink)
+        w_last = (
+            snap.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "seq")).alias("last"))
+            .select("user_id", "last.n_events", "last.seq")
+        )
+        return {r.user_id: (r.n_events, r.seq) for r in w_last.collect()}
+
+    two_batch = run([rows_b1, rows_b2], "two")
+    one_shot = run([rows_b1 + rows_b2], "one")
+    assert two_batch == one_shot
+    # cap=2 bound respected while totals keep counting
+    assert two_batch[1] == (3, "view>cart")
+    assert two_batch[2] == (2, "view>error")
+    assert two_batch[3] == (1, "view")
