@@ -450,7 +450,7 @@ WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
 s AS (SELECT doc_id, lang, {_LP_SCORES} FROM p),
 pred AS (SELECT lang AS declared, {_LP_CASE} AS predicted FROM s)
 SELECT declared, predicted, count(*) AS n_docs,
-       (declared = predicted) AS agree
+       (declared IS NOT DISTINCT FROM predicted) AS agree
 FROM pred GROUP BY declared, predicted ORDER BY declared, predicted
 """
 
@@ -486,7 +486,8 @@ def dq_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "declared",
             "predicted",
             "n_docs",
-            (F.col("declared") == F.col("predicted")).alias("agree"),
+            # null-safe: an unlabeled (NULL-declared) doc never "agrees"
+            F.col("declared").eqNullSafe(F.col("predicted")).alias("agree"),
         )
         .orderBy("declared", "predicted")
     )
@@ -534,19 +535,24 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans shuffle-free.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # presence is carried by EXPLICIT flags, never inferred from digest
+    # NULL-ness: a present row with NULL text has a NULL digest, and
+    # conflating that with row absence misclassifies it (and diverges
+    # from the oracle, whose CASE tests doc_id NULL-ness)
     old = docs.filter(F.col("doc_id") % SNAP_MOD != SNAP_MOD - 1).select(
-        "doc_id", F.md5("text").alias("h_old")
+        "doc_id", F.md5("text").alias("h_old"), F.lit(True).alias("in_old")
     )
     new = docs.filter(F.col("doc_id") % SNAP_MOD != 0).select(
         "doc_id",
         F.md5(
             F.concat(F.upper(F.substring("text", 1, 1)), F.expr("substr(text, 2)"))
         ).alias("h_new"),
+        F.lit(True).alias("in_new"),
     )
     diff = old.join(new, "doc_id", "full_outer").select(
         "doc_id",
-        F.when(F.col("h_old").isNull(), "added")
-        .when(F.col("h_new").isNull(), "removed")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
         .when(F.col("h_old") != F.col("h_new"), "changed")
         .otherwise("unchanged")
         .alias("status"),

@@ -24,7 +24,7 @@ WITH r AS (
          count(*) OVER (PARTITION BY user_id) AS n_events
   FROM events)
 SELECT user_id, CAST(max(n_events) AS BIGINT) AS n_events,
-       string_agg(event_type, '>' ORDER BY rn) AS seq
+       coalesce(string_agg(event_type, '>' ORDER BY rn), '') AS seq
 FROM r WHERE rn <= {SEQ_MAX_EVENTS} GROUP BY user_id ORDER BY user_id
 """
 

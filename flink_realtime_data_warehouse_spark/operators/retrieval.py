@@ -270,8 +270,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sparse = (
-        bm25_topk(spark, docs, BM25_QUERIES)
-        .filter(F.col("rnk") <= HYBRID_TOPK)
+        bm25_topk(spark, docs, BM25_QUERIES, topk=HYBRID_TOPK)
         .select("query_id", "doc_id", F.col("rnk").alias("r_sparse"))
     )
     emb = load_table(spark, sf_dir, "embeddings").select(

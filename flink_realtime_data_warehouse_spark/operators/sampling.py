@@ -444,6 +444,25 @@ def sample_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "lang", "doc_id", F.expr(quality_score_sql()).alias("q")
     )
+    return (
+        quality_quota_select(scored, QUOTA_PER_LANG)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("q").cast("bigint").alias("score_e4"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("lang", "rn")
+    )
+
+
+def quality_quota_select(scored: DataFrame, quota: int) -> DataFrame:
+    """Histogram-pre-cut top-``quota`` per lang over an arbitrary
+    (lang, doc_id, q) frame — the SINGLE implementation the registered
+    query AND the adversarial equivalence tests run, so the two cannot
+    drift. Returns (lang, doc_id, q, rn), rn <= quota."""
+    from pyspark.sql.window import Window
+
     hist = scored.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.withColumn(
         "cc",
@@ -455,23 +474,23 @@ def sample_quality_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cuts = cum.groupBy("lang").agg(
         F.coalesce(
-            F.min(F.when(F.col("cc") >= QUOTA_PER_LANG, F.col("q"))), F.lit(-1)
+            F.min(F.when(F.col("cc") >= quota, F.col("q"))), F.lit(-1)
         ).alias("cut")
     )
-    survivors = scored.join(F.broadcast(cuts), "lang").filter(
-        F.col("q") >= F.col("cut")
+    # NULL-SAFE stratum join: a NULL lang is a legitimate stratum (the
+    # oracle's window partition keeps it); a plain equi-join would drop
+    # it silently (caught by the null-injected parity tier)
+    survivors = (
+        scored.join(
+            F.broadcast(cuts.withColumnRenamed("lang", "_cl")),
+            scored["lang"].eqNullSafe(F.col("_cl")),
+        )
+        .drop("_cl")
+        .filter(F.col("q") >= F.col("cut"))
     )
     rank_w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
-    return (
-        survivors.withColumn("rn", F.row_number().over(rank_w))
-        .filter(F.col("rn") <= QUOTA_PER_LANG)
-        .select(
-            "lang",
-            "doc_id",
-            F.col("q").cast("bigint").alias("score_e4"),
-            F.col("rn").cast("bigint").alias("rn"),
-        )
-        .orderBy("lang", "rn")
+    return survivors.withColumn("rn", F.row_number().over(rank_w)).filter(
+        F.col("rn") <= quota
     )
 
 
@@ -525,8 +544,6 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     admission depends only on (strictly-better mass, within-score
     prefix) — exactly what the two phases compute.
     """
-    from pyspark.sql.window import Window
-
     from flink_realtime_data_warehouse_spark.operators.textops import (
         quality_score_sql,
     )
@@ -537,6 +554,24 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(quality_score_sql()).alias("q"),
         F.size(F.split("text", " ")).cast("bigint").alias("nw"),
     )
+    return (
+        token_budget_select(sized, TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            F.col("q").cast("bigint").alias("score_e4"),
+            F.col("nw").alias("n_tokens"),
+        )
+        .orderBy(F.col("score_e4").desc(), "doc_id")
+    )
+
+
+def token_budget_select(sized: DataFrame, budget: int) -> DataFrame:
+    """Histogram-classified greedy selection over an arbitrary
+    (doc_id, q, nw) frame — the SINGLE implementation the registered
+    query AND the adversarial equivalence tests run, so the two cannot
+    drift. Returns the selected (doc_id, q, nw, ...) rows."""
+    from pyspark.sql.window import Window
+
     hist = sized.groupBy("q").agg(F.sum("nw").alias("mass"))
     cum = hist.withColumn(
         "pre",
@@ -551,8 +586,8 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     verdict = cum.select(
         "q",
-        F.when(F.col("pre") + F.col("mass") <= TOKEN_BUDGET, F.lit("keep"))
-        .when(F.col("pre") >= TOKEN_BUDGET, F.lit("drop"))
+        F.when(F.col("pre") + F.col("mass") <= budget, F.lit("keep"))
+        .when(F.col("pre") >= budget, F.lit("drop"))
         .otherwise(F.lit("boundary"))
         .alias("v"),
         "pre",
@@ -567,15 +602,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept_boundary = (
         tagged.filter(F.col("v") == "boundary")
         .withColumn("within_before", F.coalesce(F.sum("nw").over(w_in), F.lit(0)))
-        .filter(F.col("pre") + F.col("within_before") < TOKEN_BUDGET)
+        .filter(F.col("pre") + F.col("within_before") < budget)
         .drop("within_before")
     )
-    return (
-        kept_full.unionByName(kept_boundary)
-        .select(
-            "doc_id",
-            F.col("q").cast("bigint").alias("score_e4"),
-            F.col("nw").alias("n_tokens"),
-        )
-        .orderBy(F.col("score_e4").desc(), "doc_id")
-    )
+    return kept_full.unionByName(kept_boundary).drop("v", "pre")

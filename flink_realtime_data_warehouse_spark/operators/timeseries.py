@@ -37,7 +37,7 @@ WITH hs AS (
   SELECT user_id,
          date_diff('hour', TIMESTAMP '{_ANCHOR}', date_trunc('hour', ts)) AS h,
          sum(CAST(round(value * 100) AS BIGINT)) AS v
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2),
 tot AS (
   SELECT user_id, sum(v) AS total,
          row_number() OVER (ORDER BY sum(v), user_id) AS rn
@@ -87,6 +87,12 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     anchor = F.expr(f"TIMESTAMP_NTZ '{_ANCHOR}'")
+    # NULL user_id must not form a phantom series: least/greatest over a
+    # (NULL, u) candidate both collapse to u, minting a degenerate (u,u)
+    # pair with L1 = 0 that seizes rank 1 (same guard as the PageRank
+    # edge scan); NULL values are dropped so no user's total can go NULL
+    # and hit the Spark-vs-DuckDB NULL-ordering divergence in the rank
+    ev = ev.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
     hs = (
         ev.select(
             "user_id",

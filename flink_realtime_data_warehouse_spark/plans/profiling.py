@@ -101,7 +101,8 @@ WINSOR_HI_PCT = 99  #: clip above the p99 cut
 
 _WINSOR_ORACLE = f"""
 WITH q AS (
-  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+  WHERE value IS NOT NULL),
 hist AS (SELECT event_type, v, count(*) AS c FROM q GROUP BY 1, 2),
 cum AS (
   SELECT event_type, v,
@@ -147,7 +148,14 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    q = ev.select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("v"))
+    # NULL values are excluded up front ON BOTH SIDES: they carry no
+    # winsorizable magnitude, and a NULL histogram row would otherwise
+    # sort NULLS FIRST in Spark's cumulative window but NULLS LAST in
+    # DuckDB's, shifting every cumulative count (the graph.py
+    # NULL-ordering trap)
+    q = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
     hist = q.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.withColumn(
         "cc",

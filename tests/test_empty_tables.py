@@ -99,3 +99,35 @@ def test_every_query_survives_null_injection(spark, nully_sf_dir):
         except Exception as exc:  # noqa: BLE001 — collecting the sweep
             failures[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
     assert not failures, failures
+
+
+#: the round-4 review found NULL-semantics parity divergences the
+#: crash-only sweep cannot see (NULL digests read as row absence,
+#: NULL-ordering flips in cumulative windows, least/greatest NULL
+#: collapse, string_agg-vs-concat_ws on all-NULL groups). This tier
+#: hash-checks the affected queries AGAINST THEIR ORACLES on the
+#: null-injected tables, so the class stays closed.
+_NULL_PARITY_QUERIES = [
+    "dq_snapshot_diff",
+    "events_winsorized_stats",
+    "ts_similarity_pairs",
+    "export_user_event_sequences",
+    "export_streaming_parity",
+    "sample_quality_quota",
+    "sample_token_budget",
+    "search_hybrid_rrf",
+    "dq_drift_report",
+    "dq_lang_confusion",
+    "text_collocation_lift",
+    "split_temporal_embargo",
+    "dedup_span_rewrite",
+    "dq_source_overlap",
+]
+
+
+@pytest.mark.parametrize("name", _NULL_PARITY_QUERIES)
+def test_null_injected_parity(spark, nully_sf_dir, name):
+    from tests.oracle_utils import compare_query_to_oracle
+
+    df = entrymod.queries()[name](spark, nully_sf_dir)
+    compare_query_to_oracle(df, entrymod.oracle_sql()[name], nully_sf_dir)

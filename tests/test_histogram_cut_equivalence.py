@@ -5,7 +5,10 @@ equivalence on the fixture distributions; these prove it where it's
 actually hard.
 
 Both sides run in Spark on the same DataFrame, so any divergence is the
-algorithm's, not an engine artifact."""
+algorithm's, not an engine artifact — and the histogram side calls the
+PRODUCTION phase functions (``token_budget_select`` /
+``quality_quota_select``), not a copy, so operator and test cannot
+drift."""
 
 import pytest
 from pyspark.sql import functions as F
@@ -14,6 +17,8 @@ from pyspark.sql.window import Window
 from flink_realtime_data_warehouse_spark.operators.sampling import (
     QUOTA_PER_LANG,
     TOKEN_BUDGET,
+    quality_quota_select,
+    token_budget_select,
 )
 
 # (q, nw) generators: lots of ties, boundary-straddling masses
@@ -45,49 +50,13 @@ def _naive_budget(scored):
     )
 
 
-def _histogram_budget(scored):
-    """Same phases as sample_token_budget, over an arbitrary scored DF."""
-    hist = scored.groupBy("q").agg(F.sum("nw").alias("mass"))
-    cum = hist.withColumn(
-        "pre",
-        F.coalesce(
-            F.sum("mass").over(
-                Window.orderBy(F.col("q").desc()).rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    )
-    verdict = cum.select(
-        "q",
-        F.when(F.col("pre") + F.col("mass") <= TOKEN_BUDGET, F.lit("keep"))
-        .when(F.col("pre") >= TOKEN_BUDGET, F.lit("drop"))
-        .otherwise(F.lit("boundary"))
-        .alias("v"),
-        "pre",
-    )
-    tagged = scored.join(F.broadcast(verdict), "q")
-    w_in = (
-        Window.partitionBy("q")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boundary = (
-        tagged.filter(F.col("v") == "boundary")
-        .withColumn("wb", F.coalesce(F.sum("nw").over(w_in), F.lit(0)))
-        .filter(F.col("pre") + F.col("wb") < TOKEN_BUDGET)
-    )
-    return tagged.filter(F.col("v") == "keep").select("doc_id").unionByName(
-        boundary.select("doc_id")
-    )
-
-
 @pytest.mark.parametrize("case", sorted(CASES))
 def test_token_budget_histogram_equals_naive(spark, case):
     scored = _df(spark, CASES[case])
     naive = {r.doc_id for r in _naive_budget(scored).collect()}
-    hist = {r.doc_id for r in _histogram_budget(scored).collect()}
+    hist = {
+        r.doc_id for r in token_budget_select(scored, TOKEN_BUDGET).collect()
+    }
     assert hist == naive, f"{case}: {sorted(hist ^ naive)[:10]}"
 
 
@@ -114,28 +83,8 @@ def test_quality_quota_precut_equals_naive(spark, case):
         .filter(F.col("rn") <= QUOTA_PER_LANG)
         .collect()
     }
-    # pre-cut phases (same as sample_quality_quota)
-    hist = scored.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
-    cum = hist.withColumn(
-        "cc",
-        F.sum("c").over(
-            Window.partitionBy("lang")
-            .orderBy(F.col("q").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    cuts = cum.groupBy("lang").agg(
-        F.coalesce(
-            F.min(F.when(F.col("cc") >= QUOTA_PER_LANG, F.col("q"))), F.lit(-1)
-        ).alias("cut")
-    )
-    survivors = scored.join(F.broadcast(cuts), "lang").filter(
-        F.col("q") >= F.col("cut")
-    )
     precut = {
         (r.lang, r.doc_id)
-        for r in survivors.withColumn("rn", F.row_number().over(rank_w))
-        .filter(F.col("rn") <= QUOTA_PER_LANG)
-        .collect()
+        for r in quality_quota_select(scored, QUOTA_PER_LANG).collect()
     }
     assert precut == naive, f"{case}: {sorted(precut ^ naive)[:10]}"
