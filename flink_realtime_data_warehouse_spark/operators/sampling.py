@@ -463,6 +463,23 @@ def quality_quota_select(scored: DataFrame, quota: int) -> DataFrame:
     drift. Returns (lang, doc_id, q, rn), rn <= quota."""
     from pyspark.sql.window import Window
 
+    survivors = quota_survivors(scored, quota)
+    rank_w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
+    return survivors.withColumn("rn", F.row_number().over(rank_w)).filter(
+        F.col("rn") <= quota
+    )
+
+
+def quota_survivors(scored: DataFrame, quota: int) -> DataFrame:
+    """The histogram pre-cut alone: rows that survive the per-stratum
+    score cutoff, BEFORE the exact rank window. Exposed separately so
+    the equivalence suite can assert the cut actually prunes (survivor
+    count per stratum < quota + largest tie group) — the r4 advisor
+    found the cutoff aggregated with ``min`` instead of ``max``, which
+    kept every row and silently degraded the rank window back to a
+    full-corpus sort while remaining value-correct."""
+    from pyspark.sql.window import Window
+
     hist = scored.groupBy("lang", "q").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.withColumn(
         "cc",
@@ -472,10 +489,15 @@ def quality_quota_select(scored: DataFrame, quota: int) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    # cut = the HIGHEST score whose cumulative (descending) count reaches
+    # the quota, i.e. the score of the quota-th-best doc. cc is monotone
+    # non-decreasing as q descends, so every score <= the true cut also
+    # satisfies cc >= quota — max picks the boundary, min would pick the
+    # stratum floor and turn the pre-cut into a no-op. A stratum with
+    # fewer than `quota` docs never reaches cc >= quota: cut stays NULL
+    # and the filter keeps the whole (already tiny) stratum.
     cuts = cum.groupBy("lang").agg(
-        F.coalesce(
-            F.min(F.when(F.col("cc") >= quota, F.col("q"))), F.lit(-1)
-        ).alias("cut")
+        F.max(F.when(F.col("cc") >= quota, F.col("q"))).alias("cut")
     )
     # NULL-SAFE stratum join: a NULL lang is a legitimate stratum (the
     # oracle's window partition keeps it); a plain equi-join would drop
@@ -486,12 +508,10 @@ def quality_quota_select(scored: DataFrame, quota: int) -> DataFrame:
             scored["lang"].eqNullSafe(F.col("_cl")),
         )
         .drop("_cl")
-        .filter(F.col("q") >= F.col("cut"))
+        .filter(F.col("cut").isNull() | (F.col("q") >= F.col("cut")))
+        .drop("cut")
     )
-    rank_w = Window.partitionBy("lang").orderBy(F.col("q").desc(), "doc_id")
-    return survivors.withColumn("rn", F.row_number().over(rank_w)).filter(
-        F.col("rn") <= quota
-    )
+    return survivors
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from flink_realtime_data_warehouse_spark.operators.sampling import (
     QUOTA_PER_LANG,
     TOKEN_BUDGET,
     quality_quota_select,
+    quota_survivors,
     token_budget_select,
 )
 
@@ -88,3 +89,37 @@ def test_quality_quota_precut_equals_naive(spark, case):
         for r in quality_quota_select(scored, QUOTA_PER_LANG).collect()
     }
     assert precut == naive, f"{case}: {sorted(precut ^ naive)[:10]}"
+
+
+@pytest.mark.parametrize("case", sorted(QUOTA_CASES))
+def test_quality_quota_precut_actually_prunes(spark, case):
+    """The scale claim itself: the rank window runs only over the
+    pre-cut survivors, so per stratum the survivor count must be
+    < quota + (largest tie group at one score). The r4 advisor found a
+    min-vs-max cutoff bug that kept 100% of rows while staying
+    value-correct — this assertion makes that regression loud."""
+    rows = QUOTA_CASES[case]
+    scored = spark.createDataFrame(
+        [(lang, i, q) for i, (lang, q) in enumerate(rows)],
+        "lang string, doc_id bigint, q bigint",
+    )
+    max_tie = {
+        r.lang: r.mt
+        for r in scored.groupBy("lang", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("lang")
+        .agg(F.max("c").alias("mt"))
+        .collect()
+    }
+    surv = {
+        r.lang: r.n
+        for r in quota_survivors(scored, QUOTA_PER_LANG)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in surv.items():
+        assert n < QUOTA_PER_LANG + max_tie[lang], (
+            f"{case}/{lang}: {n} survivors — pre-cut is not pruning "
+            f"(quota {QUOTA_PER_LANG}, max tie {max_tie[lang]})"
+        )
