@@ -61,3 +61,77 @@ def test_column_pruning_reaches_the_scan(spark, sf_dir):
     plan = _plan_of(spark, sf_dir, "q6_forecast_revenue")
     assert "l_comment" not in plan
     assert "l_orderkey" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bounded-window audit (r4 verdict item 3): a partitionless Window is a
+# single-partition sort of its whole input — allowed ONLY over relations
+# whose size is bounded by construction, and that bound must be stated
+# and CHECKED here, not in prose. Structure: query -> (max number of
+# partitionless Window nodes in the optimized plan, per-window child
+# row-count bound, reason). Any new global window in any of the 142
+# registered plans fails the audit until it is justified below.
+# ---------------------------------------------------------------------------
+
+_BOUNDED_WINDOWS = {
+    # cumulative share over the per-score histogram: quality scores are
+    # integer e4-quantized, so the histogram has <= 10001 rows regardless
+    # of corpus size
+    "curation_quality_tiers": (1, 10001, "score-quantized histogram"),
+    # token_budget_select: cumulative mass + verdict windows over the
+    # same <= 10001-row score histogram
+    "sample_token_budget": (2, 10001, "score-quantized histogram"),
+    # banded_global_rank band-offset windows (<= n_bands+1 = 1025 rows;
+    # the tot subtree appears 4x in the self-join plan) plus the final
+    # rank window over the <= TS_TOPK-row post-limit relation
+    "ts_similarity_pairs": (5, 1025, "band histogram / post-limit top-k"),
+}
+
+
+def _partitionless_windows(df):
+    out = []
+
+    def walk(p):
+        if p.nodeName() == "Window" and p.partitionSpec().isEmpty():
+            out.append(p)
+        for i in range(p.children().length()):
+            walk(p.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def test_partitionless_windows_whitelisted_and_bounded(spark, sf_dir):
+    """Every registered query's optimized plan is walked; partitionless
+    Window nodes must appear only in `_BOUNDED_WINDOWS` queries, within
+    the declared node-count budget, and each window's actual input
+    relation (materialized via Dataset.ofRows on the child plan) must
+    respect the declared row bound. Stale whitelist entries fail too,
+    so the list cannot rot in either direction."""
+    jvm = spark._jvm
+    violations = []
+    seen = set()
+    for name, fn in sorted(entrymod.queries().items()):
+        wins = _partitionless_windows(fn(spark, sf_dir))
+        if not wins:
+            continue
+        seen.add(name)
+        if name not in _BOUNDED_WINDOWS:
+            violations.append(f"{name}: {len(wins)} unwhitelisted global window(s)")
+            continue
+        max_n, bound, reason = _BOUNDED_WINDOWS[name]
+        if len(wins) > max_n:
+            violations.append(
+                f"{name}: {len(wins)} global windows > budget {max_n} ({reason})"
+            )
+            continue
+        for w in wins:
+            n = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, w.child()
+            ).count()
+            if n > bound:
+                violations.append(
+                    f"{name}: global-window input {n} rows > bound {bound} ({reason})"
+                )
+    stale = set(_BOUNDED_WINDOWS) - seen
+    assert not violations and not stale, (violations, f"stale whitelist: {stale}")
