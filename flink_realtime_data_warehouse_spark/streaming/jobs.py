@@ -485,6 +485,35 @@ def start_training_ingest_pipeline(
     return q
 
 
+def _incarnation_id(checkpoint: str) -> str:
+    """Stable incarnation id for a checkpoint location. Identity must
+    follow the checkpoint DIRECTORY, not its spelling: hashing the
+    literal string (the r4 approach) made a trailing slash, a relative
+    vs absolute path, or a symlink a "new incarnation", so a redelivered
+    batch could write a duplicate digest partition instead of
+    overwriting its own first attempt (r4 ADVICE). The id is minted
+    once, persisted INSIDE the checkpoint directory, and re-read by any
+    later spelling that resolves to the same directory; the hash of the
+    fully-resolved path is only the cold-start seed."""
+    import hashlib
+    import os
+
+    path = checkpoint
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+    path = os.path.realpath(os.path.abspath(path))
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "frdw_run_id")
+    try:
+        with open(marker, "x", encoding="utf-8") as f:
+            rid = hashlib.md5(path.encode("utf-8")).hexdigest()[:12]
+            f.write(rid)
+            return rid
+    except FileExistsError:
+        with open(marker, encoding="utf-8") as f:
+            return f.read().strip()
+
+
 def start_history_dedup_ingest(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -512,7 +541,9 @@ def start_history_dedup_ingest(
 
     Replay idempotency: every sink (including the digest store) writes
     under a ``pbatch=<run_id>-<batch_id>`` dynamic-overwrite partition,
-    where ``run_id`` derives deterministically from the CHECKPOINT path
+    where ``run_id`` is minted once per checkpoint DIRECTORY and
+    persisted inside it (``_incarnation_id`` — spelling-independent, so
+    ``/ckpt`` vs ``/ckpt/`` vs a symlink resolve to one incarnation)
     — so a batch redelivered after a mid-batch crash (same checkpoint,
     same batch_id) lands on its own partition and re-derives identical
     verdicts, because the classify step reads the store EXCLUDING the
@@ -532,12 +563,10 @@ def start_history_dedup_ingest(
     fault must fail the batch and let the checkpoint retry it, never
     classify known duplicates as new).
     """
-    import hashlib
-
     from flink_realtime_data_warehouse_spark.operators.dedup import incremental_dedup
 
     digests_path = f"{out_root}/digests"
-    run_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:12]
+    run_id = _incarnation_id(checkpoint)
 
     def _digest_store_exists() -> bool:
         jvm = spark._jvm

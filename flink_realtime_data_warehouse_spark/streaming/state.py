@@ -318,40 +318,62 @@ def detect_bounces(
 
 SEQ_EVENT_SCHEMA = "user_id bigint, event_type string, event_id bigint, ts bigint"
 SEQ_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, seq string"
-_SEQ_STATE = "seq string, n bigint, slots bigint"
+_SEQ_STATE = "buf string, n bigint"
 
 
 def make_seq_fn(cap: int):
-    """Per-user bounded sequence accumulator: state = (capped ``a>b>c``
-    prefix, total event count). Each batch emits the user's CURRENT
-    snapshot row — a changelog the sink compacts by keeping the last
-    row per user (exactly one row under a single-batch run). State is
-    bounded by the cap — the prefix stops growing once full while the
-    total keeps counting, so a hot user cannot blow up the state store.
+    """Per-user bounded sequence accumulator: state = (the cap smallest
+    accepted events as a JSON list of [ts, event_id, event_type], total
+    event count). Each batch emits the user's CURRENT snapshot row — a
+    changelog the sink compacts by keeping the last row per user
+    (exactly one row under a single-batch run).
+
+    Late events MERGE-INSERT (r4 ADVICE): a batch's events are merged
+    into the stored buffer and the buffer re-truncated to the cap
+    smallest by (ts, event_id) — so an earlier-ts event arriving in a
+    later batch lands in its correct position and the latest snapshot
+    still equals the batch answer under ANY arrival order, not just
+    in-order delivery. Eviction is permanent and sound: an event cut at
+    the cap boundary was outside the cap smallest then, and the
+    boundary only moves earlier as more events arrive. State stays
+    bounded by the cap (~cap × tuple bytes) with no watermark needed —
+    arbitrarily-late events are handled exactly, they just re-emit the
+    user's snapshot row.
     """
 
     def seq_fn(key, pdfs, state):
+        import json
+
         import pandas as pd
 
-        seq, n, cnt = state.get if state.exists else ("", 0, 0)
+        buf_s, n = state.get if state.exists else ("[]", 0)
+        buf = json.loads(buf_s)
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return
         whole = (
             chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-        ).sort_values(["ts", "event_id"], kind="mergesort")
-        parts = [seq] if seq else []
+        )
+        n += len(whole)
         for row in whole.itertuples(index=False):
-            n += 1
-            if cnt < cap:
-                # NULL event types consume their cap slot but add no
-                # token — exactly concat_ws/string_agg null semantics
-                # in the batch form and its oracle
-                if row.event_type is not None:
-                    parts.append(row.event_type)
-                cnt += 1
-        seq = ">".join(parts)
-        state.update((seq, int(n), int(cnt)))
+            buf.append(
+                [
+                    None if pd.isna(row.ts) else int(row.ts),
+                    None if pd.isna(row.event_id) else int(row.event_id),
+                    None if row.event_type is None else str(row.event_type),
+                ]
+            )
+        # NULLs last, matching the previous pandas NaN-last sort (and
+        # the DuckDB oracle's ORDER BY default)
+        buf.sort(
+            key=lambda r: (r[0] is None, r[0] or 0, r[1] is None, r[1] or 0)
+        )
+        del buf[cap:]
+        # NULL event types consume their cap slot but add no token —
+        # exactly concat_ws/string_agg null semantics in the batch form
+        # and its oracle
+        seq = ">".join(t for _, _, t in buf if t is not None)
+        state.update((json.dumps(buf), int(n)))
         yield pd.DataFrame(
             [(key[0], int(n), seq)], columns=["user_id", "n_events", "seq"]
         )
@@ -365,9 +387,9 @@ def build_user_sequences(events: DataFrame, cap: int = 64) -> DataFrame:
     total, emitted as a per-batch snapshot changelog.
 
     Input columns: ``SEQ_EVENT_SCHEMA``. Latest row per user ≡ the
-    batch ``export_user_event_sequences`` answer over the same prefix
-    of the stream (pinned by the parity oracle and the cross-batch
-    test)."""
+    batch ``export_user_event_sequences`` answer over the stream so
+    far, under arbitrary (including late / out-of-order) arrival —
+    pinned by the parity oracle and the cross-batch late-event test."""
     return events.groupBy("user_id").applyInPandasWithState(
         make_seq_fn(cap),
         outputStructType=SEQ_OUTPUT_SCHEMA,

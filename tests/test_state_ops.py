@@ -301,3 +301,69 @@ def test_sequence_accumulator_cross_batch_changelog(spark, tmp_path):
     assert two_batch[1] == (3, "view>cart")
     assert two_batch[2] == (2, "view>error")
     assert two_batch[3] == (1, "view")
+
+
+def test_sequence_accumulator_late_event_merge_insert(spark, tmp_path):
+    """r4 ADVICE: a LATE event (earlier ts arriving in a later batch)
+    must merge-insert into its correct (ts, event_id) position — the
+    latest snapshot equals the one-shot batch answer even under
+    out-of-order delivery, including when the late event displaces a
+    token across the cap boundary."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_data_warehouse_spark.streaming.state import (
+        SEQ_EVENT_SCHEMA,
+        build_user_sequences,
+    )
+
+    rows_b1 = [(1, "view", 10, 100), (1, "cart", 11, 200), (2, "view", 12, 150)]
+    # user 1's "search" (ts 50) is LATE: it belongs BEFORE everything in
+    # batch 1 and, at cap=2, must evict "cart" from the prefix; user 2's
+    # late ts-120 event slots in front of the ts-150 one
+    rows_b2 = [(1, "search", 13, 50), (2, "click", 14, 120)]
+
+    def run(files, tag):
+        flat_dir = str(tmp_path / f"flat_{tag}")
+        os.makedirs(flat_dir, exist_ok=True)
+        for i, rows in enumerate(files):
+            tmp = str(tmp_path / f"tmp_{tag}_{i}")
+            spark.createDataFrame(rows, SEQ_EVENT_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, f),
+                        os.path.join(flat_dir, f"{i:04d}.parquet"),
+                    )
+        stream = (
+            spark.readStream.schema(SEQ_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat_dir)
+        )
+        sink = str(tmp_path / f"sink_{tag}")
+        q = (
+            build_user_sequences(stream, cap=2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(150)
+        snap = spark.read.parquet(sink)
+        last = (
+            snap.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "seq")).alias("last"))
+            .select("user_id", "last.n_events", "last.seq")
+        )
+        return {r.user_id: (r.n_events, r.seq) for r in last.collect()}
+
+    out_of_order = run([rows_b1, rows_b2], "late")
+    one_shot = run([rows_b1 + rows_b2], "oneshot")
+    assert out_of_order == one_shot
+    assert out_of_order[1] == (3, "search>view")  # cart evicted by late event
+    assert out_of_order[2] == (2, "click>view")

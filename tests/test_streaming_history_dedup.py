@@ -147,3 +147,45 @@ def test_new_incarnation_preserves_history_and_rededups(spark, tmp_path):
     # digest store holds one hash per distinct content, across incarnations
     digests = spark.read.parquet(str(tmp_path / "out" / "digests"))
     assert digests.select("content_hash").distinct().count() == 3
+
+
+def test_incarnation_id_spelling_independent(spark, tmp_path):
+    """r4 ADVICE: run_id keyed on the literal checkpoint string made a
+    trailing slash / relative path / symlink a 'new incarnation'. The
+    id now lives inside the checkpoint directory — every spelling that
+    resolves to the same directory must yield the same id, and a
+    crash-replay through a DIFFERENT spelling must overwrite its own
+    partition, not mint a duplicate one."""
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        _incarnation_id,
+    )
+
+    ckpt = tmp_path / "ckpt1"
+    rid = _incarnation_id(str(ckpt))
+    assert _incarnation_id(str(ckpt) + "/") == rid
+    assert _incarnation_id("file:" + str(ckpt)) == rid
+    link = tmp_path / "ckpt_link"
+    os.symlink(str(ckpt), str(link))
+    assert _incarnation_id(str(link)) == rid
+
+    # end-to-end: replay through the trailing-slash spelling
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    _write_batch(src, "b1.jsonl", [{"doc_id": 1, "text": "doc one"}])
+    _run(spark, tmp_path, "ckpt1")
+    shutil.rmtree(str(ckpt / "commits"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_history_dedup_ingest(
+        spark, stream, str(tmp_path / "out"), str(ckpt) + "/"
+    )
+    q.awaitTermination(150)
+    digests = spark.read.parquet(str(tmp_path / "out" / "digests"))
+    # one digest row in ONE pbatch partition — no duplicate partition
+    assert digests.select("pbatch").distinct().count() == 1
+    assert digests.count() == 1
