@@ -157,6 +157,24 @@ def main() -> None:
         calib_runs.append(time.perf_counter() - t0)
     calib = round(sorted(calib_runs)[1], 3)
 
+    # streaming end-to-end throughput (r4 verdict item 5): the three
+    # reference topologies (parse→ST1→split, ST2 UV, dim router) over a
+    # file-drop workload derived from this SF's tables — the streaming
+    # path's regression gate, reported as rows/sec next to the batch
+    # rows so both halves of the engine have a number
+    import shutil
+    import tempfile
+
+    from flink_realtime_data_warehouse_spark.streaming.throughput import (
+        run_streaming_throughput,
+    )
+
+    stream_root = tempfile.mkdtemp(prefix="frdw_bench_stream_")
+    try:
+        streaming = run_streaming_throughput(spark, sf_dir, stream_root)
+    finally:
+        shutil.rmtree(stream_root, ignore_errors=True)
+
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     for name in HEADLINE:
@@ -186,6 +204,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "total_min": round(sum(timings_min.values()), 3),
                 "calib_shuffle_sec": calib,
+                "streaming_rows_per_sec": streaming["streaming_rows_per_sec"],
+                "streaming": streaming,
                 "ann_lsh_warm_sec": ann_lsh_warm,
                 "ann_pq_warm_sec": ann_pq_warm,
                 "queries": timings,

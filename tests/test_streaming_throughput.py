@@ -1,0 +1,31 @@
+"""The bench's streaming end-to-end harness must actually move rows
+through all three topologies — counts here pin the workload shape so a
+silent wiring break can't report a vacuous rows/sec number."""
+
+from flink_realtime_data_warehouse_spark.streaming.throughput import (
+    _smoke_outputs,
+    run_streaming_throughput,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_throughput_end_to_end(spark, tmp_path):
+    res = run_streaming_throughput(spark, SF_DIR, str(tmp_path))
+    assert res["rows_behavior"] > 0 and res["rows_changelog"] > 0
+    assert res["streaming_rows_per_sec"] > 0
+    assert set(res) >= {
+        "parse_st1_split_sec",
+        "st2_uv_sec",
+        "dim_router_sec",
+        "streaming_total_sec",
+    }
+    outs = _smoke_outputs(spark, str(tmp_path))
+    # every behavior line is a page record and survives parse+ST1
+    assert outs["out_baselog/dwd_traffic_corrected_log"] == res["rows_behavior"]
+    assert outs["out_baselog/dwd_traffic_page_log"] == res["rows_behavior"]
+    # UV output: one row per (mid, day) entry-page first visit — fewer
+    # than the input, more than zero (a third of events are entries)
+    assert 0 < outs["out_uv"] < res["rows_behavior"]
+    # every changelog insert reached the dimension store
+    assert outs["dim/dim_user_info"] == res["rows_changelog"]
