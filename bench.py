@@ -101,6 +101,8 @@ HEADLINE = [
     "sample_token_budget",
     "dq_snapshot_diff",
     "ts_similarity_pairs",
+    # round 5: codec-free perceptual near-dup over binary payloads
+    "multimodal_perceptual_dups",
 ]
 
 

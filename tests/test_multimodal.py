@@ -78,3 +78,29 @@ def test_sample_video_frames_explode_shape(spark):
     assert 2 not in by_media
     assert [f["frame_ts_ms"] for f in by_media[3]] == [0]
     assert all(f["frame_payload"] is not None for f in frames)
+
+
+def test_perceptual_dedup_pairs_blocked_hamming(spark):
+    """Codec-free near-dup semantics on crafted payloads: a tail-append
+    near-dup is caught (shared prefix block, low sample-Hamming), a
+    prefix-sharing but otherwise different payload is rejected by the
+    Hamming gate, and unrelated payloads never become candidates."""
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        perceptual_dedup_pairs,
+    )
+
+    base = bytes(range(200)) * 3  # 600 bytes, deterministic
+    rows = [
+        (1, base),
+        (2, base + b" dup"),              # tail-append near-dup of 1
+        (3, base[:16] + b"\xff" * 584),   # same 16B prefix, different body
+        (4, b"\x01" * 600),               # unrelated
+        (5, None),                        # NULL payload must be ignored
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {
+        (r.da, r.db): r.hamming for r in perceptual_dedup_pairs(df).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 1
+    assert (1, 3) not in got and (2, 3) not in got
+    assert all(4 not in pair and 5 not in pair for pair in got)
