@@ -166,6 +166,14 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "h")
         .agg(F.sum("vc").alias("v"))
     )
+    # the sparse series feeds FIVE consumers (totals×2 via the rank
+    # self-join, both signed sides, and the band stats) and Catalyst
+    # plans no ReusedExchange across them (measured: 10 parquet scans
+    # in one execution) — a lazy per-call localCheckpoint materializes
+    # the (user, hour) spine once; it is entity×active-hours sized, the
+    # relation a real pipeline would materialize anyway, and being
+    # per-call it never leaks state across bench repetitions
+    hs = hs.localCheckpoint(eager=False)
     tot = banded_global_rank(
         hs.groupBy("user_id").agg(F.sum("v").alias("total")),
         order_col="total",
