@@ -92,6 +92,15 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit
+    # bound the cache: a long-lived session iterating many corpora
+    # (the parity tiers alone touch ~5 sf_dirs) must not accumulate
+    # persisted relations forever — FIFO-evict and unpersist
+    while len(_SHINGLE_CACHE) >= 8:
+        old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session of the evicted entry may already be stopped
     sh = _exploded_shingle_hashes(docs).distinct().persist(
         StorageLevel.MEMORY_AND_DISK
     )

@@ -238,19 +238,27 @@ def _hamming_sql(a: str, b: str) -> str:
 
 
 def perceptual_dedup_pairs(
-    media: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    header_skip: int = 0,
 ) -> DataFrame:
     """Blocked byte-level near-dup pairs over opaque binary payloads.
 
     Shape (the scale contract): one map-only pass hexes each payload
     and derives (a) two 16-byte blocking digests — payload prefix and
-    suffix — and (b) a 32-sample fixed-stride signature; candidates are
-    pairs sharing a prefix OR suffix block (content-keyed, collision
-    bounded — never corpus²); survivors have sample-Hamming ≤
+    suffix — and (b) a 32-sample absolute-stride signature; candidates
+    are pairs sharing a prefix OR suffix block (content-keyed,
+    collision bounded — never corpus²); survivors have sample-Hamming ≤
     ``PERCEPTUAL_MAX_HAMMING``. Payload bytes never shuffle: only the
-    96-char (bkey, sig) rows move. Length-proportional sampling keeps
-    signatures comparable across payloads whose lengths differ (the
-    trailing-perturbation near-dup case)."""
+    96-char (bkey, sig) rows move.
+
+    ``header_skip``: formats with constant magic headers (every PNG
+    shares its first 8 bytes; WAV/RIFF its first 4) would collapse the
+    prefix block into one corpus-sized bucket — pass the format's
+    header length so the prefix digest starts at the first
+    content-dependent byte. The signature is unaffected (identical
+    headers contribute identical samples)."""
     hx = media.filter(F.col(payload_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.hex(F.col(payload_col)).alias("hx"),
@@ -259,7 +267,7 @@ def perceptual_dedup_pairs(
     sigged = hx.select(
         "id",
         F.expr(_sig_sql("hx")).alias("sig"),
-        F.expr(f"substr(hx, 1, {_PREFIX_HEX})").alias("pfx"),
+        F.expr(f"substr(hx, {1 + 2 * header_skip}, {_PREFIX_HEX})").alias("pfx"),
         F.expr(f"substr(hx, greatest(2*nb - {_PREFIX_HEX - 1}, 1), {_PREFIX_HEX})").alias(
             "sfx"
         ),

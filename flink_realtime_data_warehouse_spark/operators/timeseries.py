@@ -81,6 +81,11 @@ def banded_global_rank(
     banding preserves order_col order. The only driver transfer is the
     2-value min/max scalar; the only partitionless window runs over the
     bounded band histogram.
+
+    Contract: ``order_col`` must be NON-NULL and integer-valued — a
+    NULL would band to NULL and silently drop out of the offsets
+    equi-join; the caller decides NULL placement explicitly
+    (``ts_similarity_pairs`` filters NULL values upstream).
     """
     from pyspark.sql.window import Window
 

@@ -104,3 +104,28 @@ def test_perceptual_dedup_pairs_blocked_hamming(spark):
     assert (1, 2) in got and got[(1, 2)] <= 1
     assert (1, 3) not in got and (2, 3) not in got
     assert all(4 not in pair and 5 not in pair for pair in got)
+
+
+def test_perceptual_dedup_header_skip_splits_magic_prefix(spark):
+    """Formats with constant magic headers (PNG, RIFF) collapse the
+    prefix block; header_skip starts the blocking digest at the first
+    content byte so unrelated files split while true dups still pair."""
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        perceptual_dedup_pairs,
+    )
+
+    magic = b"\x89PNG\r\n\x1a\n"  # constant 8-byte header
+    body_a = bytes(range(100, 200)) * 4
+    body_b = bytes(range(0, 100)) * 4
+    rows = [
+        (1, magic + body_a),
+        (2, magic + body_a + b"tail"),  # true near-dup of 1
+        (3, magic + body_b),            # same magic, different content
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {
+        (r.da, r.db)
+        for r in perceptual_dedup_pairs(df, header_skip=8).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
