@@ -122,6 +122,9 @@ _NULL_PARITY_QUERIES = [
     "split_temporal_embargo",
     "dedup_span_rewrite",
     "dq_source_overlap",
+    # round 5: NULL text must vanish identically from blocking AND
+    # signature on both engines (filter + encode/hex agreement)
+    "multimodal_perceptual_dups",
 ]
 
 
