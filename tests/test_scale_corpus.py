@@ -19,7 +19,12 @@ def test_generator_deterministic_and_fixture_shaped(spark, tmp_path):
     d2 = str(tmp_path / "b")
     c1 = generate_corpus(d1, mult=0.1, seed=7)
     c2 = generate_corpus(d2, mult=0.1, seed=7)
-    assert c1 == c2 == {"documents": 500, "embeddings": 200, "events": 10000}
+    assert c1 == c2 == {
+        "documents": 500,
+        "embeddings": 200,
+        "events": 10000,
+        "customer": 1500,
+    }
 
     docs = load_table(spark, d1, "documents")
     rows = {r.doc_id: r for r in docs.collect()}

@@ -137,6 +137,30 @@ def gen_events(out_dir: str, mult: float, rng: np.random.Generator) -> int:
     return n
 
 
+BASE_CUSTOMERS = 15_000
+
+
+def gen_customer(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+    """Minimal customer dimension (the columns the streaming-throughput
+    changelog synthesizer reads) so the streaming path can also be
+    measured at a second scale."""
+    n = int(BASE_CUSTOMERS * mult)
+    segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"]
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+            "c_mktsegment": pa.array(rng.choice(segs, size=n).tolist()),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999.99, 9999.99, size=n), 2).tolist(),
+                pa.float64(),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "customer.parquet"))
+    return n
+
+
 def generate_corpus(out_dir: str, mult: float, seed: int = 7) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -144,6 +168,7 @@ def generate_corpus(out_dir: str, mult: float, seed: int = 7) -> dict:
         "documents": gen_documents(out_dir, mult, rng),
         "embeddings": gen_embeddings(out_dir, mult, rng),
         "events": gen_events(out_dir, mult, rng),
+        "customer": gen_customer(out_dir, mult, rng),
     }
     with open(os.path.join(out_dir, "GEN.json"), "w") as f:
         json.dump({"mult": mult, "seed": seed, **counts}, f)
