@@ -135,3 +135,40 @@ def test_partitionless_windows_whitelisted_and_bounded(spark, sf_dir):
                 )
     stale = set(_BOUNDED_WINDOWS) - seen
     assert not violations and not stale, (violations, f"stale whitelist: {stale}")
+
+
+#: plan shapes through which a terminal ORDER BY may legally surface —
+#: anything else above a global Sort means sorted data feeds further
+#: computation, i.e. a genuine all-to-one stage mid-plan
+_SORT_BENIGN_ABOVE = {"Project", "GlobalLimit", "LocalLimit", "Sort"}
+
+
+def test_no_global_sort_feeds_further_computation(spark, sf_dir):
+    """A global Sort is legitimate ONLY as the terminal output ordering
+    (the oracle-compare contract; results are oracle-sized). A global
+    Sort buried under joins/aggregates would serialize the pipeline at
+    scale. Currently zero exist across the registry — this keeps it
+    that way with no whitelist to rot."""
+    violations = []
+    for name, fn in sorted(entrymod.queries().items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+
+        def walk(p, above_ok, parent):
+            nm = p.nodeName()
+            if nm == "Sort":
+                # "global" is a Python keyword — py4j exposes the Scala
+                # getter via getattr (plain reflection can't match the
+                # varargs getMethod signature). A Sort directly under a
+                # Limit plans as TakeOrderedAndProject (bounded top-k),
+                # never an all-to-one SortExec — allowed anywhere.
+                limit_guarded = parent in ("GlobalLimit", "LocalLimit")
+                if bool(getattr(p, "global")()) and not (
+                    above_ok or limit_guarded
+                ):
+                    violations.append(name)
+            ok = above_ok and nm in _SORT_BENIGN_ABOVE
+            for i in range(p.children().length()):
+                walk(p.children().apply(i), ok, nm)
+
+        walk(plan, True, None)
+    assert not violations, sorted(set(violations))
