@@ -367,3 +367,71 @@ def test_sequence_accumulator_late_event_merge_insert(spark, tmp_path):
     assert out_of_order == one_shot
     assert out_of_order[1] == (3, "search>view")  # cart evicted by late event
     assert out_of_order[2] == (2, "click>view")
+
+
+def test_sequence_accumulator_kernel_random_arrival_orders():
+    """Property (kernel-level, no streaming harness): for ANY event set,
+    ANY permutation, ANY batch partitioning, the final snapshot equals
+    the batch semantics — first `cap` events in (ts, event_id) order,
+    NULL types consuming slots silently, total counting everything."""
+    import random
+
+    import pandas as pd
+
+    from flink_realtime_data_warehouse_spark.streaming.state import make_seq_fn
+
+    class MockState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    rng = random.Random(99)
+    for trial in range(25):
+        cap = rng.choice([1, 2, 4, 8])
+        n = rng.randint(0, 30)
+        events = []
+        for i in range(n):
+            events.append(
+                (
+                    rng.randint(0, 10),  # ts with heavy ties
+                    i,  # unique event_id
+                    rng.choice(["a", "b", "c", None]),
+                )
+            )
+        expected_order = sorted(events, key=lambda e: (e[0], e[1]))[:cap]
+        expected_seq = ">".join(t for _, _, t in expected_order if t is not None)
+
+        shuffled = events[:]
+        rng.shuffle(shuffled)
+        # random batch partitioning
+        batches, i = [], 0
+        while i < len(shuffled):
+            j = i + rng.randint(1, max(1, len(shuffled) - i))
+            batches.append(shuffled[i:j])
+            i = j
+        fn = make_seq_fn(cap)
+        state = MockState()
+        last = None
+        for b in batches:
+            pdf = pd.DataFrame(b, columns=["ts", "event_id", "event_type"])
+            for out in fn(("u1",), iter([pdf]), state):
+                last = out
+        if not events:
+            assert last is None
+            continue
+        assert last is not None, trial
+        assert int(last["n_events"][0]) == n, trial
+        assert last["seq"][0] == expected_seq, (
+            trial,
+            cap,
+            last["seq"][0],
+            expected_seq,
+        )
