@@ -101,8 +101,10 @@ HEADLINE = [
     "sample_token_budget",
     "dq_snapshot_diff",
     "ts_similarity_pairs",
-    # round 5: codec-free perceptual near-dup over binary payloads
+    # round 5: codec-free perceptual near-dup over binary payloads,
+    # embedding-space benchmark decontamination
     "multimodal_perceptual_dups",
+    "decontam_semantic_overlap",
 ]
 
 

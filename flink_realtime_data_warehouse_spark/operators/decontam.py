@@ -151,3 +151,100 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % EVAL_MOD != 0),
         docs.filter(F.col("doc_id") % EVAL_MOD == 0),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination — the embedding-space complement of the
+# n-gram gate (paraphrased benchmark items share no 5-gram but sit next
+# to the eval item in embedding space; both gates run in real pipelines)
+# ---------------------------------------------------------------------------
+
+SEM_DECONTAM_COS = 0.4  #: max-cosine threshold flagging a training vector
+
+
+_SEM_DECONTAM_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE embedding IS NOT NULL),
+ev AS (SELECT vec_id, v FROM e WHERE vec_id % {EVAL_MOD} = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % {EVAL_MOD} != 0),
+sims AS (
+  SELECT tr.vec_id,
+         round(list_sum(list_transform(range(1, len(tr.v) + 1),
+                                       i -> tr.v[i] * ev.v[i]))
+               / (sqrt(list_sum(list_transform(tr.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ev.v, x -> x * x)))), 3) AS c
+  FROM tr JOIN ev ON true),
+m AS (SELECT vec_id, max(c) AS max_cos FROM sims GROUP BY 1)
+SELECT tr.vec_id, m.max_cos,
+       CAST(CASE WHEN coalesce(m.max_cos, 0) >= {SEM_DECONTAM_COS}
+            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM tr LEFT JOIN m USING (vec_id) ORDER BY tr.vec_id
+"""
+
+
+@query("decontam_semantic_overlap", oracle=_SEM_DECONTAM_ORACLE)
+def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: every
+    training vector's max cosine against the eval holdout, flagged at
+    ``SEM_DECONTAM_COS`` — catches the paraphrase contamination the
+    n-gram gate (``decontam_eval_overlap``) is blind to.
+
+    Scale shape (same discipline as the n-gram gate): the EVAL side is
+    tiny and fixed — it collects to a normalized NumPy block and rides
+    a broadcast; the training corpus streams past it in one Arrow
+    mapInPandas pass (|train| × |eval| multiplies per partition, zero
+    train-side shuffle, zero pair materialization — only the per-vector
+    max leaves the kernel). Cosines quantize to 3 decimals inside the
+    kernel exactly like ``dedup_embedding_pairs``, so the DuckDB oracle
+    reproduces the verdicts bit-for-bit.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ev_rows = vec.filter(F.col("vec_id") % EVAL_MOD == 0).collect()
+    train = vec.filter(F.col("vec_id") % EVAL_MOD != 0)
+
+    import numpy as np
+
+    if ev_rows:
+        ev_m = np.stack([np.asarray(r.v, dtype=np.float64) for r in ev_rows])
+        ev_m = ev_m / np.linalg.norm(ev_m, axis=1, keepdims=True)
+    else:
+        ev_m = np.zeros((0, 1))
+    bc = spark.sparkContext.broadcast(ev_m)
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        block = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            if block.shape[0] == 0:
+                yield pd.DataFrame(
+                    {"vec_id": ids, "max_cos": [None] * len(ids)}
+                )
+                continue
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(m @ block.T, 3)
+            yield pd.DataFrame({"vec_id": ids, "max_cos": sims.max(axis=1)})
+
+    scored = train.mapInPandas(_score, schema="vec_id bigint, max_cos double")
+    return (
+        scored.select(
+            "vec_id",
+            "max_cos",
+            F.when(
+                F.coalesce("max_cos", F.lit(0.0)) >= SEM_DECONTAM_COS, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
