@@ -160,6 +160,9 @@ def decontam_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEM_DECONTAM_COS = 0.4  #: max-cosine threshold flagging a training vector
+#: hard cap on the collected eval block (~25 MB at 64-d float64) — the
+#: broadcast-block design assumes a benchmark-sized eval side
+_SEM_EVAL_MAX = 50_000
 
 
 _SEM_DECONTAM_ORACLE = f"""
@@ -203,7 +206,18 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").isNotNull()
     )
     vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    ev_rows = vec.filter(F.col("vec_id") % EVAL_MOD == 0).collect()
+    ev_rows = vec.filter(F.col("vec_id") % EVAL_MOD == 0).limit(
+        _SEM_EVAL_MAX + 1
+    ).collect()
+    if len(ev_rows) > _SEM_EVAL_MAX:
+        # the broadcast-block design is only valid for a benchmark-sized
+        # eval side — fail loudly instead of silently OOMing the driver
+        # on a misconfigured "eval" table (every collect in this engine
+        # is either bounded or guarded like this)
+        raise ValueError(
+            f"eval side exceeds {_SEM_EVAL_MAX} vectors; semantic "
+            "decontamination expects a fixed benchmark-sized eval table"
+        )
     train = vec.filter(F.col("vec_id") % EVAL_MOD != 0)
 
     import numpy as np
