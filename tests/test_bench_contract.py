@@ -26,3 +26,15 @@ def test_every_query_has_oracle_or_is_documented():
     no_oracle = sorted(set(qs) - set(os_))
     # the engine's standing contract since r3: zero no-oracle rows
     assert no_oracle == [], no_oracle
+
+
+def test_query_index_in_sync():
+    """QUERIES.md is generated; its count line must match the live
+    registry so the index can't silently go stale."""
+    entry = importlib.import_module("__spark_entry__")
+    n = len(entry.queries())
+    with open("/root/repo/QUERIES.md") as f:
+        text = f.read()
+    assert f"{n} queries, {n} with DuckDB oracles" in text, (
+        "QUERIES.md stale — run tools/gen_query_index.py"
+    )
