@@ -21,6 +21,7 @@ variant halves the rounds — not needed for dedup workloads.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -92,9 +93,17 @@ def connected_components(
     either one — isolated vertices keep their own label by
     construction.
     """
+    # DISK_ONLY: the symmetrized edge set is the largest relation in the
+    # whole computation (2|E| rows) and is re-scanned once per hop — the
+    # default deserialized in-memory checkpoint pins it in the unified
+    # memory region, crowding out execution/broadcast memory exactly when
+    # the join loop needs it (a 30×-corpus measurement run died building
+    # a broadcast with ~80M edge rows cached in a 16g local JVM). Edge
+    # scans are sequential, so executor-local disk + OS page cache is
+    # the scale-correct storage for it at any corpus size.
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
     if sym.count() <= CC_LOCAL_EDGE_THRESHOLD:
         labels = _union_find_single_partition(sym)
         return (
@@ -141,7 +150,7 @@ def connected_components(
             labels.withColumnRenamed("label", "old_label")
             .join(stepped, "id")
             .select("id", F.col("label").alias("new_label"), "old_label")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
         n_changed = new_labels.agg(
             F.count_if(F.col("new_label") < F.col("old_label")).alias("n")

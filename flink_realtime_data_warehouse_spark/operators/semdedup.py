@@ -114,18 +114,25 @@ def semantic_bucket_pairs(
     )
 
 
-def semantic_dedup(emb: DataFrame, threshold: float = SEMDEDUP_COS_THRESHOLD) -> DataFrame:
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_COS_THRESHOLD,
+    sign_dims: tuple[int, ...] = SEMDEDUP_SIGN_DIMS,
+) -> DataFrame:
     """Full SemDeDup pass: (vec_id, rep_id, is_kept) for every vector.
 
     ``is_kept`` marks the minimum-id representative of each within-
     bucket near-dup component; singletons keep themselves. Downstream
     curation joins on ``is_kept`` to drop semantic duplicates.
+    ``sign_dims`` is the bucket-partitioner knob — raise the bit count
+    with the corpus so bucket populations stay task-sized (the scaling
+    harness times exactly this configuration at each corpus scale).
     """
     from flink_realtime_data_warehouse_spark.operators.graph import (
         connected_components,
     )
 
-    pairs = semantic_bucket_pairs(emb, threshold)
+    pairs = semantic_bucket_pairs(emb, threshold, sign_dims)
     labels = connected_components(
         pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
         emb.select(F.col("vec_id").alias("id")),
