@@ -36,6 +36,7 @@ METRICS = [
     ("er_fuzzy.candidates", "er comparator calls"),
     ("semdedup.comparisons_6bit", "semdedup cmp (fixed 6-bit)"),
     ("semdedup.comparisons_scaled_bits", "semdedup cmp (scaled bits)"),
+    ("semdedup.comparisons_ivf", "semdedup cmp (trained IVF cells)"),
     ("ts_similarity.candidates", "ts candidates"),
     ("source_overlap.shingle_source_rows", "overlap postings"),
 ]
