@@ -52,3 +52,66 @@ def test_pairs_bound_is_sum_of_group_pairs(spark):
     )
     # 3 choose 2 + 2 choose 2 + 1 choose 2 = 3 + 1 + 0
     assert _pairs_bound(df, ["k"]) == 4
+
+
+def test_candidate_growth_exponents_stay_linear(spark, tmp_path):
+    """The 100 TB scaling claims as a CI property, not a one-off run.
+
+    SCALING.json's full-scale fits (1x/10x/30x: LSH 0.99, ER 1.00,
+    overlap postings 1.07 vs the naive pair-space exponent of 2.0) are
+    measurements; this test re-derives mini-scale exponents from two
+    freshly generated corpora so any future change to a candidate
+    generator (a blocking key dropped, a distinct lost, a band widened)
+    that bends a bound toward quadratic fails the suite. Thresholds
+    carry margin over the measured mini-scale values (LSH 1.0, ER 1.37
+    — ER's small-vocab blocks are relatively denser at this size; it
+    measures 1.00 across the 30x range — overlap 1.06); all are far
+    below 2.0, and every candidate relation must also stay a sliver of
+    the naive pair space.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+        _exploded_shingle_hashes,
+    )
+    from flink_realtime_data_warehouse_spark.operators.entity import ER_LEN_BUCKET
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    res = {}
+    for mult in (0.5, 1.5):
+        d = str(tmp_path / f"m{mult}")
+        generate_corpus(d, mult=mult, seed=7)
+        docs = load_table(spark, d, "documents")
+        er_k = docs.filter(F.col("text").isNotNull()).select(
+            F.split("text", " ").getItem(0).alias("w1"),
+            F.floor(F.size(F.split("text", " ")) / ER_LEN_BUCKET).alias("lb"),
+        )
+        postings = (
+            _exploded_shingle_hashes(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("s", "source")
+            .distinct()
+        )
+        res[mult] = {
+            "n": docs.count(),
+            "lsh": minhash_lsh_candidate_pairs(docs).count(),
+            "er": _pairs_bound(er_k, ["w1", "lb"]),
+            "overlap": postings.count(),
+        }
+
+    def exponent(fam: str) -> float:
+        a, b = res[0.5][fam], res[1.5][fam]
+        assert a > 0 and b > 0, f"{fam}: degenerate candidate count"
+        return math.log(b / a) / math.log(res[1.5]["n"] / res[0.5]["n"])
+
+    assert exponent("lsh") <= 1.2
+    assert exponent("er") <= 1.6
+    assert exponent("overlap") <= 1.25
+    # and nowhere near the naive pair space at either scale
+    for mult, r in res.items():
+        naive = r["n"] * (r["n"] - 1) // 2
+        assert r["lsh"] <= naive * 0.01
+        assert r["er"] <= naive * 0.05
