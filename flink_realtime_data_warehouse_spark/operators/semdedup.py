@@ -81,10 +81,13 @@ def semantic_bucket_pairs(
     matmul inside an Arrow-batched task. Bucket population is ~N/64
     here; at real scale raise the bit count via ``sign_dims`` (or
     substitute the trained IVF assignment) so buckets stay task-sized —
-    the operator shape does not change. tools/measure_scaling.py uses
-    the knob to demonstrate exactly that: at 10× corpus the 6-bit
-    comparison count grows ~quadratically while a scaled bit count
-    holds comparisons-per-vector flat.
+    the operator shape does not change. tools/measure_scaling.py
+    measures the knob across a 30× corpus range (SCALING.json →
+    exponents): frozen 6-bit comparisons fit exponent 2.00, scaled
+    sign bits 1.66 (raw sign bits lose discriminative power on
+    correlated dims), and the trained k-means cell assignment 0.87
+    with comparisons-per-vector flat — at real scale use the trained
+    assignment.
     """
     bucket = None
     for j, d in enumerate(sign_dims):
