@@ -19,11 +19,18 @@ operators/similarity.py::ann_ivf_topk when recall matters more than
 replayability; swap `bucket_expr` for its assignment and the rest of
 the operator is unchanged).
 
-Pipeline: bucket (map-only) -> within-bucket exact pairwise cosine
-(NumPy per bucket, Arrow-batched) -> connected components over the
-pair graph (operators/graph.py hybrid) -> min-id representative.
-Shuffle budget: one shuffle on the bucket key for the pairwise stage,
-then the CC machinery over |pairs| edges — never |corpus|² anything.
+Pipeline: bucket (map-only) -> ONE bucket-keyed shuffle -> within each
+Arrow task: exact pairwise cosine (NumPy) + union-find over the bucket's
+threshold graph -> min-id representative emitted directly. The bucket
+code PARTITIONS the corpus (every vector has exactly one code), so a
+near-dup component can never span buckets — the global connected-
+components machinery the first design ran over the pair graph was
+provably redundant, and at a 30× measurement corpus it dominated the
+wall (~200 s of min-label join rounds over tens of millions of
+within-bucket pairs that never needed to leave their task). Output is
+|corpus| rows; the pair relation never materializes outside the task.
+``semantic_bucket_pairs`` still exposes the explicit pair relation for
+diagnostics and the scaling harness.
 """
 
 from __future__ import annotations
@@ -69,6 +76,16 @@ FROM reach GROUP BY id ORDER BY vec_id
 """
 
 
+def _bucket_col(sign_dims: tuple[int, ...]):
+    """The sign-bit bucket code as a pure column expression (the same
+    arithmetic the oracle's ``_BUCKET_SQL`` states)."""
+    bucket = None
+    for j, d in enumerate(sign_dims):
+        bit = F.when(F.element_at("v", d) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
 def semantic_bucket_pairs(
     emb: DataFrame,
     threshold: float,
@@ -89,11 +106,7 @@ def semantic_bucket_pairs(
     with comparisons-per-vector flat — at real scale use the trained
     assignment.
     """
-    bucket = None
-    for j, d in enumerate(sign_dims):
-        bit = F.when(F.element_at("v", d) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    coded = emb.select("vec_id", "v", bucket.alias("bucket"))
+    coded = emb.select("vec_id", "v", _bucket_col(sign_dims).alias("bucket"))
 
     thr = threshold
 
@@ -130,20 +143,62 @@ def semantic_dedup(
     ``sign_dims`` is the bucket-partitioner knob — raise the bit count
     with the corpus so bucket populations stay task-sized (the scaling
     harness times exactly this configuration at each corpus scale).
-    """
-    from flink_realtime_data_warehouse_spark.operators.graph import (
-        connected_components,
-    )
 
-    pairs = semantic_bucket_pairs(emb, threshold, sign_dims)
-    labels = connected_components(
-        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")),
-        emb.select(F.col("vec_id").alias("id")),
+    One pass: the bucket code partitions the corpus, so the transitive
+    near-dup closure is bucket-local by construction — each Arrow task
+    computes its bucket's pairwise cosines AND the union-find fixpoint
+    over them, emitting (vec_id, rep_id) directly. Equivalent to
+    running connected components over ``semantic_bucket_pairs`` (the
+    oracle states exactly that recursive closure), without ever
+    shuffling a pair relation: per-task work is the same matmul as
+    before plus an O(pairs α(n)) union-find, and the operator's output
+    is |corpus| rows regardless of how dense a bucket's dup graph is.
+    """
+    coded = emb.select("vec_id", "v", _bucket_col(sign_dims).alias("bucket"))
+
+    thr = threshold
+
+    def _labels(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n <= 1:
+            return pd.DataFrame({"vec_id": ids, "rep_id": ids})
+        m = np.stack(pdf["v"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 3)
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ii, jj = np.nonzero(np.triu(sims >= thr, k=1))
+        for a, b in zip(ii.tolist(), jj.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        comp_min: dict[int, int] = {}
+        for pos in range(n):
+            r = find(pos)
+            v = int(ids[pos])
+            if r not in comp_min or v < comp_min[r]:
+                comp_min[r] = v
+        return pd.DataFrame(
+            {"vec_id": ids, "rep_id": [comp_min[find(p)] for p in range(n)]}
+        )
+
+    labels = coded.groupBy("bucket").applyInPandas(
+        _labels, "vec_id bigint, rep_id bigint"
     )
     return labels.select(
-        F.col("id").alias("vec_id"),
-        F.col("label").alias("rep_id"),
-        (F.col("label") == F.col("id")).alias("is_kept"),
+        "vec_id",
+        "rep_id",
+        (F.col("rep_id") == F.col("vec_id")).alias("is_kept"),
     ).orderBy("vec_id")
 
 
