@@ -304,3 +304,22 @@ def test_round4_incr_lsh_oracle_parity(spark, sf_dir):
         oracles["dedup_incremental_lsh"],
         sf_dir,
     )
+
+
+def test_semantic_dedup_transitive_chain_within_bucket(spark):
+    # a~b and b~c clear the threshold but a~c does not (0deg / 45deg /
+    # 90deg in the first two coordinates): the in-kernel union-find must
+    # still close the chain into ONE component labeled by the min id —
+    # the closure the oracle states recursively, pinned at unit scale
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0] + [0.0] * 62),
+            (2, [0.7071, 0.7071] + [0.0] * 62),
+            (3, [0.0, 1.0] + [0.0] * 62),
+        ],
+        "vec_id long, v array<double>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.6).collect()}
+    assert out[1].rep_id == 1 and out[1].is_kept
+    assert out[2].rep_id == 1 and not out[2].is_kept
+    assert out[3].rep_id == 1 and not out[3].is_kept
