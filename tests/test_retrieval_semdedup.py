@@ -323,3 +323,16 @@ def test_semantic_dedup_transitive_chain_within_bucket(spark):
     assert out[1].rep_id == 1 and out[1].is_kept
     assert out[2].rep_id == 1 and not out[2].is_kept
     assert out[3].rep_id == 1 and not out[3].is_kept
+
+
+def test_semantic_dedup_degenerate_single_component_bucket(spark):
+    # worst-case skew for the in-kernel union-find: many near-identical
+    # vectors land in ONE bucket and form ONE component — the kernel
+    # must close it to a single min-id representative without the pair
+    # relation ever leaving the task (500 members = ~125k in-task pairs)
+    rows = [(i, [1.0, 0.5, i * 1e-9] + [0.0] * 61) for i in range(100, 600)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = semantic_dedup(emb, threshold=0.9).collect()
+    assert len(out) == 500
+    assert all(r.rep_id == 100 for r in out)
+    assert sum(r.is_kept for r in out) == 1
