@@ -134,6 +134,7 @@ def semantic_dedup(
     emb: DataFrame,
     threshold: float = SEMDEDUP_COS_THRESHOLD,
     sign_dims: tuple[int, ...] = SEMDEDUP_SIGN_DIMS,
+    bucket_col=None,
 ) -> DataFrame:
     """Full SemDeDup pass: (vec_id, rep_id, is_kept) for every vector.
 
@@ -143,6 +144,12 @@ def semantic_dedup(
     ``sign_dims`` is the bucket-partitioner knob — raise the bit count
     with the corpus so bucket populations stay task-sized (the scaling
     harness times exactly this configuration at each corpus scale).
+    ``bucket_col`` overrides the sign-bit code with ANY partitioning
+    Column over ``(vec_id, v)`` — pass the trained IVF cell assignment
+    (the configuration the 100× measurement shows holds comparisons per
+    vector flat, SCALING.json → exponents) and the rest of the operator
+    is unchanged; the dedup scope is then "within a cell", exactly as
+    SemDeDup's paper formulation dedups within k-means clusters.
 
     One pass: the bucket code partitions the corpus, so the transitive
     near-dup closure is bucket-local by construction — each Arrow task
@@ -154,7 +161,9 @@ def semantic_dedup(
     before plus an O(pairs α(n)) union-find, and the operator's output
     is |corpus| rows regardless of how dense a bucket's dup graph is.
     """
-    coded = emb.select("vec_id", "v", _bucket_col(sign_dims).alias("bucket"))
+    if bucket_col is None:
+        bucket_col = _bucket_col(sign_dims)
+    coded = emb.select("vec_id", "v", bucket_col.alias("bucket"))
 
     thr = threshold
 

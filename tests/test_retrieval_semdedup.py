@@ -336,3 +336,37 @@ def test_semantic_dedup_degenerate_single_component_bucket(spark):
     assert len(out) == 500
     assert all(r.rep_id == 100 for r in out)
     assert sum(r.is_kept for r in out) == 1
+
+
+def test_semantic_dedup_custom_bucket_column(spark):
+    # the trained-quantizer hook: any partitioning Column can replace
+    # the sign-bit code. Bucketing by vec_id parity separates vectors 1
+    # and 3 (identical direction -> dup under one bucket) into different
+    # buckets, so each keeps itself; 1 and 5 share the odd bucket and
+    # dedup. Pins that the bucket_col override actually drives the scope.
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0] + [0.0] * 62),
+            (3, [1.0, 0.0] + [0.0] * 62),
+            (5, [1.0, 0.001] + [0.0] * 62),
+        ],
+        "vec_id long, v array<double>",
+    )
+    default = {r.vec_id: r.rep_id for r in semantic_dedup(emb, threshold=0.9).collect()}
+    assert default == {1: 1, 3: 1, 5: 1}  # sign code: all one bucket
+    parity = {
+        r.vec_id: r.rep_id
+        for r in semantic_dedup(
+            emb, threshold=0.9, bucket_col=F.col("vec_id") % 2
+        ).collect()
+    }
+    assert parity == {1: 1, 3: 1, 5: 1}  # all odd -> still one bucket
+    half = {
+        r.vec_id: r.rep_id
+        for r in semantic_dedup(
+            emb, threshold=0.9, bucket_col=(F.col("vec_id") > 3).cast("int")
+        ).collect()
+    }
+    assert half == {1: 1, 3: 1, 5: 5}  # 5 isolated in its own bucket
