@@ -168,7 +168,10 @@ _SEM_EVAL_MAX = 50_000
 _SEM_DECONTAM_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v
-  FROM embeddings WHERE embedding IS NOT NULL),
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(embedding) = 64
+    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
 ev AS (SELECT vec_id, v FROM e WHERE vec_id % {EVAL_MOD} = 0),
 tr AS (SELECT vec_id, v FROM e WHERE vec_id % {EVAL_MOD} != 0),
 sims AS (
@@ -202,10 +205,17 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel exactly like ``dedup_embedding_pairs``, so the DuckDB oracle
     reproduces the verdicts bit-for-bit.
     """
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    from flink_realtime_data_warehouse_spark.operators.similarity import _load_emb
+
+    # _load_emb carries the NULL/wrong-dim dirty-row guard every NumPy
+    # stack kernel needs (one ragged row would abort the whole query);
+    # the zero-norm filter additionally excludes vectors whose cosine is
+    # undefined — an all-zero EVAL vector would otherwise turn the block
+    # row into NaN, and NaN's "largest double" comparison semantics
+    # would flag the ENTIRE corpus as contaminated (round-5 review).
+    vec = _load_emb(spark, sf_dir).filter(
+        F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)") > 0.0
     )
-    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ev_rows = vec.filter(F.col("vec_id") % EVAL_MOD == 0).limit(
         _SEM_EVAL_MAX + 1
     ).collect()

@@ -79,16 +79,45 @@ def _exploded_shingle_hashes(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 _SHINGLE_CACHE: dict = {}
 
 
+def _file_content_stamp(docs: DataFrame) -> int:
+    """Hash of the scan's file listing + (size, mtime) per local file.
+
+    ``semanticHash`` canonicalizes a parquet scan by PATH, so two reads
+    of the same path hash alike even after the files underneath were
+    rewritten — a content-addressed cache key needs the listing itself.
+    Parquet rewrites mint new part-file names, so the listing alone
+    catches snapshot replacement on any filesystem; for ``file:`` URIs
+    (all this sandbox has) size+mtime additionally catch in-place
+    appends. Driver metadata only — no data is read."""
+    import os
+
+    parts = []
+    for uri in sorted(docs.inputFiles()):
+        local = uri[len("file:"):] if uri.startswith("file:") else None
+        if local and os.path.exists(local):
+            st = os.stat(local)
+            parts.append((uri, st.st_size, st.st_mtime_ns))
+        else:
+            parts.append((uri, -1, -1))
+    return hash(tuple(parts))
+
+
 def _shingle_df(docs: DataFrame) -> DataFrame:
     """distinct (doc_id, shingle-hash) pairs — the inverted-index input.
 
-    Cached per (session, docs-plan semantic hash): callers passing the
-    same logical corpus share one persisted relation; any different
-    docs plan (other sf_dir, filtered subset, test frame) builds its
-    own entry, so semantics never depend on the cache."""
+    Cached per (session, docs-plan semantic hash, file-content stamp):
+    callers passing the same logical corpus share one persisted
+    relation; any different docs plan (other sf_dir, filtered subset,
+    test frame) builds its own entry, and a same-path corpus whose
+    files were rewritten mid-session re-stamps to a fresh entry, so
+    semantics never depend on the cache."""
     from pyspark import StorageLevel
 
-    key = (docs.sparkSession.sparkContext.applicationId, docs.semanticHash())
+    key = (
+        docs.sparkSession.sparkContext.applicationId,
+        docs.semanticHash(),
+        _file_content_stamp(docs),
+    )
     hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit

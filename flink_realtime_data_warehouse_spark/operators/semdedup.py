@@ -101,8 +101,8 @@ def semantic_bucket_pairs(
     the operator shape does not change. tools/measure_scaling.py
     measures the knob across a 30× corpus range (SCALING.json →
     exponents): frozen 6-bit comparisons fit exponent 2.00, scaled
-    sign bits 1.66 (raw sign bits lose discriminative power on
-    correlated dims), and the trained k-means cell assignment 0.87
+    sign bits 1.51 (raw sign bits lose discriminative power on
+    correlated dims), and the trained k-means cell assignment 0.91
     with comparisons-per-vector flat — at real scale use the trained
     assignment.
     """

@@ -104,7 +104,24 @@ class LogCollector:
                     self.send_response(404)
                     self.end_headers()
                     return
-                n = int(self.headers.get("Content-Length", 0))
+                # An ack means the line is spooled — never 200 a body we
+                # could not read. Chunked encoding has no Content-Length
+                # (411), and a malformed length must be a clean 400, not
+                # an exception in the handler thread (round-5 review:
+                # both cases previously acked-and-dropped or reset).
+                raw = self.headers.get("Content-Length")
+                if raw is None:
+                    self.send_response(411)  # Length Required
+                    self.end_headers()
+                    return
+                try:
+                    n = int(raw)
+                    if n < 0:
+                        raise ValueError(raw)
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
                 line = self.rfile.read(n).replace(b"\n", b" ").strip()
                 if line:
                     collector._append(line)

@@ -493,10 +493,20 @@ def _incarnation_id(checkpoint: str) -> str:
     batch could write a duplicate digest partition instead of
     overwriting its own first attempt (r4 ADVICE). The id is minted
     once, persisted INSIDE the checkpoint directory, and re-read by any
-    later spelling that resolves to the same directory; the hash of the
-    fully-resolved path is only the cold-start seed."""
-    import hashlib
+    later spelling that resolves to the same directory.
+
+    The cold-start mint is a random uuid, NOT a hash of the path: a
+    path-derived seed would resurrect the previous incarnation's id
+    after ``rm -rf <checkpoint>`` at the same path, letting the new
+    job's batch 0 dynamic-overwrite the old incarnation's
+    ``pbatch=<rid>-0`` digest partition AND exclude it from history
+    during classification — silently re-admitting already-ingested
+    documents. The marker is published atomically (write-to-temp +
+    exclusive ``os.link``), so a concurrent second starter or a crash
+    mid-mint can never observe a partial/empty id: the link only
+    appears after the temp file is fully written and fsynced."""
     import os
+    import uuid
 
     path = checkpoint
     if path.startswith("file:"):
@@ -504,14 +514,21 @@ def _incarnation_id(checkpoint: str) -> str:
     path = os.path.realpath(os.path.abspath(path))
     os.makedirs(path, exist_ok=True)
     marker = os.path.join(path, "frdw_run_id")
-    try:
-        with open(marker, "x", encoding="utf-8") as f:
-            rid = hashlib.md5(path.encode("utf-8")).hexdigest()[:12]
+    if not os.path.exists(marker):
+        rid = uuid.uuid4().hex[:12]
+        tmp = f"{marker}.tmp.{os.getpid()}.{rid}"
+        with open(tmp, "w", encoding="utf-8") as f:
             f.write(rid)
-            return rid
-    except FileExistsError:
-        with open(marker, encoding="utf-8") as f:
-            return f.read().strip()
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, marker)  # atomic publish; loser keeps the winner's id
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    with open(marker, encoding="utf-8") as f:
+        return f.read().strip()
 
 
 def start_history_dedup_ingest(

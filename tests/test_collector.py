@@ -71,3 +71,32 @@ def test_collector_newline_injection_kept_single_line(tmp_path):
     assert len(files) == 1
     lines = open(os.path.join(spool, files[0]), "rb").read().splitlines()
     assert lines == [b'{"a": 1} {"b": 2}']
+
+
+def test_collector_never_acks_unreadable_bodies(tmp_path):
+    """200 means spooled (round-5 review): a chunked request (no
+    Content-Length) must get 411, a malformed length 400 — previously
+    both were acked while the line was silently dropped (or the handler
+    thread raised)."""
+    import http.client
+
+    spool = str(tmp_path / "spool")
+    c = LogCollector(spool)
+    host, port = c.start()
+    try:
+        conn = http.client.HTTPConnection(host, port)
+        # no Content-Length at all
+        conn.putrequest("POST", "/applog", skip_accept_encoding=True)
+        conn.endheaders()
+        assert conn.getresponse().status == 411
+        conn.close()
+        # malformed Content-Length
+        conn = http.client.HTTPConnection(host, port)
+        conn.putrequest("POST", "/applog", skip_accept_encoding=True)
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        c.stop()
+    assert not os.path.exists(spool) or os.listdir(spool) == []

@@ -91,3 +91,49 @@ def test_decontam_matches_bruteforce_on_random_docs(spark):
     for i, (n_grams, n_hits) in expect.items():
         assert (out[i]["n_grams"], out[i]["n_hits"]) == (n_grams, n_hits), i
         assert out[i]["contaminated"] == (1 if n_hits else 0)
+
+
+def test_semantic_decontam_dirty_rows_parity(spark, tmp_path, sf_dir):
+    """Wrong-dim and zero-norm embedding rows are definitionally not
+    similarity candidates (round-5 review): a ragged row crashed the
+    Arrow/NumPy stack, and an all-zero EVAL vector produced a NaN block
+    row whose 'NaN is the largest double' comparison semantics flagged
+    the ENTIRE corpus as contaminated. Both engines must now exclude
+    them identically."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tests.oracle_utils import compare_query_to_oracle
+
+    d = tmp_path / "dirty_sf"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents"
+    ).split():
+        duckdb.sql(
+            f"COPY (SELECT * FROM '{sf_dir}/{t}.parquet') "
+            f"TO '{d}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    rows = [
+        (i, [float((i * 7 + j) % 5 + 1) for j in range(64)], i % 3)
+        for i in range(26)  # 0, 13 land on the eval side (vec_id % 13)
+    ]
+    rows.append((26, None, 0))  # NULL embedding, eval side
+    rows.append((27, [1.0, 2.0, 3.0], 0))  # wrong-dim, train side
+    rows.append((39, [0.0] * 64, 0))  # zero-norm, eval side (NaN poison)
+    staging = str(tmp_path / "emb_staging")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(staging)
+    # repack to the single-file layout the oracle views expect
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{staging}/*.parquet' ORDER BY vec_id) "
+        f"TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+    name = "decontam_semantic_overlap"
+    df = entrymod.queries()[name](spark, str(d))
+    got = {r.vec_id for r in df.collect()}
+    assert 27 not in got and 39 not in got  # dirty rows excluded
+    assert 1 in got  # clean train rows still scored
+    compare_query_to_oracle(df, entrymod.oracle_sql()[name], str(d))

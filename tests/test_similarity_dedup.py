@@ -310,3 +310,24 @@ def test_connected_components_matches_union_find(spark, monkeypatch, force_distr
         v_df = spark.createDataFrame([(i,) for i in range(n)], ["id"])
         got = {r["id"]: r["label"] for r in connected_components(e_df, v_df).collect()}
         assert got == expected, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_shingle_cache_invalidates_on_file_rewrite(spark, tmp_path):
+    """The shingle-relation cache key must be content-addressed, not
+    plan-addressed: semanticHash canonicalizes a parquet scan by path,
+    so a same-path snapshot rewrite mid-session would otherwise serve
+    stale shingles to every n-gram dedup row (round-5 review)."""
+    from flink_realtime_data_warehouse_spark.operators.dedup import _shingle_df
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(p)
+    first = _shingle_df(spark.read.parquet(p)).count()
+    assert first == 2  # two distinct 3-gram shingles
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(p)
+    second = _shingle_df(spark.read.parquet(p)).count()
+    assert second == 4  # stale cache would still say 2

@@ -170,6 +170,16 @@ def test_incarnation_id_spelling_independent(spark, tmp_path):
     os.symlink(str(ckpt), str(link))
     assert _incarnation_id(str(link)) == rid
 
+    # rm -rf of the checkpoint at the SAME path is a new incarnation:
+    # a path-derived id would resurrect the old one and let batch 0
+    # dynamic-overwrite (and history-exclude) the prior incarnation's
+    # pbatch=<rid>-0 digest partition.
+    shutil.rmtree(str(ckpt))
+    rid2 = _incarnation_id(str(ckpt))
+    assert rid2 != rid
+    # and the marker file is the persisted identity, never empty
+    assert (ckpt / "frdw_run_id").read_text().strip() == rid2
+
     # end-to-end: replay through the trailing-slash spelling
     src = str(tmp_path / "docs")
     os.makedirs(src, exist_ok=True)
