@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_data_warehouse_spark.operators.similarity import EMB_CLEAN_SQL
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
@@ -168,10 +169,7 @@ _SEM_EVAL_MAX = 50_000
 _SEM_DECONTAM_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v
-  FROM embeddings
-  WHERE embedding IS NOT NULL
-    AND len(embedding) = 64
-    AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0),
+  FROM embeddings WHERE {EMB_CLEAN_SQL}),
 ev AS (SELECT vec_id, v FROM e WHERE vec_id % {EVAL_MOD} = 0),
 tr AS (SELECT vec_id, v FROM e WHERE vec_id % {EVAL_MOD} != 0),
 sims AS (
@@ -207,15 +205,12 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from flink_realtime_data_warehouse_spark.operators.similarity import _load_emb
 
-    # _load_emb carries the NULL/wrong-dim dirty-row guard every NumPy
-    # stack kernel needs (one ragged row would abort the whole query);
-    # the zero-norm filter additionally excludes vectors whose cosine is
-    # undefined — an all-zero EVAL vector would otherwise turn the block
-    # row into NaN, and NaN's "largest double" comparison semantics
-    # would flag the ENTIRE corpus as contaminated (round-5 review).
-    vec = _load_emb(spark, sf_dir).filter(
-        F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)") > 0.0
-    )
+    # _load_emb carries the full dirty-row guard: one ragged row would
+    # abort the Arrow/NumPy stack, and an all-zero EVAL vector would
+    # turn the block row into NaN, whose "largest double" comparison
+    # semantics would flag the ENTIRE corpus as contaminated (round-5
+    # review; the zero-norm clause now lives in _load_emb itself).
+    vec = _load_emb(spark, sf_dir)
     ev_rows = vec.filter(F.col("vec_id") % EVAL_MOD == 0).limit(
         _SEM_EVAL_MAX + 1
     ).collect()

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_data_warehouse_spark.operators.similarity import EMB_CLEAN_SQL
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
@@ -497,7 +498,8 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 
 _EMBED_PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_CLEAN_SQL}),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_data_warehouse_spark.operators.similarity import EMB_CLEAN_SQL
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
@@ -210,7 +211,8 @@ WITH {_BM25_RANKED_CTE},
 sparse AS (
   SELECT query_id, doc_id, rnk AS r_sparse FROM ranked WHERE rnk <= {HYBRID_TOPK}),
 anchors(query_id, anchor_id) AS (VALUES {_ANCHOR_VALUES}),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE {EMB_CLEAN_SQL}),
 av AS (SELECT a.query_id, e.v AS av FROM anchors a JOIN e ON e.vec_id = a.anchor_id),
 dscore AS (
   SELECT av.query_id, e.vec_id AS doc_id,
@@ -273,9 +275,12 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_topk(spark, docs, BM25_QUERIES, topk=HYBRID_TOPK)
         .select("query_id", "doc_id", F.col("rnk").alias("r_sparse"))
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    from flink_realtime_data_warehouse_spark.operators.similarity import _load_emb
+
+    # shared dirty-row guard: a NULL/ragged/zero-norm vector must drop
+    # out of BOTH the corpus and the anchor side identically on both
+    # engines (round-5 dirty-embeddings hardening)
+    emb = _load_emb(spark, sf_dir)
     anchors = spark.createDataFrame(
         HYBRID_ANCHORS, "query_id string, anchor_id bigint"
     )

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_realtime_data_warehouse_spark.operators.similarity import EMB_CLEAN_SQL
 from flink_realtime_data_warehouse_spark.plans.registry import query
 
 SEMDEDUP_COS_THRESHOLD = 0.4  #: within-bucket near-dup cosine cut
@@ -51,7 +52,8 @@ _BUCKET_SQL = " + ".join(
 
 _SEMDEDUP_ORACLE = f"""
 WITH RECURSIVE e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {EMB_CLEAN_SQL}),
 coded AS (
   SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
 pairs AS (
@@ -68,7 +70,7 @@ edges AS (
   UNION ALL
   SELECT vec_b AS src, vec_a AS dst FROM pairs),
 reach(id, label) AS (
-  SELECT vec_id, vec_id FROM embeddings
+  SELECT vec_id, vec_id FROM e
   UNION
   SELECT edges.src, reach.label FROM edges JOIN reach ON edges.dst = reach.id)
 SELECT id AS vec_id, min(label) AS rep_id, min(label) = id AS is_kept

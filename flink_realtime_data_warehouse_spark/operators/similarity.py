@@ -45,6 +45,14 @@ N_QUERIES = 10  #: queries() demo uses vec_id < N_QUERIES as the query block
 LSH_TABLES = 10  #: independent hash tables (recall amplification)
 LSH_ROWS = 5  #: hyperplanes per table (precision per bucket)
 EMBED_DIM = 64
+#: the DuckDB predicate equivalent of ``_load_emb``'s dirty-row guard —
+#: every oracle over vector math must filter its embeddings CTE with
+#: this so both engines exclude the same rows (round-5 hardening; the
+#: dirty-embeddings parity tier pins the agreement)
+EMB_CLEAN_SQL = (
+    f"embedding IS NOT NULL AND len(embedding) = {EMBED_DIM} "
+    "AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0"
+)
 #: minimum mean recall over the query block the checked queries demand;
 #: LSH/IVF are deterministic (md5 hyperplanes / lowest-id k-means
 #: seeds), so the verdict is a stable function of the data — thresholds
@@ -56,7 +64,8 @@ IVF_MIN_MEAN_RECALL = 0.7
 
 
 _ANN_TOPK_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {EMB_CLEAN_SQL}),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -621,10 +630,15 @@ def _auto_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
 
 
 def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding corpus with the dirty-row guard: NULL or wrong-dim
-    vectors are definitionally not similarity candidates and would
-    crash the NumPy stack kernels (null-injection sweep, r3). The
-    filter pushes to the parquet scan; on clean data it is a no-op."""
+    """Embedding corpus with the dirty-row guard: NULL, wrong-dim, or
+    zero-norm vectors are definitionally not similarity candidates —
+    a ragged row would crash the NumPy stack kernels (null-injection
+    sweep, r3), and a zero vector has no cosine: normalization turns
+    it into a NaN row, and NaN's "largest double" comparison semantics
+    would rank it above every real neighbor (round-5 review, found in
+    the semantic-decontamination gate). The null/dim filter pushes to
+    the parquet scan; on clean data the whole guard is a no-op. Oracle
+    twin: ``EMB_CLEAN_SQL``."""
     return (
         load_table(spark, sf_dir, "embeddings")
         .filter(
@@ -632,6 +646,7 @@ def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.size("embedding") == EMBED_DIM)
         )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .filter(F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)") > 0.0)
     )
 
 
@@ -706,7 +721,7 @@ def _recall_verdict(
 
 _RECALL_CHECK_ORACLE = f"""
 SELECT count(*)::BIGINT AS n_queries, true AS recall_ok
-FROM embeddings WHERE vec_id < {N_QUERIES}
+FROM embeddings WHERE vec_id < {N_QUERIES} AND {EMB_CLEAN_SQL}
 """
 
 
@@ -739,7 +754,8 @@ def ann_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HARDNEG_ORACLE = f"""
 WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  WHERE {EMB_CLEAN_SQL}),
 q AS (
   SELECT vec_id AS query_id, v AS qv, label AS qlabel
   FROM e WHERE vec_id < {N_QUERIES}),
@@ -777,6 +793,9 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
+    # _load_emb's dirty-row guard inlined (plus the label requirement)
+    # rather than joined on: this stays ONE scan — a reuse-via-join
+    # would shuffle the corpus against itself just to carry `label`
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .filter(
@@ -785,6 +804,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("label").isNotNull()
         )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+        .filter(F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)") > 0.0)
     )
     anchors = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     schema = (
