@@ -48,9 +48,16 @@ EMBED_DIM = 64
 #: the DuckDB predicate equivalent of ``_load_emb``'s dirty-row guard —
 #: every oracle over vector math must filter its embeddings CTE with
 #: this so both engines exclude the same rows (round-5 hardening; the
-#: dirty-embeddings parity tier pins the agreement)
+#: dirty-embeddings parity tier pins the agreement). The clauses must
+#: track Spark's ``aggregate(v,0,acc+x*x)`` NULL/NaN semantics exactly:
+#: DuckDB's list_sum IGNORES NULL elements where Spark's fold
+#: propagates them (hence the explicit no-NULL-element clause), and
+#: NaN > 0 is TRUE in both engines (hence isfinite, mirroring Spark's
+#: `sumsq < inf`, under which NaN compares false).
 EMB_CLEAN_SQL = (
     f"embedding IS NOT NULL AND len(embedding) = {EMBED_DIM} "
+    "AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+    "AND isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) "
     "AND list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0"
 )
 #: minimum mean recall over the query block the checked queries demand;
@@ -101,9 +108,18 @@ _QUERY_BLOCK_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _query_block(spark: SparkSession, emb: DataFrame, sf_dir: str):
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # the mtime stamp is the same invalidation the on-disk index stores
+    # use (_auto_index_path): a same-path rewrite of embeddings.parquet
+    # mid-session must re-collect the block, not serve the OLD query
+    # vectors against the NEW corpus (round-5 review — the shingle
+    # cache had the same bug class)
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    stamp = os.path.getmtime(src) if os.path.exists(src) else 0
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), stamp)
     pdf = _QUERY_BLOCK_CACHE.get(key)
     if pdf is None:
+        while len(_QUERY_BLOCK_CACHE) >= 16:  # stale stamps evict FIFO
+            _QUERY_BLOCK_CACHE.pop(next(iter(_QUERY_BLOCK_CACHE)))
         pdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
         _QUERY_BLOCK_CACHE[key] = pdf
     return pdf
@@ -629,24 +645,41 @@ def _auto_index_path(spark: SparkSession, sf_dir: str, kind: str) -> str:
     return os.path.join(root, f"ann_{kind}_index_{_hl_md5(stamp)}")
 
 
-def _load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding corpus with the dirty-row guard: NULL, wrong-dim, or
-    zero-norm vectors are definitionally not similarity candidates —
-    a ragged row would crash the NumPy stack kernels (null-injection
-    sweep, r3), and a zero vector has no cosine: normalization turns
-    it into a NaN row, and NaN's "largest double" comparison semantics
-    would rank it above every real neighbor (round-5 review, found in
-    the semantic-decontamination gate). The null/dim filter pushes to
-    the parquet scan; on clean data the whole guard is a no-op. Oracle
-    twin: ``EMB_CLEAN_SQL``."""
+def _load_emb(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Embedding corpus with THE dirty-row guard (single source of
+    truth — oracle twin: ``EMB_CLEAN_SQL``): NULL, wrong-dim, zero-norm,
+    and non-finite vectors are definitionally not similarity
+    candidates — a ragged row would crash the NumPy stack kernels
+    (null-injection sweep, r3); a zero vector has no cosine:
+    normalization turns it into a NaN row, and NaN's "largest double"
+    comparison semantics would rank it above every real neighbor
+    (round-5 review, found in the semantic-decontamination gate); a
+    NaN/Inf element survives a plain ``sumsq > 0`` check in BOTH
+    engines and then diverges at the threshold compare (NumPy NaN >=
+    thr is False, SQL NaN >= thr is True) — the ``sumsq < inf`` clause
+    drops it, because NaN and Inf both compare false against the
+    infinity literal in Spark. The null/dim filter pushes to the
+    parquet scan; on clean data the whole guard is a no-op.
+
+    ``extra_cols`` carries additional embedding-table columns (e.g.
+    ``label``) through the SAME single scan, so callers never reuse
+    the guard via a corpus self-join."""
+    sumsq = F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)")
     return (
         load_table(spark, sf_dir, "embeddings")
         .filter(
             F.col("embedding").isNotNull()
             & (F.size("embedding") == EMBED_DIM)
         )
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .filter(F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)") > 0.0)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            *extra_cols,
+        )
+        # NULL-element vectors fold to a NULL sum and drop here too
+        .filter((sumsq > 0.0) & (sumsq < F.lit(float("inf"))))
     )
 
 
@@ -793,18 +826,10 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    # _load_emb's dirty-row guard inlined (plus the label requirement)
-    # rather than joined on: this stays ONE scan — a reuse-via-join
-    # would shuffle the corpus against itself just to carry `label`
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(
-            F.col("embedding").isNotNull()
-            & (F.size("embedding") == EMBED_DIM)
-            & F.col("label").isNotNull()
-        )
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
-        .filter(F.expr("aggregate(v, 0.0D, (acc, x) -> acc + x * x)") > 0.0)
+    # the shared guard, one scan — extra_cols carries `label` through
+    # without a corpus self-join; the label requirement stacks on top
+    emb = _load_emb(spark, sf_dir, extra_cols=("label",)).filter(
+        F.col("label").isNotNull()
     )
     anchors = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
     schema = (

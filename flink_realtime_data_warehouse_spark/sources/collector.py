@@ -122,7 +122,14 @@ class LogCollector:
                     self.send_response(400)
                     self.end_headers()
                     return
-                line = self.rfile.read(n).replace(b"\n", b" ").strip()
+                body = self.rfile.read(n)
+                if len(body) != n:
+                    # client aborted mid-body: spooling the truncated
+                    # prefix would ack-and-corrupt (round-5 review)
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                line = body.replace(b"\n", b" ").strip()
                 if line:
                     collector._append(line)
                 self.send_response(200)

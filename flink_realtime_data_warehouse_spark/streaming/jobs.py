@@ -525,8 +525,18 @@ def _incarnation_id(checkpoint: str) -> str:
             os.link(tmp, marker)  # atomic publish; loser keeps the winner's id
         except FileExistsError:
             pass
+        except OSError:
+            # filesystem without hard links (vfat/SMB/object-store
+            # gateways): fall back to same-directory rename — still
+            # never exposes a partial file; a concurrent-mint race
+            # degrades to last-writer-wins, which both writers then
+            # re-read, so they still agree on one id
+            if not os.path.exists(marker):
+                os.replace(tmp, marker)
+                tmp = None
         finally:
-            os.unlink(tmp)
+            if tmp is not None and os.path.exists(tmp):
+                os.unlink(tmp)
     with open(marker, encoding="utf-8") as f:
         return f.read().strip()
 

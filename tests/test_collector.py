@@ -100,3 +100,27 @@ def test_collector_never_acks_unreadable_bodies(tmp_path):
     finally:
         c.stop()
     assert not os.path.exists(spool) or os.listdir(spool) == []
+
+
+def test_collector_rejects_truncated_body(tmp_path):
+    """A client that dies mid-body must get 400, not an ack of the
+    truncated prefix (round-5 review: rfile.read(n) can return short
+    on EOF, and spooling the prefix is ack-and-corrupt)."""
+    import socket
+
+    spool = str(tmp_path / "spool")
+    c = LogCollector(spool)
+    host, port = c.start()
+    try:
+        s = socket.create_connection((host, port))
+        s.sendall(
+            b"POST /applog HTTP/1.1\r\nHost: x\r\nContent-Length: 100\r\n\r\n"
+            b'{"partial": tru'  # 15 of the promised 100 bytes
+        )
+        s.shutdown(socket.SHUT_WR)  # EOF: the body can never complete
+        resp = s.recv(4096)
+        assert b"400" in resp.split(b"\r\n")[0], resp
+        s.close()
+    finally:
+        c.stop()
+    assert not os.path.exists(spool) or os.listdir(spool) == []

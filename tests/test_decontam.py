@@ -121,6 +121,11 @@ def test_semantic_decontam_dirty_rows_parity(spark, tmp_path, sf_dir):
     rows.append((26, None, 0))  # NULL embedding, eval side
     rows.append((27, [1.0, 2.0, 3.0], 0))  # wrong-dim, train side
     rows.append((39, [0.0] * 64, 0))  # zero-norm, eval side (NaN poison)
+    # zero-norm TRAIN side too (40 % 13 == 1): without the guard this
+    # row would appear in the output with a NaN max_cos — the eval-side
+    # plant alone cannot catch a dropped guard, because eval rows are
+    # never emitted in the first place
+    rows.append((40, [0.0] * 64, 0))
     staging = str(tmp_path / "emb_staging")
     spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
@@ -134,6 +139,8 @@ def test_semantic_decontam_dirty_rows_parity(spark, tmp_path, sf_dir):
     name = "decontam_semantic_overlap"
     df = entrymod.queries()[name](spark, str(d))
     got = {r.vec_id for r in df.collect()}
-    assert 27 not in got and 39 not in got  # dirty rows excluded
+    # train-side dirty rows excluded (39 is eval-side — never emitted
+    # regardless; 27/40 would appear, crash, or NaN without the guard)
+    assert 27 not in got and 40 not in got and 39 not in got
     assert 1 in got  # clean train rows still scored
     compare_query_to_oracle(df, entrymod.oracle_sql()[name], str(d))

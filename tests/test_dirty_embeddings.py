@@ -37,11 +37,16 @@ _EMBEDDING_FAMILY = [
 
 @pytest.fixture(scope="module")
 def dirty_emb_sf_dir(tmp_path_factory, sf_dir):
-    """sf0.001 with all three dirt classes planted in `embeddings`:
+    """sf0.001 with all FIVE dirt classes planted in `embeddings`:
     ragged (vec_id % 101 == 5 → 3 elements), zero-norm
-    (vec_id % 103 == 7), NULL (vec_id % 107 == 9). ~3% of rows,
-    including vec_ids 5/7/9 inside the ANN query block, so the query
-    side of every operator is exercised too."""
+    (vec_id % 103 == 7), NULL row (vec_id % 107 == 9), NULL element
+    (vec_id % 109 == 11 — DuckDB's list_sum IGNORES it while Spark's
+    fold propagates, the exact divergence EMB_CLEAN_SQL's no-NULL-
+    element clause closes), NaN element (vec_id % 113 == 13 — passes a
+    plain sumsq > 0 on BOTH engines, then NumPy NaN >= thr is False
+    while SQL NaN >= thr is True). ~5% of rows, including vec_ids
+    5/7/9 inside the ANN query block, so the query side of every
+    operator is exercised too."""
     d = tmp_path_factory.mktemp("dirty_emb_sf")
     for t in _TABLES_PASSTHROUGH:
         duckdb.sql(
@@ -53,6 +58,10 @@ def dirty_emb_sf_dir(tmp_path_factory, sf_dir):
         CASE WHEN vec_id % 107 = 9 THEN NULL
              WHEN vec_id % 101 = 5 THEN embedding[1:3]
              WHEN vec_id % 103 = 7 THEN list_transform(embedding, x -> 0.0::FLOAT)
+             WHEN vec_id % 109 = 11
+               THEN embedding[1:4] || [NULL::FLOAT] || embedding[6:64]
+             WHEN vec_id % 113 = 13
+               THEN embedding[1:2] || ['NaN'::FLOAT] || embedding[4:64]
              ELSE embedding END AS embedding,
         label
         FROM '{sf_dir}/embeddings.parquet')
@@ -72,13 +81,18 @@ def test_dirty_embeddings_parity(spark, dirty_emb_sf_dir, name):
 
 
 def test_dirty_rows_are_actually_planted(dirty_emb_sf_dir):
-    """Guard the fixture itself: all three dirt classes present."""
+    """Guard the fixture itself: all five dirt classes present."""
     n = duckdb.sql(
         f"""SELECT
         sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END),
         sum(CASE WHEN len(embedding) = 3 THEN 1 ELSE 0 END),
         sum(CASE WHEN len(embedding) = 64
                   AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) = 0
+             THEN 1 ELSE 0 END),
+        sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+             THEN 1 ELSE 0 END),
+        sum(CASE WHEN NOT isfinite(
+                  list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
              THEN 1 ELSE 0 END)
         FROM '{dirty_emb_sf_dir}/embeddings.parquet'"""
     ).fetchone()
