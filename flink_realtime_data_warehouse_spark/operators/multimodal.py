@@ -360,3 +360,56 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("payload_md5"),
         F.lit("text").alias("media_type"),
     ).orderBy("doc_id")
+
+
+_FRAME_EVERY_MS = 1000  #: sampling cadence (1 frame per simulated second)
+
+_FRAME_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         octet_length(encode(text)) AS dur
+  FROM documents WHERE text IS NOT NULL),
+f AS (
+  SELECT media_id, i AS frame_idx, i * {_FRAME_EVERY_MS} AS frame_ts_ms,
+         ((i * 16) % greatest(nb, 1)) AS fstart, hx
+  FROM m, UNNEST(range(0, dur // {_FRAME_EVERY_MS} + 1)) AS t(i))
+SELECT media_id, frame_idx, frame_ts_ms,
+       md5(substr(hx, 2 * fstart + 1, 32)) AS frame_md5
+FROM f ORDER BY media_id, frame_idx
+"""
+
+
+@query("multimodal_frame_digests", oracle=_FRAME_ORACLE)
+def multimodal_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame digest table through the REAL 1→N frame-sampling
+    kernel (``sample_video_frames``): documents play opaque videos
+    (1 byte ≈ 1 ms, so duration — and therefore frame count — scales
+    with payload size exactly like real media), the Arrow task
+    explodes each payload into its sampled frames, and only the
+    16-byte frame slices leave the kernel — the source payload never
+    enters a shuffle. Downstream is all JVM: hex + md5 per frame.
+
+    This is the registry face of the frame-sampling plumbing (the
+    other multimodal rows cover metadata and whole-payload perceptual
+    dedup): the oracle replays the kernel's exact byte arithmetic
+    (start = (i·16) mod max(nb,1); slices truncate at payload end) on
+    the shared uppercase ``hex()`` string, so the fake-decode seek is
+    pinned cross-engine and swapping in a real codec later changes
+    only the slice expression, not the operator shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("video").alias("media_type"),
+        F.octet_length("text").cast("bigint").alias("duration_ms"),
+    )
+    frames = sample_video_frames(media, every_ms=_FRAME_EVERY_MS)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
+        F.md5(F.hex("frame_payload")).alias("frame_md5"),
+    ).orderBy("media_id", "frame_idx")

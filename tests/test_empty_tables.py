@@ -125,6 +125,9 @@ _NULL_PARITY_QUERIES = [
     # round 5: NULL text must vanish identically from blocking AND
     # signature on both engines (filter + encode/hex agreement)
     "multimodal_perceptual_dups",
+    # round 5: NULL text must produce no frames on either engine, and
+    # the surviving docs' frame arithmetic must agree byte-for-byte
+    "multimodal_frame_digests",
     # round 5: NULL embeddings filtered; NULL vec_id % 13 excludes the
     # row from BOTH sides on both engines (NULL comparison semantics)
     "decontam_semantic_overlap",

@@ -129,3 +129,43 @@ def test_perceptual_dedup_header_skip_splits_magic_prefix(spark):
     }
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_frame_digest_arithmetic_pinned(spark):
+    """The fake-decode seek (start = i*16 mod max(nb,1), 16-byte slice
+    truncating at payload end) is the cross-engine contract the
+    multimodal_frame_digests oracle replays on hex strings — pin it at
+    the kernel level with planted payloads of known frame content."""
+    import hashlib
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        sample_video_frames,
+    )
+
+    payload = bytes(range(40))  # 40 bytes → frames at 0, 16, 32(8B tail)
+    rows = [(1, payload, "video", 2000)]  # dur 2000ms → 3 frames @1000ms
+    df = spark.createDataFrame(
+        rows, "media_id bigint, payload binary, media_type string, duration_ms bigint"
+    )
+    got = {
+        r.frame_idx: bytes(r.frame_payload)
+        for r in sample_video_frames(df, every_ms=1000).collect()
+    }
+    assert got == {
+        0: payload[0:16],
+        1: payload[16:32],
+        2: payload[32:40],  # truncated tail slice, not wrapped
+    }
+    # and the registry row's digest = md5 of the UPPERCASE hex, the
+    # exact string DuckDB's hex() produces
+    expect = hashlib.md5(payload[16:32].hex().upper().encode()).hexdigest()
+    from flink_realtime_data_warehouse_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+
+    digest = (
+        sample_video_frames(df, every_ms=1000)
+        .filter(F.col("frame_idx") == 1)
+        .select(F.md5(F.hex("frame_payload")).alias("d"))
+        .collect()[0]["d"]
+    )
+    assert digest == expect
