@@ -105,6 +105,8 @@ HEADLINE = [
     # embedding-space benchmark decontamination
     "multimodal_perceptual_dups",
     "decontam_semantic_overlap",
+    # round 5 (closing): 1→N frame sampling through the Arrow kernel
+    "multimodal_frame_digests",
 ]
 
 

@@ -88,6 +88,21 @@ def prepare_changelog(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     return cust.count()
 
 
+def prepare_doc_drop(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+    """Synthesize a document-ingest JSONL file drop from the documents
+    table (the corpus the batch dedup family runs on, so the streaming
+    gate classifies a workload with the SAME duplicate structure).
+    Returns the line count."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    lines = docs.select(
+        F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias("value")
+    )
+    lines.repartition(8).write.mode("overwrite").text(out_dir)
+    return docs.count()
+
+
 def prepare_router_config(spark: SparkSession, out_path: str) -> None:
     from flink_realtime_data_warehouse_spark.schemas import TABLE_PROCESS_SCHEMA
 
@@ -158,13 +173,41 @@ def run_streaming_throughput(
     # the reference's two Kafka consumers), M changelog rows one job —
     # the aggregate rate counts each row once per topology it crosses
     row_passes = 2 * n_behavior + n_changelog
-    return {
+    result = {
         **timings,
         "rows_behavior": n_behavior,
         "rows_changelog": n_changelog,
         "streaming_total_sec": round(total, 3),
         "streaming_rows_per_sec": round(row_passes / total, 1) if total else 0.0,
     }
+
+    # fourth topology: the exactly-once history-dedup lake ingest
+    # (digest anti-join per batch against everything ever ingested —
+    # the K3-style state-in-the-lake path). Reported as ITS OWN rate,
+    # not folded into streaming_rows_per_sec: that aggregate is the
+    # established cross-round regression gate for the three reference
+    # topologies and must keep its composition.
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+
+    doc_src = os.path.join(work_root, "doc_src")
+    n_docs = prepare_doc_drop(spark, sf_dir, doc_src)
+    t0 = time.perf_counter()
+    stream = spark.readStream.schema("doc_id bigint, text string").json(doc_src)
+    start_history_dedup_ingest(
+        spark,
+        stream,
+        os.path.join(work_root, "out_histdedup"),
+        os.path.join(work_root, "ckpt_histdedup"),
+    ).awaitTermination()
+    hist_sec = round(time.perf_counter() - t0, 3)
+    result["history_dedup_sec"] = hist_sec
+    result["rows_docs"] = n_docs
+    result["history_dedup_rows_per_sec"] = (
+        round(n_docs / hist_sec, 1) if hist_sec else 0.0
+    )
+    return result
 
 
 def _smoke_outputs(spark: SparkSession, work_root: str) -> dict:
@@ -175,6 +218,8 @@ def _smoke_outputs(spark: SparkSession, work_root: str) -> dict:
         "out_baselog/dwd_traffic_page_log",
         "out_uv",
         "dim/dim_user_info",
+        "out_histdedup/clean",
+        "out_histdedup/digests",
     ):
         path = os.path.join(work_root, rel)
         out[rel] = (

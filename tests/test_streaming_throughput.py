@@ -19,7 +19,9 @@ def test_streaming_throughput_end_to_end(spark, tmp_path):
         "st2_uv_sec",
         "dim_router_sec",
         "streaming_total_sec",
+        "history_dedup_sec",
     }
+    assert res["rows_docs"] > 0 and res["history_dedup_rows_per_sec"] > 0
     outs = _smoke_outputs(spark, str(tmp_path))
     # every behavior line is a page record and survives parse+ST1
     assert outs["out_baselog/dwd_traffic_corrected_log"] == res["rows_behavior"]
@@ -29,3 +31,7 @@ def test_streaming_throughput_end_to_end(spark, tmp_path):
     assert 0 < outs["out_uv"] < res["rows_behavior"]
     # every changelog insert reached the dimension store
     assert outs["dim/dim_user_info"] == res["rows_changelog"]
+    # history dedup: the corpus' distinct contents land in clean (one
+    # keeper per digest), duplicates route away, digests cover all
+    assert 0 < outs["out_histdedup/clean"] <= res["rows_docs"]
+    assert outs["out_histdedup/digests"] == outs["out_histdedup/clean"]
