@@ -31,10 +31,16 @@ OUT = os.path.join(
 
 
 def node_histogram(df) -> dict:
+    import re
+
     counts: dict[str, int] = {}
 
     def walk(p):
-        counts[p.nodeName()] = counts.get(p.nodeName(), 0) + 1
+        # content-stamped cache-table names (bkt_lineitem_<mtime-hash>)
+        # change whenever the test data is regenerated — normalize the
+        # stamp so the baseline pins the plan SHAPE, not the data mtime
+        name = re.sub(r"_[0-9a-f]{8}\b", "_<stamp>", p.nodeName())
+        counts[name] = counts.get(name, 0) + 1
         for i in range(p.children().length()):
             walk(p.children().apply(i))
 
