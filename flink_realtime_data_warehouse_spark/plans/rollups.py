@@ -259,12 +259,30 @@ GAPFILL_START = "2024-01-01 00:00:00"
 GAPFILL_END = "2024-01-08 00:00:00"  #: first week — bounds the spine
 
 
-def _gapfill_spine_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dense per-user hourly spine left-joined with the observed
-    buckets: (user_id, bucket, v DOUBLE, v_e2 BIGINT). ``v_e2`` is the
-    decimal-exact bucket sum ×100 — the integer form the interpolation
-    arithmetic needs (deriving it from the double would re-introduce
-    float truncation)."""
+def _gapfill_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per dense-spine slot, WITHOUT materializing a spine or
+    joining it back: each observed bucket carries its successor's
+    (value, hour) via one ``lead()`` window, then explodes the hours up
+    to (not including) that successor. The union of [t, next_t) half-
+    open segments over a user's observations is exactly the closed
+    dense range [min bucket, max bucket] the spine-join produced — but
+    the anchors every filled slot needs arrive ON the row (the segment
+    endpoints), so no ignorenulls scan-back windows and no
+    (user, bucket)-keyed join remain in the plan. Columns:
+
+      user_id, tt (slot hour), t/v/v_e2 (left anchor = the observation
+      opening the segment; ``v_e2`` is the decimal-exact bucket sum
+      ×100 — deriving it from the double would re-introduce float
+      truncation), nv/nt (right anchor, NULL only on each user's last
+      observation, whose segment is the single observed slot).
+
+    Scale shape: one groupBy shuffle + one user-partitioned lead window
+    over OBSERVED rows only; the explode is map-side and emits exactly
+    the output relation (spine-sized). The spine-join form paid a
+    second (user, bucket) shuffle on the spine-sized relation plus four
+    unbounded-frame ignorenulls windows over it."""
+    from pyspark.sql.window import Window
+
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(
@@ -279,15 +297,32 @@ def _gapfill_spine_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual = ev.groupBy("user_id", "bucket").agg(
         sum_dec.cast("double").alias("v"),
         (sum_dec * 100).cast("bigint").alias("v_e2"),
+    ).withColumn(
+        "t",
+        F.expr("timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', bucket)"),
     )
-    rng = actual.groupBy("user_id").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    w = Window.partitionBy("user_id").orderBy("t")
+    seg = actual.withColumn("nv", F.lead("v_e2").over(w)).withColumn(
+        "nt", F.lead("t").over(w)
     )
-    spine = rng.select(
+    return seg.select(
         "user_id",
-        F.explode(F.sequence("b0", "b1", F.expr("interval 1 hour"))).alias("bucket"),
+        "t",
+        "v",
+        "v_e2",
+        "nv",
+        "nt",
+        F.explode(
+            F.sequence(F.col("t"), F.coalesce(F.col("nt") - 1, F.col("t")))
+        ).alias("tt"),
     )
-    return spine.join(actual, ["user_id", "bucket"], "left")
+
+
+def _slot_bucket() -> F.Column:
+    """The slot hour index back to its TIMESTAMP_NTZ bucket."""
+    return F.expr(
+        "timestampadd(HOUR, tt, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias("bucket")
 
 
 @query(
@@ -325,24 +360,22 @@ def rollup_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets carry their (decimal-exact) hourly sum, missing buckets are
     filled from the last observation and flagged.
 
-    Scale shape: the spine is generated PER USER from that user's own
-    [min, max] bucket (``sequence`` + ``explode``) — no global
-    calendar × entity cross join; the LOCF window is partitioned by
-    user (no global sort); the time-range filter pushes to the scan.
+    Scale shape (segment explode, round 5): gaps fill from their
+    segment's LEFT ANCHOR directly — ``_gapfill_segments`` puts the
+    last observation on every slot row, so the carried value is a
+    map-side CASE, not an ignorenulls scan-back window over the dense
+    spine. Dense slots are generated per user from that user's own
+    observation segments (never a global calendar × entity cross join);
+    the time-range filter pushes to the scan; the only shuffles are the
+    hourly groupBy and one lead() window over OBSERVED rows.
     """
-    from pyspark.sql.window import Window
-
-    j = _gapfill_spine_joined(spark, sf_dir)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return j.select(
+    seg = _gapfill_segments(spark, sf_dir)
+    return seg.select(
         "user_id",
-        "bucket",
-        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
-        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+        _slot_bucket(),
+        # the slot's LOCF value IS its segment's opening observation
+        F.col("v").alias("value_locf"),
+        F.when(F.col("tt") == F.col("t"), F.lit(0)).otherwise(F.lit(1)).alias("filled"),
     ).orderBy("user_id", "bucket")
 
 
@@ -401,38 +434,22 @@ def rollup_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     — measured, not assumed; see ``int_div_sql``), so negative gauges
     interpolate identically too (ADVICE r3 closed by pinned test, the
     fixture's positive domain is not load-bearing). The /100.0 at the
-    end is one IEEE double division, identical everywhere. Spine
-    endpoints are observed by construction, so interior gaps always
-    have both anchors.
-    """
-    from pyspark.sql.window import Window
+    end is one IEEE double division, identical everywhere.
 
-    j = _gapfill_spine_joined(spark, sf_dir).withColumn(
-        "t", F.expr("timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', bucket)")
+    Scale shape (segment explode, round 5): every filled slot's two
+    anchors are its segment's ENDPOINTS, which ``_gapfill_segments``
+    delivers on the row — the four unbounded-frame ignorenulls windows
+    and the spine join of the first formulation are gone; interior gaps
+    always have both anchors because a gap slot only exists inside a
+    segment (nt NOT NULL by construction).
+    """
+    seg = _gapfill_segments(spark, sf_dir)
+    interp_e2 = F.when(F.col("tt") == F.col("t"), F.col("v_e2")).otherwise(
+        F.expr(int_div_sql("v_e2 * (nt - tt) + nv * (tt - t)", "nt - t"))
     )
-    prev_w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    next_w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    t_obs = F.when(F.col("v_e2").isNotNull(), F.col("t"))
-    anchored = (
-        j.withColumn("pv", F.last("v_e2", ignorenulls=True).over(prev_w))
-        .withColumn("pt", F.last(t_obs, ignorenulls=True).over(prev_w))
-        .withColumn("nv", F.first("v_e2", ignorenulls=True).over(next_w))
-        .withColumn("nt", F.first(t_obs, ignorenulls=True).over(next_w))
-    )
-    interp_e2 = F.when(F.col("v_e2").isNotNull(), F.col("v_e2")).otherwise(
-        F.expr(int_div_sql("pv * (nt - t) + nv * (t - pt)", "nt - pt"))
-    )
-    return anchored.select(
+    return seg.select(
         "user_id",
-        "bucket",
+        _slot_bucket(),
         (interp_e2 / 100.0).alias("value_interp"),
-        F.when(F.col("v_e2").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("filled"),
+        F.when(F.col("tt") == F.col("t"), F.lit(0)).otherwise(F.lit(1)).alias("filled"),
     ).orderBy("user_id", "bucket")

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""Micro-bench a named subset of registry queries (3 runs, min+median)
+— the regression-bisect companion to bench.py. Usage:
+
+    python tools/microbench.py q1 q2 ...   # names from queries()
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    names = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from flink_realtime_data_warehouse_spark import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="frdw-microbench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = dict(entrymod.queries())
+    # JVM/codegen warmup
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out = {}
+    for name in names:
+        fn = queries[name]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = {
+            "min": round(min(runs), 3),
+            "med": round(sorted(runs)[1], 3),
+        }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
