@@ -181,21 +181,22 @@ def main() -> None:
     finally:
         shutil.rmtree(stream_root, ignore_errors=True)
 
-    timings: dict[str, float] = {}
-    timings_min: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        runs = []
-        for _ in range(3):
+    # three ROUND-ROBIN passes over the whole list, not 3 back-to-back
+    # runs per query: a transient host stall (measured in round 5 — a
+    # ~25 s slow window inflated 4 consecutive rows 1.6-2.7× while the
+    # same queries measured flat in isolation) then lands in ONE pass
+    # of a few queries instead of all three runs of whichever queries
+    # it straddles, and the per-query min recovers the true cost
+    runs_by_q: dict[str, list[float]] = {n: [] for n in HEADLINE if n in queries}
+    for _ in range(3):
+        for name, runs in runs_by_q.items():
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        # report BOTH (VERDICT r2 item 4): median is the headline
-        # (comparable to r2); min separates plan cost from box noise
-        timings[name] = round(sorted(runs)[1], 3)
-        timings_min[name] = round(min(runs), 3)
+    # report BOTH (VERDICT r2 item 4): median is the headline
+    # (comparable to r2); min separates plan cost from box noise
+    timings = {n: round(sorted(r)[1], 3) for n, r in runs_by_q.items()}
+    timings_min = {n: round(min(r), 3) for n, r in runs_by_q.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
