@@ -137,20 +137,33 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines); (2) sorted-neighborhood candidates — each user
     vs its ``TS_NEIGHBORS`` successors in total-mass order, sound
     because ``L1 >= |Δtotal|`` puts similar pairs adjacent in that
-    projection; (3) exact L1 via a signed union (a-side +v, b-side −v)
-    aggregated per (pair, hour) then per pair — sparse alignment
-    without a dense grid or a per-pair full-outer join.
+    projection; (3) exact L1 by PACKED-SERIES alignment: each user's
+    sparse series collapses to one ``map<hour, value>`` row (one keyed
+    agg over entity×active-hours rows), candidate pairs join the two
+    packed maps, and ``map_zip_with`` + ``aggregate`` fold
+    ``Σ|A_h − B_h|`` map-side in whole-stage codegen.
 
-    Design for 100 TB: the series stays sparse end-to-end; candidates
-    are n·K, not n²; the heavy stage shuffles (pair, hour) keys whose
-    volume is candidates × per-user active hours. The totals rank uses
+    The first formulation aligned pairs via a signed UNION aggregated
+    per (pair, hour) — semantically identical (the oracle still states
+    it that way) but its heavy stage hash-partitioned candidates ×
+    per-user-active-hours rows with NEARLY ALL KEYS UNIQUE, so the
+    partial aggregate was pure overhead: measured at the 10× corpus,
+    the (ua, ub, h) shuffle+agg of the 15.3 M-row union cost ~13 s of
+    a 16.8 s total and stayed FLAT from 8 to 32 cores. The packed form
+    shuffles only |users| map rows + n·K pair rows and computes the
+    alignment where the pair row already lives (10× corpus: 16.8 →
+    ~6 s, and the heavy stage now scales with cores).
+
+    Design for 100 TB: the series stays sparse end-to-end (a user's
+    map is bounded by their active hours); candidates are n·K, not n²;
+    the packed-series joins are plain keyed joins (nothing requires a
+    broadcast of the entity relation). The totals rank uses
     ``banded_global_rank`` — range-banding + bounded-histogram offsets,
     no |users|-row single-partition window (r4 verdict item closed);
     the successor join is a rank EQUI-join (each user exploded to its K
-    successor ranks), a plain shuffled hash join rather than a
-    broadcast of the whole entity relation. Final top-k is
-    orderBy+limit (TakeOrdered); the rank column is minted by a window
-    over the ≤``TS_TOPK``-row post-limit relation.
+    successor ranks). Final top-k is orderBy+limit (TakeOrdered); the
+    rank column is minted by a window over the ≤``TS_TOPK``-row
+    post-limit relation.
     """
     from pyspark.sql.window import Window
 
@@ -162,22 +175,32 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edge scan); NULL values are dropped so no user's total can go NULL
     # and hit the Spark-vs-DuckDB NULL-ordering divergence in the rank
     ev = ev.filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+    # a NULL hour (NULL ts) is a legitimate group in the oracle (SQL
+    # GROUP BY treats NULLs as equal); the packed form stores hours as
+    # MAP KEYS, which cannot be NULL, so NULL buckets to a sentinel no
+    # real hour reaches (hours since 1970 at ±2^62 ≈ ±5·10^14 years) —
+    # the sentinel aligns across users in map_zip_with exactly like the
+    # oracle's h-IS-NULL group alignment
+    h_col = F.coalesce(
+        F.timestamp_diff("HOUR", anchor, F.date_trunc("hour", "ts")),
+        F.lit(-(2**62)).cast("bigint"),
+    )
     hs = (
         ev.select(
             "user_id",
-            F.timestamp_diff("HOUR", anchor, F.date_trunc("hour", "ts")).alias("h"),
+            h_col.alias("h"),
             F.round(F.col("value") * 100).cast("bigint").alias("vc"),
         )
         .groupBy("user_id", "h")
         .agg(F.sum("vc").alias("v"))
     )
-    # the sparse series feeds FIVE consumers (totals×2 via the rank
-    # self-join, both signed sides, and the band stats) and Catalyst
-    # plans no ReusedExchange across them (measured: 10 parquet scans
-    # in one execution) — a lazy per-call localCheckpoint materializes
-    # the (user, hour) spine once; it is entity×active-hours sized, the
-    # relation a real pipeline would materialize anyway, and being
-    # per-call it never leaks state across bench repetitions
+    # the sparse series feeds several consumers (totals×2 via the rank
+    # self-join, the packed maps, and the band stats) and Catalyst
+    # plans no ReusedExchange across them — a lazy per-call
+    # localCheckpoint materializes the (user, hour) spine once; it is
+    # entity×active-hours sized, the relation a real pipeline would
+    # materialize anyway, and being per-call it never leaks state
+    # across bench repetitions
     hs = hs.localCheckpoint(eager=False)
     tot = banded_global_rank(
         hs.groupBy("user_id").agg(F.sum("v").alias("total")),
@@ -196,19 +219,30 @@ def ts_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("_au", "user_id").alias("ua"),
         F.greatest("_au", "user_id").alias("ub"),
     )
-    hs_a = hs.withColumnRenamed("user_id", "ua")
-    hs_b = hs.withColumnRenamed("user_id", "ub")
-    signed = cand.join(hs_a, "ua").select(
-        "ua", "ub", "h", F.col("v").alias("d")
-    ).unionByName(
-        cand.join(hs_b, "ub").select("ua", "ub", "h", (-F.col("v")).alias("d"))
+    packed = hs.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "v"))).alias("m")
     )
-    dist = (
-        signed.groupBy("ua", "ub", "h")
-        .agg(F.sum("d").alias("dh"))
-        .groupBy("ua", "ub")
-        .agg(F.sum(F.abs("dh")).cast("bigint").alias("l1_e2"))
+    paired = cand.join(
+        packed.select(F.col("user_id").alias("ua"), F.col("m").alias("ma")), "ua"
+    ).join(
+        packed.select(F.col("user_id").alias("ub"), F.col("m").alias("mb")), "ub"
     )
+    # Σ_h |A_h − B_h| over the UNION of the two key sets (map_zip_with
+    # yields NULL for the side missing an hour) — all bigint, exact
+    l1 = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "ma",
+                "mb",
+                lambda k, x, y: F.abs(
+                    F.coalesce(x, F.lit(0)) - F.coalesce(y, F.lit(0))
+                ),
+            )
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dist = paired.select("ua", "ub", l1.alias("l1_e2"))
     top = dist.orderBy("l1_e2", "ua", "ub").limit(TS_TOPK)
     w_rank = Window.orderBy("l1_e2", "ua", "ub")  # ≤ TS_TOPK rows below
     return (

@@ -28,6 +28,17 @@ def test_every_query_has_oracle_or_is_documented():
     assert no_oracle == [], no_oracle
 
 
+def test_core_scaling_queries_registered():
+    """tools/measure_core_scaling.py names one query per heavy family;
+    a registry rename must fail here, not at measurement time."""
+    sys.path.insert(0, "/root/repo")
+    tool = importlib.import_module("tools.measure_core_scaling")
+    entry = importlib.import_module("__spark_entry__")
+    registered = set(entry.queries())
+    missing = [n for n in tool.QUERIES if n not in registered]
+    assert not missing, f"core-scaling rows not in registry: {missing}"
+
+
 def test_query_index_in_sync():
     """QUERIES.md is generated; its count line must match the live
     registry so the index can't silently go stale."""

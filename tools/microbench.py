@@ -24,10 +24,15 @@ def main() -> None:
     spark = get_spark(app_name="frdw-microbench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = dict(entrymod.queries())
-    # JVM/codegen warmup
-    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # JVM/codegen warmup — q1 when the corpus has TPC-H tables, else
+    # the first requested query (scale corpora carry only
+    # documents/embeddings/events)
+    warm = (
+        "q1_pricing_summary"
+        if os.path.exists(os.path.join(sf_dir, "lineitem.parquet"))
+        else names[0]
+    )
+    queries[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
     out = {}
     for name in names:
         fn = queries[name]
