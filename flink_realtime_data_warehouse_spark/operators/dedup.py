@@ -103,6 +103,25 @@ def _file_content_stamp(docs: DataFrame) -> int:
     return hash(tuple(parts))
 
 
+def release_shingle_cache() -> None:
+    """Unpersist and drop every cached shingle relation.
+
+    For long-lived sessions running MIXED workloads: the cache is the
+    right call while the n-gram family runs (four rows share one
+    explode+distinct), but a 100×-corpus shingle relation is
+    gigabytes of MEMORY_AND_DISK the block manager then defends
+    against every later operator's working set. A pipeline scheduler
+    calls this between phases; tools/measure_scaling.py calls it
+    between family blocks so each family's wall is measured against
+    an unencumbered session."""
+    while _SHINGLE_CACHE:
+        _, df = _SHINGLE_CACHE.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # owning session may already be stopped
+
+
 def _shingle_df(docs: DataFrame) -> DataFrame:
     """distinct (doc_id, shingle-hash) pairs — the inverted-index input.
 

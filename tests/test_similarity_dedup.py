@@ -331,3 +331,25 @@ def test_shingle_cache_invalidates_on_file_rewrite(spark, tmp_path):
     ).write.mode("overwrite").parquet(p)
     second = _shingle_df(spark.read.parquet(p)).count()
     assert second == 4  # stale cache would still say 2
+
+
+def test_release_shingle_cache_unpersists(spark, tmp_path):
+    """Phase-boundary release: every cached shingle relation must be
+    unpersisted (block-manager memory actually freed, not just
+    forgotten) and the cache emptied so the next n-gram call rebuilds."""
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _SHINGLE_CACHE,
+        _shingle_df,
+        release_shingle_cache,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(p)
+    sh = _shingle_df(spark.read.parquet(p))
+    sh.count()
+    assert _SHINGLE_CACHE and sh.storageLevel.useMemory
+    release_shingle_cache()
+    assert not _SHINGLE_CACHE
+    assert not sh.storageLevel.useMemory and not sh.storageLevel.useDisk
