@@ -2,9 +2,13 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Output: a
+full-detail JSON line first (also mirrored to bench_detail.json),
+then the FINAL compact JSON line the driver parses:
+{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...} — kept under 1900 chars so it
+survives the driver's 2000-char tail capture intact (rounds 3-5 all
+recorded "parsed": null because one fat line outgrew that window).
 
 Each query executes end-to-end via a noop write (full plan execution,
 no driver-side materialization skew).
@@ -110,6 +114,42 @@ HEADLINE = [
 ]
 
 
+#: final-line size budget: the driver keeps the LAST 2000 chars of
+#: stdout and parses a complete JSON line out of them — 100 chars of
+#: slack for the trailing newline + any straggler output
+COMPACT_BUDGET = 1900
+
+
+def compact_line(detail: dict) -> str:
+    """The driver-parsed final line, guaranteed ≤ COMPACT_BUDGET chars.
+
+    Per-query values at 2 decimals, slowest-first; if the headline set
+    ever grows the line past the budget, the fastest rows are dropped
+    (count + summed seconds preserved in queries_omitted/omitted_sec;
+    the full dict is always on line 1 and in bench_detail.json).
+    "value"/"total_min" cover ALL queries regardless of omission."""
+    timings = detail["queries"]
+    compact = {
+        k: v
+        for k, v in detail.items()
+        if k not in ("streaming", "queries_min", "ann_lsh_warm_sec",
+                     "ann_pq_warm_sec")
+    }
+    order = sorted(timings, key=timings.get, reverse=True)
+    q2 = {n: round(timings[n], 2) for n in order}
+    omitted: list[str] = []
+    while True:
+        compact["queries"] = q2
+        if omitted:
+            compact["queries_omitted"] = len(omitted)
+            compact["omitted_sec"] = round(sum(timings[n] for n in omitted), 2)
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= COMPACT_BUDGET or not q2:
+            return line
+        omitted.append(order[len(q2) - 1])
+        q2.pop(omitted[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from flink_realtime_data_warehouse_spark import get_spark
@@ -199,27 +239,40 @@ def main() -> None:
     timings_min = {n: round(min(r), 3) for n, r in runs_by_q.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                # scalar metrics FIRST: the r3 driver capture truncated
-                # mid-dict and lost every key after "queries" — keep the
-                # headline numbers parseable even under truncation
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "total_min": round(sum(timings_min.values()), 3),
-                "calib_shuffle_sec": calib,
-                "streaming_rows_per_sec": streaming["streaming_rows_per_sec"],
-                "streaming": streaming,
-                "ann_lsh_warm_sec": ann_lsh_warm,
-                "ann_pq_warm_sec": ann_pq_warm,
-                "queries": timings,
-                "queries_min": timings_min,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "total_min": round(sum(timings_min.values()), 3),
+        "calib_shuffle_sec": calib,
+        "streaming_rows_per_sec": streaming["streaming_rows_per_sec"],
+        "streaming": streaming,
+        "ann_lsh_warm_sec": ann_lsh_warm,
+        "ann_pq_warm_sec": ann_pq_warm,
+        "queries": timings,
+        "queries_min": timings_min,
+    }
+    # full detail: first line of output + a best-effort sidecar file
+    # (the driver's capture keeps only the LAST 2000 chars of stdout)
+    print(json.dumps(detail))
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as f:
+            json.dump(detail, f)
+    except OSError:
+        pass
+    # FINAL line: the one the driver parses. It must fit inside the
+    # driver's 2000-char tail window — r3/r4/r5 all recorded
+    # "parsed": null because the single fat line outgrew the window and
+    # the capture kept only its tail (r1/r2, with fewer queries,
+    # parsed fine). Compact separators + 2-decimal per-query values,
+    # ordered slowest-first; if the registry ever grows the line past
+    # the budget, the FASTEST rows are dropped (their count and summed
+    # seconds stay in queries_omitted/omitted_sec, and the full dict is
+    # always on line 1 + bench_detail.json). value/total_min cover ALL
+    # queries regardless of omission.
+    print(compact_line(detail))
     spark.stop()
 
 

@@ -79,6 +79,16 @@ def _exploded_shingle_hashes(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 #: the session.
 _SHINGLE_CACHE: dict = {}
 
+#: guards every _SHINGLE_CACHE mutation (insert, FIFO-evict, release):
+#: concurrent sessions (tests/test_concurrent_sessions.py) race the
+#: evict path's popitem against release_shingle_cache's — results were
+#: always correct (a wrongly-unpersisted relation just recomputes) but
+#: the interleaving could raise KeyError from popitem on an
+#: already-drained dict (r5 ADVICE).
+import threading as _threading
+
+_SHINGLE_LOCK = _threading.Lock()
+
 
 def _file_content_stamp(docs: DataFrame) -> int:
     """Hash of the scan's file listing + (size, mtime) per local file.
@@ -114,8 +124,12 @@ def release_shingle_cache() -> None:
     calls this between phases; tools/measure_scaling.py calls it
     between family blocks so each family's wall is measured against
     an unencumbered session."""
-    while _SHINGLE_CACHE:
-        _, df = _SHINGLE_CACHE.popitem()
+    while True:
+        with _SHINGLE_LOCK:
+            if not _SHINGLE_CACHE:
+                return
+            _, df = _SHINGLE_CACHE.popitem()
+        # unpersist outside the lock — it's a JVM round-trip
         try:
             df.unpersist()
         except Exception:
@@ -138,22 +152,33 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
         docs.semanticHash(),
         _file_content_stamp(docs),
     )
-    hit = _SHINGLE_CACHE.get(key)
+    with _SHINGLE_LOCK:
+        hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit
-    # bound the cache: a long-lived session iterating many corpora
-    # (the parity tiers alone touch ~5 sf_dirs) must not accumulate
-    # persisted relations forever — FIFO-evict and unpersist
-    while len(_SHINGLE_CACHE) >= 8:
-        old = _SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE)))
+    sh = _exploded_shingle_hashes(docs).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    evicted = []
+    with _SHINGLE_LOCK:
+        raced = _SHINGLE_CACHE.get(key)
+        if raced is not None:
+            # another thread built the same relation first — keep
+            # theirs, drop ours (unpersist below, outside the lock)
+            evicted.append(sh)
+            sh = raced
+        else:
+            # bound the cache: a long-lived session iterating many
+            # corpora (the parity tiers alone touch ~5 sf_dirs) must
+            # not accumulate persisted relations forever — FIFO-evict
+            while len(_SHINGLE_CACHE) >= 8:
+                evicted.append(_SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))))
+            _SHINGLE_CACHE[key] = sh
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:
             pass  # session of the evicted entry may already be stopped
-    sh = _exploded_shingle_hashes(docs).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    _SHINGLE_CACHE[key] = sh
     return sh
 
 

@@ -17,13 +17,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     names = sys.argv[1:]
+    if not names:
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from flink_realtime_data_warehouse_spark import get_spark
     import __spark_entry__ as entrymod
 
+    queries = dict(entrymod.queries())
+    unknown = [n for n in names if n not in queries]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        print(f"registry has {len(queries)} names; see QUERIES.md", file=sys.stderr)
+        raise SystemExit(2)
     spark = get_spark(app_name="frdw-microbench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = dict(entrymod.queries())
     # JVM/codegen warmup — q1 when the corpus has TPC-H tables, else
     # the first requested query (scale corpora carry only
     # documents/embeddings/events)

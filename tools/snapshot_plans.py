@@ -36,10 +36,19 @@ def node_histogram(df) -> dict:
     counts: dict[str, int] = {}
 
     def walk(p):
-        # content-stamped cache-table names (bkt_lineitem_<mtime-hash>)
-        # change whenever the test data is regenerated — normalize the
-        # stamp so the baseline pins the plan SHAPE, not the data mtime
-        name = re.sub(r"_[0-9a-f]{8}\b", "_<stamp>", p.nodeName())
+        # content-stamped cache-table names (bkt_lineitem_<mtime-hash>,
+        # ann_lsh_index_<mtime-hash>) change whenever the test data is
+        # regenerated — normalize the stamp so the baseline pins the
+        # plan SHAPE, not the data mtime. Anchored to the two known
+        # stamped-dir shapes (r5 ADVICE): an unanchored `_[0-9a-f]{8}`
+        # would also rewrite unrelated 8-hex suffixes, making two
+        # DIFFERENT same-prefix stamped tables indistinguishable and
+        # letting a silent data-source switch slide past the plan diff.
+        name = re.sub(
+            r"\b(bkt_\w+?|ann_\w+?_index)_[0-9a-f]{8}\b",
+            r"\1_<stamp>",
+            p.nodeName(),
+        )
         counts[name] = counts.get(name, 0) + 1
         for i in range(p.children().length()):
             walk(p.children().apply(i))
