@@ -283,6 +283,103 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: document-frequency cap for the production near-dup path: a shingle
+#: present in more documents than this carries no near-duplicate signal
+#: (it is boilerplate — legal footers, cookie banners, license
+#: headers) yet contributes df·(df-1)/2 candidate pairs to the
+#: inverted-index join. At 30% boilerplate incidence the uncapped pair
+#: space grows with (0.3·n)² — measured on the round-6 zipf corpus:
+#: 4 boilerplate shingles at df 15,000 put 450.6 M rows through the
+#: uncapped join at 50 k docs, where the capped path generates 2,509
+#: candidates (the 2,500 planted near-dups plus 9 accidental).
+#: Dropping df > cap shingles from BOTH the intersection and the
+#: union redefines similarity over the informative-shingle universe —
+#: the semantics every at-scale dedup pipeline actually wants.
+NGRAM_DF_CAP = 256
+
+
+def _shingle_df_capped(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """The shared shingle relation minus hot (df > cap) shingles.
+
+    One extra map-side-combinable pass computes per-shingle document
+    frequency; the hot set is tiny by construction (only boilerplate
+    crosses a 256-doc cap), so the removal is a broadcast anti-join —
+    the postings relation never reshuffles.
+    """
+    sh = _shingle_df(docs)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti")
+
+
+def _ngram_pair_counts_capped(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """``_ngram_pair_counts`` over the df-capped shingle universe:
+    sizes AND intersections both count only informative shingles, so
+    jaccard stays a true similarity over that universe."""
+    sh = _shingle_df_capped(docs, cap)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= JACCARD_MIN_COMMON)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+_JACCARD_DFCAP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+freq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= {NGRAM_DF_CAP}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {JACCARD_MIN_COMMON})
+SELECT doc_a, doc_b, common,
+       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_ngram_jaccard_dfcap", oracle=_JACCARD_DFCAP_ORACLE)
+def dedup_ngram_jaccard_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard over the df-capped
+    shingle universe — the production entry point at corpus scale.
+
+    Identical plan shape to ``dedup_ngram_jaccard`` plus one
+    map-side-combinable df pass and a broadcast anti-join; the payoff
+    is that candidate generation stays collision-bounded on REAL
+    (boilerplate-bearing) corpora where the uncapped inverted index
+    goes quadratic in the boilerplate incidence. Measured on the
+    round-6 zipf corpus (tools/measure_skew.py): a 450.6 M-row
+    uncapped candidate bound collapses to 2,509 capped candidates at
+    50 k docs with every planted near-dup pair retained. On
+    boilerplate-free corpora (all driver fixtures) no shingle crosses
+    the cap and the result equals the uncapped row exactly
+    (parity-tested).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _ngram_pair_counts_capped(docs)
+        .select("doc_a", "doc_b", "common", _jaccard_col().alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

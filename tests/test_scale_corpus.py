@@ -115,3 +115,84 @@ def test_candidate_growth_exponents_stay_linear(spark, tmp_path):
         naive = r["n"] * (r["n"] - 1) // 2
         assert r["lsh"] <= naive * 0.01
         assert r["er"] <= naive * 0.05
+
+
+def test_zipf_mode_plants_all_four_skew_axes(spark, tmp_path):
+    """--zipf must plant boilerplate shingles, a Zipfian source mix,
+    a power-law user, and a dominant embedding cluster — and leave the
+    uniform mode byte-identical (same rng draw order when off)."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+    from tools.gen_scale_corpus import BOILERPLATE
+
+    dz = str(tmp_path / "z")
+    du = str(tmp_path / "u")
+    du2 = str(tmp_path / "u2")
+    generate_corpus(dz, mult=0.2, seed=7, zipf=True)
+    generate_corpus(du, mult=0.2, seed=7)
+    generate_corpus(du2, mult=0.2, seed=7, zipf=False)
+
+    docs = load_table(spark, dz, "documents")
+    n = docs.count()
+    boiler = docs.filter(F.col("text").contains(BOILERPLATE)).count()
+    assert abs(boiler / n - 0.3) < 0.05  # ~30% incidence (dups can add)
+
+    top_src = (
+        docs.groupBy("source").count().orderBy(F.desc("count")).first()
+    )
+    assert top_src["count"] / n > 0.25  # Zipf s=1.2 top source ~34%
+
+    ev = load_table(spark, dz, "events")
+    top_user = ev.groupBy("user_id").count().orderBy(F.desc("count")).first()
+    assert top_user["count"] / ev.count() > 0.08  # ~1/H(n_users)
+
+    emb = load_table(spark, dz, "embeddings")
+    top_cl = emb.groupBy("label").count().orderBy(F.desc("count")).first()
+    assert top_cl["count"] / emb.count() > 0.4  # s=1.5 over 10 ≈ 50%
+
+    # uniform mode untouched by the zipf code path
+    u1 = {r.doc_id: r.text for r in load_table(spark, du, "documents").collect()}
+    u2 = {r.doc_id: r.text for r in load_table(spark, du2, "documents").collect()}
+    assert u1 == u2
+    assert not any(BOILERPLATE in t for t in u1.values())
+
+
+def test_dfcap_drops_boilerplate_keeps_planted_dups(spark, tmp_path):
+    """The production df-capped near-dup path on a boilerplate corpus:
+    hot shingles are exactly the boilerplate, every planted near-dup
+    pair survives the cap, and no pair survives on boilerplate overlap
+    alone — while the uncapped path drowns in it."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _ngram_pair_counts,
+        _ngram_pair_counts_capped,
+        _shingle_df,
+        _shingle_df_capped,
+    )
+
+    boiler = "the data table scan filter join"
+    rows = []
+    # 400 docs, distinct 10-word bodies, 50% carry the boilerplate tail
+    for i in range(400):
+        body = " ".join(f"w{i}x{j}" for j in range(10))
+        rows.append((i, body + (" " + boiler if i % 2 == 0 else "")))
+    # planted near-dup pair on boilerplate-free docs
+    rows.append((1000, rows[1][1] + " dup"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sh_all = _shingle_df(docs)
+    sh_cap = _shingle_df_capped(docs, cap=64)
+    dropped = sh_all.select("s").distinct().count() - sh_cap.select(
+        "s"
+    ).distinct().count()
+    assert dropped == 4  # exactly the 4 boilerplate 3-grams
+
+    capped = _ngram_pair_counts_capped(docs, cap=64)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(1, 1000)}  # planted pair only, no boilerplate pairs
+
+    # the uncapped path on the same corpus: every even-doc pair collides
+    uncapped = _ngram_pair_counts(docs).count()
+    assert uncapped >= 200 * 199 // 2  # drowned in boilerplate pairs

@@ -55,8 +55,25 @@ N_CLUSTERS = 10
 DUP_EVERY = 20  #: every DUP_EVERY-th doc is a near-dup (text + " dup")
 EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in epoch micros
 
+#: --zipf mode (round 6): real 100 TB corpora are not uniform — they
+#: carry boilerplate text shared across a third of all documents, a
+#: Zipfian source mix, power-law users, and one dominant embedding
+#: cluster. The uniform corpora in SCALING.json can never expose a
+#: hot-key cliff; this mode plants each classic skew axis
+#: deterministically so tools/measure_skew.py can measure which
+#: operator defenses hold and which collapse.
+BOILERPLATE = "the data table scan filter join"  # 4 shared 3-gram shingles
+BOILERPLATE_EVERY_10 = 3  #: docs with doc_id % 10 < 3 carry the phrase
 
-def gen_documents(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+
+def _zipf_probs(n: int, s: float) -> np.ndarray:
+    p = 1.0 / np.power(np.arange(1, n + 1, dtype=np.float64), s)
+    return p / p.sum()
+
+
+def gen_documents(
+    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False
+) -> int:
     n = int(BASE_DOCS * mult)
     vocab = [
         w if i == 0 else f"{w}{i}"
@@ -72,13 +89,29 @@ def gen_documents(out_dir: str, mult: float, rng: np.random.Generator) -> int:
             texts.append(texts[i - 1] + " dup")
             continue
         words = vocab[rng.integers(0, len(vocab), size=int(lengths[i]))]
-        texts.append(" ".join(words))
+        body = " ".join(words)
+        if zipf and i % 10 < BOILERPLATE_EVERY_10:
+            # shared boilerplate tail: 30% of docs carry 4 identical
+            # 3-gram shingles, each with document frequency 0.3·n —
+            # the inverted-index stressor (legal footers, cookie
+            # banners, license headers in real crawls)
+            body = f"{body} {BOILERPLATE}"
+        texts.append(body)
     tbl = pa.table(
         {
             "doc_id": pa.array(range(n), pa.int64()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs.tolist(), pa.string()),
-            "source": pa.array([f"src{i % N_SOURCES}" for i in range(n)]),
+            "source": pa.array(
+                [
+                    f"src{j}"
+                    for j in rng.choice(
+                        N_SOURCES, size=n, p=_zipf_probs(N_SOURCES, 1.2)
+                    )
+                ]
+                if zipf
+                else [f"src{i % N_SOURCES}" for i in range(n)]
+            ),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
@@ -86,10 +119,19 @@ def gen_documents(out_dir: str, mult: float, rng: np.random.Generator) -> int:
     return n
 
 
-def gen_embeddings(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+def gen_embeddings(
+    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False
+) -> int:
     n = int(BASE_EMB * mult)
     centers = rng.normal(0.0, 1.0, size=(N_CLUSTERS, EMB_DIM))
-    labels = rng.integers(0, N_CLUSTERS, size=n)
+    if zipf:
+        # one dominant semantic cluster (~45% of vectors): the
+        # in-bucket quadratic stressor for semantic dedup partitioners
+        labels = rng.choice(
+            N_CLUSTERS, size=n, p=_zipf_probs(N_CLUSTERS, 1.5)
+        ).astype(np.int64)
+    else:
+        labels = rng.integers(0, N_CLUSTERS, size=n)
     vecs = centers[labels] * 2.0 + rng.normal(0.0, 1.0, size=(n, EMB_DIM))
     # every 25th vector is a semantic near-dup of its predecessor
     for i in range(25, n, 25):
@@ -109,18 +151,27 @@ def gen_embeddings(out_dir: str, mult: float, rng: np.random.Generator) -> int:
     return n
 
 
-def gen_events(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+def gen_events(
+    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False
+) -> int:
     n = int(BASE_EVENTS * mult)
     n_users = int(BASE_USERS * mult)
     span_us = 30 * 24 * 3600 * 1_000_000
     ts = np.sort(rng.integers(0, span_us, size=n)) + EPOCH_2024
+    if zipf:
+        # power-law activity: the top user owns ~1/H(n_users) ≈ 9-10%
+        # of ALL events — the per-entity window/session stressor (a
+        # bot, a load tester, a scraper in any real event log)
+        user_ids = rng.choice(
+            n_users, size=n, p=_zipf_probs(n_users, 1.0)
+        ).astype(np.int64)
+    else:
+        user_ids = rng.integers(0, n_users, size=n)
     tbl = pa.table(
         {
             "event_id": pa.array(range(n), pa.int64()),
             "ts": pa.array(ts.tolist(), pa.timestamp("us")),
-            "user_id": pa.array(
-                rng.integers(0, n_users, size=n).tolist(), pa.int64()
-            ),
+            "user_id": pa.array(user_ids.tolist(), pa.int64()),
             "event_type": pa.array(
                 rng.choice(EVENT_TYPES, size=n).tolist(), pa.string()
             ),
@@ -161,17 +212,19 @@ def gen_customer(out_dir: str, mult: float, rng: np.random.Generator) -> int:
     return n
 
 
-def generate_corpus(out_dir: str, mult: float, seed: int = 7) -> dict:
+def generate_corpus(
+    out_dir: str, mult: float, seed: int = 7, zipf: bool = False
+) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     counts = {
-        "documents": gen_documents(out_dir, mult, rng),
-        "embeddings": gen_embeddings(out_dir, mult, rng),
-        "events": gen_events(out_dir, mult, rng),
+        "documents": gen_documents(out_dir, mult, rng, zipf),
+        "embeddings": gen_embeddings(out_dir, mult, rng, zipf),
+        "events": gen_events(out_dir, mult, rng, zipf),
         "customer": gen_customer(out_dir, mult, rng),
     }
     with open(os.path.join(out_dir, "GEN.json"), "w") as f:
-        json.dump({"mult": mult, "seed": seed, **counts}, f)
+        json.dump({"mult": mult, "seed": seed, "zipf": zipf, **counts}, f)
     return counts
 
 
@@ -180,8 +233,14 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--mult", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--zipf",
+        action="store_true",
+        help="plant the four classic skew axes (boilerplate shingles, "
+        "Zipfian sources, power-law users, dominant embedding cluster)",
+    )
     args = ap.parse_args()
-    print(json.dumps(generate_corpus(args.out, args.mult, args.seed)))
+    print(json.dumps(generate_corpus(args.out, args.mult, args.seed, args.zipf)))
 
 
 if __name__ == "__main__":
