@@ -25,6 +25,7 @@ def load_all() -> tuple[dict, dict]:
     import flink_realtime_data_warehouse_spark.operators.semdedup  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.sampling  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.similarity  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.sketches  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.timeseries  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.visitors  # noqa: F401

@@ -44,3 +44,92 @@ def test_sketch_checked_query_all_verdicts_true(spark, sf_dir):
     for r in rows:
         assert r["parts_ok"] and r["supps_ok"] and r["p50_ok"], str(r)
         assert r["exact_parts"] > 0 and r["exact_supps"] > 0
+
+
+def _exact_topk(docs, k):
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return [
+        (r["term"], r["n"])
+        for r in words.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(k)
+        .collect()
+    ]
+
+
+def test_heavy_hitters_exact_under_tiny_capacity_skewed_stream(spark):
+    """Capacity 8 on a skewed stream: the MG summaries carry real
+    error mass (decrement rounds fire), yet the shortlist + rescore
+    result must equal the exact top-k — the superset guarantee
+    exercised, not just stated."""
+    from flink_realtime_data_warehouse_spark.operators.sketches import (
+        _mg_word_summaries,
+        heavy_hitters,
+    )
+
+    rows = []
+    # 5 hot terms (~60 occurrences each) + 300 distinct tail singletons:
+    # the tail churns the 8-slot counters, the hot terms must survive
+    for i in range(60):
+        rows.append((i, " ".join(f"hot{j}" for j in range(5))))
+    for i in range(300):
+        rows.append((1000 + i, f"tail{i}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(2)
+
+    summ = _mg_word_summaries(docs, 8)
+    err = (
+        summ.filter(F.col("term").isNull())
+        .agg(F.sum("c").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert err > 0  # the adversarial stream actually triggered evictions
+
+    got = [
+        (r["term"], r["n"])
+        for r in heavy_hitters(docs, k=3, capacity=8).collect()
+    ]
+    assert got == _exact_topk(docs, 3)
+    assert {t for t, _ in got} == {"hot0", "hot1", "hot2"}
+
+
+def test_heavy_hitters_falls_back_exact_when_capacity_undersized(spark):
+    """A flat distribution at capacity 8: E ≥ T_K, the superset proof
+    does not apply, and the operator must return the exact answer via
+    the fallback — correctness never degrades, only the shuffle
+    saving."""
+    from flink_realtime_data_warehouse_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    # 400 terms, each appearing exactly twice — no term is "heavy"
+    rows = [(i, f"w{i % 400}") for i in range(800)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(2)
+    got = [
+        (r["term"], r["n"])
+        for r in heavy_hitters(docs, k=10, capacity=8).collect()
+    ]
+    assert got == _exact_topk(docs, 10)
+    assert all(n == 2 for _, n in got)
+
+
+def test_heavy_hitters_empty_and_small_vocab(spark):
+    from flink_realtime_data_warehouse_spark.operators.sketches import (
+        heavy_hitters,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(empty, k=5, capacity=8).count() == 0
+    # fewer distinct terms than k: all of them, exactly counted
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c")], ["doc_id", "text"]
+    )
+    got = [
+        (r["term"], r["n"])
+        for r in heavy_hitters(docs, k=10, capacity=8).collect()
+    ]
+    assert got == [("a", 2), ("b", 2), ("c", 1)]
