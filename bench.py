@@ -111,6 +111,11 @@ HEADLINE = [
     "decontam_semantic_overlap",
     # round 5 (closing): 1→N frame sampling through the Arrow kernel
     "multimodal_frame_digests",
+    # round 6: boilerplate-robust production near-dup path, MG
+    # shortlist heavy hitters, exact-k hash reservoir
+    "dedup_ngram_jaccard_dfcap",
+    "text_heavy_hitters",
+    "sample_hash_reservoir",
 ]
 
 

@@ -626,3 +626,100 @@ def token_budget_select(sized: DataFrame, budget: int) -> DataFrame:
         .drop("within_before")
     )
     return kept_full.unionByName(kept_boundary).drop("v", "pre")
+
+
+# ---------------------------------------------------------------------------
+# exact-k per-class hash reservoir
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 200  #: docs kept per language
+_HASH_RANK_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def _hash_rank(key: Column) -> Column:
+    """60-bit engine-portable rank: uniform in [0, 2^60), identical in
+    Spark / DuckDB / Trino / Python — the distributed equivalent of
+    reservoir sampling (the k smallest hash ranks ARE a uniform
+    k-subset, but deterministic and merge-friendly where a classic
+    reservoir is RNG- and order-dependent)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+@query(
+    "sample_hash_reservoir",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY {_HASH_RANK_SQL}, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {RESERVOIR_K}
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY min(k, n_class) docs per language, uniform by hash rank
+    — the distributed reservoir sample (rate-based sampling cannot hit
+    exact counts; RNG reservoirs are partition-order dependent).
+
+    Scale shape: the naive plan sorts every class partition in full
+    (a 40%-of-corpus language = a 40%-of-corpus sort) for a k-row
+    answer. Instead: one column-pruned counting pass sets a per-class
+    rank cutoff at 4× the expected k-th rank, a map-only broadcast
+    filter keeps ~4k rows per class, and the window sorts only those.
+    The cutoff is a concentration bet, not a correctness bet: a guard
+    pass counts survivors per class and falls back to the full window
+    for any corpus where some k-th rank landed past the cutoff (driver
+    fetch bounded at |classes| rows both times — same audited class as
+    the config-rule collects).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = docs.withColumn("u", _hash_rank(F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy("u", "doc_id")
+    full = (
+        ranked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return full
+    two60 = float(1 << 60)
+    cutoffs = [
+        (
+            lang,
+            int(min(two60, two60 * 4.0 * RESERVOIR_K / n)) if n else 0,
+        )
+        for lang, n in counts.items()
+    ]
+    cut = F.broadcast(
+        docs.sparkSession.createDataFrame(cutoffs, ["lang", "cutoff"])
+    )
+    survivors = ranked.join(cut, "lang").filter(F.col("u") < F.col("cutoff"))
+    got = {
+        r["lang"]: r["n"]
+        for r in survivors.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in counts.items():
+        if got.get(lang, 0) < min(RESERVOIR_K, n):
+            return full  # a k-th rank fell past the 4x cutoff
+    ws = Window.partitionBy("lang").orderBy("u", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )

@@ -133,3 +133,29 @@ def test_heavy_hitters_empty_and_small_vocab(spark):
         for r in heavy_hitters(docs, k=10, capacity=8).collect()
     ]
     assert got == [("a", 2), ("b", 2), ("c", 1)]
+
+
+def test_hash_reservoir_partition_invariant_and_exact_k(spark, tmp_path):
+    """The hash-rank reservoir must be a pure function of the data:
+    identical sample under any file/partition layout (the property RNG
+    reservoirs lack), with exactly min(k, n_class) rows per class."""
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        RESERVOIR_K,
+        sample_hash_reservoir,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"]).withColumn(
+        "text", F.lit("x")
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    df.repartition(1).write.parquet(f"{d1}/documents.parquet")
+    df.repartition(13).write.parquet(f"{d2}/documents.parquet")
+
+    s1 = [(r.doc_id, r.lang) for r in sample_hash_reservoir(spark, d1).collect()]
+    s2 = [(r.doc_id, r.lang) for r in sample_hash_reservoir(spark, d2).collect()]
+    assert s1 == s2
+    from collections import Counter
+
+    per_class = Counter(lang for _, lang in s1)
+    assert per_class == {"en": RESERVOIR_K, "fr": RESERVOIR_K}
