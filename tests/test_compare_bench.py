@@ -1,0 +1,59 @@
+"""compare_bench must normalize host drift out of cross-round deltas
+and recover queries from the truncated r3-r5 driver captures."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from tools.compare_bench import load_bench  # noqa: E402
+
+
+def test_load_bench_recovers_from_truncated_tail(tmp_path):
+    capture = {
+        "n": 5,
+        "rc": 0,
+        "parsed": None,
+        "tail": '4, "q_fast": 0.31, "q_slow": 2.5, "calib": 0.4, '
+        '"queries_omitted": 2}\n',
+    }
+    p = tmp_path / "cap.json"
+    p.write_text(json.dumps(capture))
+    d = load_bench(str(p))
+    assert d["queries"]["q_fast"] == 0.31
+    assert d["queries"]["q_slow"] == 2.5
+    assert d["calib_shuffle_sec"] == 0.4
+
+
+def test_compare_normalizes_calibration_drift(tmp_path):
+    old = {
+        "queries_min": {"a": 1.0, "b": 2.0, "c": 0.1},
+        "calib_shuffle_sec": 0.4,
+    }
+    # host ran 2x slower AND b regressed 2x structurally; c is noise
+    # (stays under the 0.3 s floor on both sides)
+    new = {
+        "queries_min": {"a": 2.0, "b": 8.0, "c": 0.25},
+        "calib_shuffle_sec": 0.8,
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    out = json.loads(
+        subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "tools", "compare_bench.py"),
+             str(po), str(pn)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    assert out["calib_drift"] == 2.0
+    flagged = {f["query"] for f in out["flagged"]}
+    assert flagged == {"b"}  # a is pure drift; c is under the noise floor
+    b = next(f for f in out["flagged"] if f["query"] == "b")
+    assert b["norm_ratio"] == 2.0 and b["raw_ratio"] == 4.0

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Cross-round bench comparison, calibration-normalized.
+
+Raw per-query deltas between rounds conflate plan changes with host
+drift (measured range so far: calib_shuffle_sec 0.34-0.52 across
+rounds, a 1.5x swing on identical code). This tool divides that out:
+
+    ratio(q)      = new_min(q) / old_min(q)
+    norm_ratio(q) = ratio(q) / (new_calib / old_calib)
+
+and flags structural regressions (norm_ratio > FLAG_AT on queries
+above the noise floor). Feed it two bench outputs — either the
+driver's BENCH_r{N}.json captures (it reads the parsed dict or
+re-parses the tail) or local bench_detail.json files.
+
+Usage:
+  python tools/compare_bench.py BENCH_r05.json bench_detail.json
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+FLAG_AT = 1.5  #: normalized ratio above this = structural regression
+NOISE_FLOOR_SEC = 0.3  #: sub-noise rows are host scheduling, not plans
+
+
+def load_bench(path: str) -> dict:
+    """Accept a driver capture ({"parsed": ..., "tail": ...}) or a raw
+    bench detail/compact dict; recover queries from the tail when the
+    driver's parse failed (rounds 3-5)."""
+    with open(path) as f:
+        d = json.load(f)
+    if "queries" in d or "queries_min" in d:
+        return d
+    if d.get("parsed"):
+        return d["parsed"]
+    tail = d.get("tail", "")
+    q = {
+        n: float(v)
+        for n, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
+        if n not in ("n", "rc", "cpus", "sf")
+    }
+    calib = None
+    m = re.search(r'"calib(?:_shuffle_sec)?":\s*([0-9.]+)', tail)
+    if m:
+        calib = float(m.group(1))
+    return {"queries": q, "queries_min": q, "calib_shuffle_sec": calib}
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        print(__doc__.strip(), file=sys.stderr)
+        raise SystemExit(2)
+    old, new = load_bench(sys.argv[1]), load_bench(sys.argv[2])
+    qo = old.get("queries_min") or old["queries"]
+    qn = new.get("queries_min") or new["queries"]
+    co = old.get("calib_shuffle_sec") or old.get("calib")
+    cn = new.get("calib_shuffle_sec") or new.get("calib")
+    drift = (cn / co) if co and cn else 1.0
+    common = sorted(set(qo) & set(qn))
+    rows = []
+    for q in common:
+        if not qo[q]:
+            continue
+        ratio = qn[q] / qo[q]
+        rows.append((q, qo[q], qn[q], ratio, ratio / drift))
+    rows.sort(key=lambda r: -r[4])
+    flagged = [
+        r for r in rows if r[4] > FLAG_AT and max(r[1], r[2]) > NOISE_FLOOR_SEC
+    ]
+    print(
+        json.dumps(
+            {
+                "common_queries": len(common),
+                "old_total_min": round(sum(qo[q] for q in common), 2),
+                "new_total_min": round(sum(qn[q] for q in common), 2),
+                "calib_drift": round(drift, 3),
+                "flagged": [
+                    {
+                        "query": q,
+                        "old": o,
+                        "new": n,
+                        "raw_ratio": round(r, 2),
+                        "norm_ratio": round(nr, 2),
+                    }
+                    for q, o, n, r, nr in flagged
+                ],
+                "top5_norm": [
+                    {"query": q, "old": o, "new": n, "norm_ratio": round(nr, 2)}
+                    for q, o, n, r, nr in rows[:5]
+                ],
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
