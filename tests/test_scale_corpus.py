@@ -196,3 +196,48 @@ def test_dfcap_drops_boilerplate_keeps_planted_dups(spark, tmp_path):
     # the uncapped path on the same corpus: every even-doc pair collides
     uncapped = _ngram_pair_counts(docs).count()
     assert uncapped >= 200 * 199 // 2  # drowned in boilerplate pairs
+
+
+def test_boilerplate_cliff_and_dfcap_exponent(spark, tmp_path):
+    """The skew-axis claim as a CI property: on Zipfian mini-corpora
+    the UNCAPPED inverted-index bound grows ~quadratically with the
+    boilerplate population while the df-capped candidate relation
+    tracks the planted-dup count (exponent ≈ 1). Mirrors
+    test_candidate_growth_exponents_stay_linear for the skew axis."""
+    import math
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _ngram_pair_counts_capped,
+        _shingle_df,
+    )
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+    from tools.gen_scale_corpus import generate_corpus
+    from tools.measure_scaling import _pairs_bound
+
+    # mults ≥ 2 so the Heaps-law vocab scaling is active: below that
+    # the fixed 31-word vocab makes NATURAL collisions quadratic and
+    # the measurement reflects the fixture, not the operator (the same
+    # 1×-point caveat SCALING.json documents)
+    res = {}
+    for mult in (2, 6):
+        d = str(tmp_path / f"z{mult}")
+        generate_corpus(d, mult=mult, seed=7, zipf=True)
+        docs = load_table(spark, d, "documents")
+        n = docs.count()
+        res[mult] = {
+            "n": n,
+            "planted": n // 20,
+            "bound": _pairs_bound(_shingle_df(docs), ["s"]),
+            "capped": _ngram_pair_counts_capped(docs).count(),
+        }
+    g = math.log(3)  # 3x corpus growth
+    exp_bound = math.log(res[6]["bound"] / res[2]["bound"]) / g
+    # the cliff: boilerplate postings square (measured 1.96 here,
+    # 450.6 M absolute at the 10x corpus)
+    assert exp_bound > 1.6, res
+    # the defense: capped candidates TRACK the planted dups (measured
+    # 938/500 and 1515/1500 — accidental collisions dilute with vocab)
+    for mult, r in res.items():
+        assert r["capped"] <= 2 * r["planted"] + 50, res
+    # and the capped relation is a sliver of the uncapped bound
+    assert res[6]["capped"] * 1000 < res[6]["bound"]
