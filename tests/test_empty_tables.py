@@ -131,6 +131,14 @@ _NULL_PARITY_QUERIES = [
     # round 5: NULL embeddings filtered; NULL vec_id % 13 excludes the
     # row from BOTH sides on both engines (NULL comparison semantics)
     "decontam_semantic_overlap",
+    # round 6: NULL lang is a window partition of its own on BOTH
+    # engines — the Spark plan's broadcast cutoff can't match NULL, so
+    # the guard detects the deficit and takes the full-window fallback
+    "sample_hash_reservoir",
+    # round 6: NULL text filtered identically ahead of the MG kernel /
+    # the shingle explode on both engines
+    "text_heavy_hitters",
+    "dedup_ngram_jaccard_dfcap",
 ]
 
 
