@@ -114,6 +114,7 @@ HEADLINE = [
     # round 6: boilerplate-robust production near-dup path, MG
     # shortlist heavy hitters, exact-k hash reservoir
     "dedup_ngram_jaccard_dfcap",
+    "dedup_minhash_lsh_pairs_dfcap",
     "text_heavy_hitters",
     "sample_hash_reservoir",
 ]

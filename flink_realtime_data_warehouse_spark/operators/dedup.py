@@ -1091,6 +1091,14 @@ SELECT doc_new, doc_hist FROM incr_pairs ORDER BY doc_new, doc_hist
 """
 
 
+_BAND_STACK_ARGS = ", ".join(
+    f"{b}, concat_ws('|', "
+    + ", ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
+    + ")"
+    for b in range(_N_BANDS)
+)
+
+
 def band_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH band rows — the persistable dedup index.
 
@@ -1098,14 +1106,73 @@ def band_keys(docs: DataFrame) -> DataFrame:
     construction to ``minhash_lsh_candidate_pairs``'s in-plan bands.
     """
     sig = minhash_signatures(docs)
-    stack_args = ", ".join(
-        f"{b}, concat_ws('|', "
-        + ", ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
-        + ")"
-        for b in range(_N_BANDS)
+    return sig.selectExpr(
+        "doc_id", f"stack({_N_BANDS}, {_BAND_STACK_ARGS}) AS (band, key)"
+    )
+
+
+def band_keys_capped(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Band rows with the df-cap applied UPSTREAM of minhashing — the
+    production composition on boilerplate-bearing corpora.
+
+    MinHash banding is already fairly boilerplate-robust (4 hot
+    shingles out of ~60 rarely win a signature slot), but "rarely" is
+    per doc: over 0.3·n boilerplate carriers the accidental band
+    collisions compound — measured on the round-6 zipf corpora the
+    uncapped LSH candidate exponent drifts to ~1.56 (4,173 → 23,022
+    across 10×→30×) while capped signatures stay ≈ planted
+    (exponent 1.0, SKEW.json). Same banding scheme, signatures
+    computed over the informative-shingle universe only.
+    """
+    sig = _shingle_df_capped(docs, cap).groupBy("doc_id").agg(
+        *_minhash_sig_exprs()
     )
     return sig.selectExpr(
-        "doc_id", f"stack({_N_BANDS}, {stack_args}) AS (band, key)"
+        "doc_id", f"stack({_N_BANDS}, {_BAND_STACK_ARGS}) AS (band, key)"
+    )
+
+
+_MINHASH_PAIRS_DFCAP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+freq AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq USING (s) WHERE freq.df <= {NGRAM_DF_CAP}),
+sig AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_BAND_ORACLE_KEYS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_lsh_pairs_dfcap", oracle=_MINHASH_PAIRS_DFCAP_ORACLE)
+def dedup_minhash_lsh_pairs_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the df-cap applied upstream of
+    minhashing — the production banding on boilerplate-bearing
+    corpora (see ``band_keys_capped``). Same banding scheme and join
+    shape as ``dedup_minhash_lsh_pairs``; signatures are computed over
+    the informative-shingle universe only, which keeps the candidate
+    exponent at ~1.0 where uncapped banding drifts superlinear under
+    planted boilerplate (SKEW.json)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = band_keys_capped(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
     )
 
 

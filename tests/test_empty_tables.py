@@ -139,6 +139,7 @@ _NULL_PARITY_QUERIES = [
     # the shingle explode on both engines
     "text_heavy_hitters",
     "dedup_ngram_jaccard_dfcap",
+    "dedup_minhash_lsh_pairs_dfcap",
 ]
 
 

@@ -353,3 +353,59 @@ def test_release_shingle_cache_unpersists(spark, tmp_path):
     release_shingle_cache()
     assert not _SHINGLE_CACHE
     assert not sh.storageLevel.useMemory and not sh.storageLevel.useDisk
+
+
+def test_band_keys_capped_ignores_boilerplate_pairs(spark):
+    """Capped banding (df-cap upstream of minhashing): documents whose
+    ONLY shared content is a hot boilerplate phrase must not share a
+    band, while true near-dups keep colliding; boilerplate-free docs
+    keep uncapped-identical band keys."""
+    from pyspark.sql import functions as F
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        band_keys,
+        band_keys_capped,
+    )
+
+    boiler = "the data table scan filter join"
+    rows = []
+    for i in range(100):
+        body = " ".join(f"t{i}w{j}" for j in range(12))
+        rows.append((i, f"{body} {boiler}"))  # all 100 share ONLY the phrase
+    # true duplicate of doc 0 (identical capped shingle set → identical
+    # signature, so the collision assertion is hash-deterministic; the
+    # high-but-not-1.0 jaccard recall story is measured corpus-wide in
+    # SKEW.json's capped_candidates instead)
+    rows.append((500, rows[0][1]))
+    rows.append((600, " ".join(f"clean{j}" for j in range(12))))  # no boiler
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(bands):
+        a, b = bands.alias("a"), bands.alias("b")
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+
+    capped = pairs(band_keys_capped(docs, cap=50))
+    assert (0, 500) in capped  # the true near-dup still collides
+    assert not any(
+        a < 100 and b < 100 for a, b in capped
+    ), "boilerplate-only docs must not pair under the cap"
+
+    # boilerplate-free docs: capped signatures == uncapped signatures
+    clean = docs.filter(F.col("doc_id") == 600)
+    k_cap = {(r["band"], r["key"]) for r in band_keys_capped(clean, cap=50).collect()}
+    k_unc = {(r["band"], r["key"]) for r in band_keys(clean).collect()}
+    assert k_cap == k_unc

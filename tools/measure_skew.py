@@ -156,6 +156,28 @@ def measure_dir(spark, sf_dir: str) -> dict:
     if lsh_bound <= PAIR_GATE:
         lsh["candidates"] = minhash_lsh_candidate_pairs(docs).count()
         lsh["wall_sec"] = _timed(dedup_minhash_lsh_pairs, spark, sf_dir)
+    # the production composition: df-cap UPSTREAM of minhashing — on
+    # boilerplate corpora the uncapped banding drifts superlinear while
+    # capped signatures should track the planted dups
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        band_keys_capped,
+    )
+
+    cb = band_keys_capped(docs)
+    lsh["capped_bucket_bound"] = _pairs_bound(cb, ["band", "key"])
+    if lsh["capped_bucket_bound"] <= PAIR_GATE:
+        a, b2 = cb.alias("a"), cb.alias("b")
+        lsh["capped_candidates"] = (
+            a.join(
+                b2,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
     out["lsh"] = lsh
 
     # --- source overlap: per-shingle source SETS (≤ |sources| each)
