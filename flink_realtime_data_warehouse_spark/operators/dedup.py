@@ -136,29 +136,26 @@ def release_shingle_cache() -> None:
             pass  # owning session may already be stopped
 
 
-def _shingle_df(docs: DataFrame) -> DataFrame:
-    """distinct (doc_id, shingle-hash) pairs — the inverted-index input.
-
-    Cached per (session, docs-plan semantic hash, file-content stamp):
-    callers passing the same logical corpus share one persisted
-    relation; any different docs plan (other sf_dir, filtered subset,
-    test frame) builds its own entry, and a same-path corpus whose
-    files were rewritten mid-session re-stamps to a fresh entry, so
-    semantics never depend on the cache."""
+def _cached_relation(docs: DataFrame, variant: tuple, builder) -> DataFrame:
+    """Session-cache a shingle-derived relation under the shared FIFO
+    store (insert/evict/release all under ``_SHINGLE_LOCK``). Key =
+    (application, docs-plan semantic hash, file-content stamp,
+    variant): any different docs plan builds its own entry, and a
+    same-path corpus whose files were rewritten mid-session re-stamps
+    to a fresh entry, so semantics never depend on the cache."""
     from pyspark import StorageLevel
 
     key = (
         docs.sparkSession.sparkContext.applicationId,
         docs.semanticHash(),
         _file_content_stamp(docs),
+        *variant,
     )
     with _SHINGLE_LOCK:
         hit = _SHINGLE_CACHE.get(key)
     if hit is not None:
         return hit
-    sh = _exploded_shingle_hashes(docs).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = builder().persist(StorageLevel.MEMORY_AND_DISK)
     evicted = []
     with _SHINGLE_LOCK:
         raced = _SHINGLE_CACHE.get(key)
@@ -180,6 +177,14 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
         except Exception:
             pass  # session of the evicted entry may already be stopped
     return sh
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    """distinct (doc_id, shingle-hash) pairs — the inverted-index
+    input, cached per (session, docs plan, file stamp)."""
+    return _cached_relation(
+        docs, ("base",), lambda: _exploded_shingle_hashes(docs).distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -306,14 +311,20 @@ def _shingle_df_capped(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
     crosses a 256-doc cap), so the removal is a broadcast anti-join —
     the postings relation never reshuffles.
     """
-    sh = _shingle_df(docs)
-    hot = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > cap)
-        .select("s")
-    )
-    return sh.join(F.broadcast(hot), "s", "left_anti")
+    def build():
+        sh = _shingle_df(docs)
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("s")
+        )
+        return sh.join(F.broadcast(hot), "s", "left_anti")
+
+    # cached like the base relation: the pair self-join, the sizes
+    # aggregate, and the capped-minhash path otherwise each replay the
+    # df pass + anti-join (4 copies were visible in the physical plan)
+    return _cached_relation(docs, ("dfcap", cap), build)
 
 
 def _ngram_pair_counts_capped(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
