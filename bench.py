@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh_pairs_dfcap",
     "text_heavy_hitters",
+    "text_heavy_hitters_by_lang",
     "sample_hash_reservoir",
 ]
 

@@ -194,3 +194,207 @@ def heavy_hitters(docs: DataFrame, k: int, capacity: int) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(k)
     )
+
+
+HH_GROUP_K = 10  #: terms kept per language
+
+
+def _mg_grouped_summaries(docs: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition, per-GROUP Misra-Gries summaries over (lang, term).
+
+    One bounded dict per group per partition (groups ≤ |languages|, a
+    handful), so the summary relation is ≤ partitions × groups ×
+    capacity rows and each group carries its own decrement mass —
+    the per-group guarantee needs per-group error accounting, which a
+    shared dict would mix. Error sentinels use an explicit flag (a
+    NULL term cannot double as the sentinel here: NULL lang is itself
+    a legitimate group)."""
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+    def run(batches):
+        # self-contained closure (worker-closure probe contract)
+        import pandas as pd
+
+        counters: dict = {}  # lang -> {term: c}
+        errs: dict = {}  # lang -> decrement mass
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for (lang, term), cnt in (
+                pdf.groupby(["lang", "term"], dropna=False, sort=False)
+                .size()
+                .items()
+            ):
+                lang = None if pd.isna(lang) else lang
+                g = counters.setdefault(lang, {})
+                g[term] = g.get(term, 0) + int(cnt)
+            for lang, g in counters.items():
+                over = len(g) - capacity
+                if over > 0:
+                    vals = sorted(g.values())
+                    m = vals[over - 1]
+                    counters[lang] = {t: c - m for t, c in g.items() if c > m}
+                    errs[lang] = errs.get(lang, 0) + m
+        rows_lang, rows_term, rows_c, rows_err = [], [], [], []
+        for lang, g in counters.items():
+            for t, c in g.items():
+                rows_lang.append(lang)
+                rows_term.append(t)
+                rows_c.append(c)
+                rows_err.append(False)
+        for lang in set(counters) | set(errs):
+            rows_lang.append(lang)
+            rows_term.append(None)
+            rows_c.append(errs.get(lang, 0))
+            rows_err.append(True)
+        yield pd.DataFrame(
+            {
+                "lang": rows_lang,
+                "term": rows_term,
+                "c": rows_c,
+                "is_err": rows_err,
+            }
+        )
+
+    return words.mapInPandas(
+        run, schema="lang string, term string, c long, is_err boolean"
+    )
+
+
+@query(
+    "text_heavy_hitters_by_lang",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ), counts AS (
+      SELECT lang, term, count(*) AS n
+      FROM w WHERE term <> '' GROUP BY lang, term
+    )
+    SELECT lang, term, n
+    FROM (
+      SELECT lang, term, n,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n DESC, term
+             ) AS rk
+      FROM counts
+    ) WHERE rk <= {HH_GROUP_K}
+    ORDER BY lang, n DESC, term
+    """,
+)
+def text_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{K} terms PER LANGUAGE — the data-card query — via
+    grouped Misra-Gries summaries + per-group exact rescore.
+
+    Same two-narrow-pass economics as ``text_heavy_hitters`` applied
+    group-wise: the merge shuffles ≤ partitions × groups × capacity
+    summary rows instead of every distinct (lang, term); the rescore
+    joins the corpus to a broadcast shortlist and ranks within each
+    group. The per-group superset proof (E_g < T_K,g, module
+    docstring) is checked per group from one |groups|-row fetch; any
+    failing group falls back to the exact full aggregation for ALL
+    groups — correctness never rides on the sketch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_heavy_hitters(docs, k=HH_GROUP_K, capacity=MG_CAPACITY)
+
+
+def grouped_heavy_hitters(docs: DataFrame, k: int, capacity: int) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    rk = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    exact = (
+        words.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= k)
+        .select("lang", "term", "n")
+        .orderBy("lang", F.desc("n"), "term")
+    )
+
+    summ = _mg_grouped_summaries(docs, capacity)
+    merged = (
+        summ.filter(~F.col("is_err"))
+        .groupBy("lang", "term")
+        .agg(F.sum("c").alias("s"))
+    )
+    errs = (
+        summ.filter(F.col("is_err"))
+        .groupBy("lang")
+        .agg(F.sum("c").alias("e"))
+    )
+    sw = Window.partitionBy("lang").orderBy(F.desc("s"), "term")
+    guard_rows = (
+        merged.withColumn("srk", F.row_number().over(sw))
+        .filter(F.col("srk") <= k)
+        .groupBy("lang")
+        .agg(F.min("s").alias("t_k"), F.count(F.lit(1)).alias("n_top"))
+        # FULL outer, null-safe on lang (NULL lang is a real group): a
+        # group whose summary was entirely evicted (flat distribution
+        # at tiny capacity) exists ONLY in the error relation —
+        # deriving groups from `merged` alone would silently drop it
+        # from the answer instead of falling back
+        .withColumnRenamed("lang", "mlang")
+        .join(
+            errs.withColumnRenamed("lang", "elang"),
+            F.col("mlang").eqNullSafe(F.col("elang")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("mlang"), F.col("elang")).alias("lang"),
+            "t_k",
+            "n_top",
+            "e",
+        )
+        .collect()
+    )
+    # the per-group superset proof: with error mass e_g = 0 the
+    # summary is EXACT (any n_top is fine — under-full groups keep
+    # everything); with e_g > 0 it needs a full top-k whose threshold
+    # clears the error mass, else a true top-k term of this group may
+    # have been evicted everywhere and no shortlist can be trusted
+    thresholds = {}
+    for r in guard_rows:
+        e = int(r["e"] or 0)
+        n_top = r["n_top"] or 0
+        if e > 0 and (n_top < k or e >= r["t_k"]):
+            return exact  # capacity undersized for this distribution
+        thresholds[r["lang"]] = (
+            (int(r["t_k"]) - e) if n_top >= k else None
+        )
+    if not thresholds:
+        return exact  # empty corpus
+    cut = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(lang, t) for lang, t in thresholds.items()],
+            "lang string, thr long",
+        )
+    )
+    shortlist = (
+        merged.join(cut, merged["lang"].eqNullSafe(cut["lang"]), "inner")
+        .filter(F.col("thr").isNull() | (F.col("s") >= F.col("thr")))
+        .select(merged["lang"].alias("lang"), "term")
+    )
+    return (
+        words.join(
+            F.broadcast(shortlist),
+            words["lang"].eqNullSafe(shortlist["lang"])
+            & (words["term"] == shortlist["term"]),
+            "leftsemi",
+        )
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= k)
+        .select("lang", "term", "n")
+        .orderBy("lang", F.desc("n"), "term")
+    )

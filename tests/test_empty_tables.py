@@ -140,6 +140,9 @@ _NULL_PARITY_QUERIES = [
     "text_heavy_hitters",
     "dedup_ngram_jaccard_dfcap",
     "dedup_minhash_lsh_pairs_dfcap",
+    # round 6: NULL lang is a real group — per-group MG guard must
+    # enumerate it from the error relation (null-safe full outer)
+    "text_heavy_hitters_by_lang",
 ]
 
 

@@ -159,3 +159,70 @@ def test_hash_reservoir_partition_invariant_and_exact_k(spark, tmp_path):
 
     per_class = Counter(lang for _, lang in s1)
     assert per_class == {"en": RESERVOIR_K, "fr": RESERVOIR_K}
+
+
+def test_grouped_heavy_hitters_tiny_capacity_and_null_group(spark):
+    """Grouped MG at capacity 8: per-group skewed streams with real
+    eviction mass, a NULL-lang group, and the per-group shortlist must
+    all reproduce the exact per-group top-k."""
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.operators.sketches import (
+        grouped_heavy_hitters,
+    )
+
+    rows = []
+    for i in range(50):  # en: hot terms + churn tail
+        rows.append((i, "en", " ".join(f"ehot{j}" for j in range(4))))
+    for i in range(200):
+        rows.append((100 + i, "en", f"etail{i}"))
+    for i in range(40):  # fr: different hitters
+        rows.append((1000 + i, "fr", " ".join(f"fhot{j}" for j in range(3))))
+    for i in range(150):
+        rows.append((2000 + i, "fr", f"ftail{i}"))
+    for i in range(30):  # NULL lang is a group of its own
+        rows.append((3000 + i, None, "nhot nhot2"))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"]).repartition(3)
+
+    got = [
+        (r["lang"], r["term"], r["n"])
+        for r in grouped_heavy_hitters(docs, k=2, capacity=8).collect()
+    ]
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    rk = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    exact = [
+        (r["lang"], r["term"], r["n"])
+        for r in words.groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 2)
+        .select("lang", "term", "n")
+        .orderBy("lang", F.desc("n"), "term")
+        .collect()
+    ]
+    assert got == exact
+    langs = {lang for lang, _, _ in got}
+    assert langs == {"en", "fr", None}
+    assert ("en", "ehot0", 50) in got and ("fr", "fhot0", 40) in got
+
+
+def test_grouped_heavy_hitters_falls_back_when_one_group_flat(spark):
+    """One well-skewed group plus one flat group: the flat group's
+    E ≥ T_K must force the exact fallback, and the result is still the
+    exact per-group answer."""
+    from flink_realtime_data_warehouse_spark.operators.sketches import (
+        grouped_heavy_hitters,
+    )
+
+    rows = [(i, "en", " ".join("hot" for _ in range(5))) for i in range(30)]
+    rows += [(100 + i, "fr", f"f{i % 300}") for i in range(600)]  # flat
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"]).repartition(2)
+    got = [
+        (r["lang"], r["term"], r["n"])
+        for r in grouped_heavy_hitters(docs, k=3, capacity=8).collect()
+    ]
+    assert ("en", "hot", 150) in got
+    fr = [(t, n) for lang, t, n in got if lang == "fr"]
+    assert fr == [("f0", 2), ("f1", 2), ("f10", 2)]  # exact ties, term asc
