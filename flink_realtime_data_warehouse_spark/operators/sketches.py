@@ -56,47 +56,47 @@ def _mg_word_summaries(docs: DataFrame, capacity: int) -> DataFrame:
     the executor — the relation the merge shuffles is
     O(partitions × capacity), independent of vocabulary size.
 
-    Tokenization happens JVM-side (split/explode); the Arrow kernel
-    only merges pandas ``value_counts`` into a bounded dict, so the
-    per-token Python loop the classic algorithm implies never runs.
+    The kernel receives WHOLE TEXTS, not exploded words: at the 100×
+    corpus that is 500 k rows through Arrow instead of 27 M — the
+    explode happens as C-speed pandas str ops inside the task
+    (`str.split(' ').explode()` ≡ the JVM `explode(split(text, ' '))`
+    the rescore pass uses — single-space-separated corpus contract).
+    Counter state is a pandas Series, so merge and trim are
+    vectorized; no per-token Python loop anywhere.
     """
-    words = (
-        docs.filter(F.col("text").isNotNull())
-        .select(F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-    )
+    texts = docs.filter(F.col("text").isNotNull()).select("text")
 
     def run(batches):
         # self-contained closure: executor workers in foreign sessions
         # cannot import this package (round-1 worker-closure probe)
         import pandas as pd
 
-        counters: dict = {}
+        counters = pd.Series(dtype="int64")
         err = 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            for term, cnt in pdf["term"].value_counts().items():
-                counters[term] = counters.get(term, 0) + int(cnt)
+            terms = pdf["text"].str.split(" ").explode()
+            terms = terms[terms != ""]
+            counters = counters.add(terms.value_counts(), fill_value=0)
             over = len(counters) - capacity
             if over > 0:
                 # batched decrement: subtract m (the `over`-th smallest
                 # count) from every counter, drop those at ≤ 0 — one
                 # round removes ≥ `over` counters and adds m to the
                 # error mass, preserving count(t) − e ≤ c(t) ≤ count(t)
-                vals = sorted(counters.values())
-                m = vals[over - 1]
-                counters = {t: c - m for t, c in counters.items() if c > m}
-                err += m
+                m = counters.nsmallest(over).iloc[-1]
+                counters = counters[counters > m] - m
+                err += int(m)
         out = pd.DataFrame(
             {
-                "term": list(counters.keys()) + [None],
-                "c": list(counters.values()) + [err],
+                "term": list(counters.index) + [None],
+                "c": [int(v) for v in counters.values] + [err],
             }
         )
         yield out
 
-    return words.mapInPandas(run, schema="term string, c long")
+    return texts.mapInPandas(run, schema="term string, c long")
 
 
 @query(
@@ -140,10 +140,10 @@ def heavy_hitters(docs: DataFrame, k: int, capacity: int) -> DataFrame:
     Driver fetch: ONE row of three integers (error mass E, threshold
     T_K, summary top count) — the guard that decides whether the MG
     superset proof applies. Bounded regardless of data size, same
-    class as the audited config-rule collects. The summary relation is
-    recomputed once for the guard and once inside the returned plan —
-    deterministic lineage, ≤ partitions × capacity rows each time; a
-    long-lived deployment would persist it instead.
+    class as the audited config-rule collects. The summary relation
+    (≤ partitions × (capacity+1) rows) is materialized once through
+    the shared session cache; the guard action and the returned plan
+    both read it.
     """
     words = (
         docs.filter(F.col("text").isNotNull())
@@ -157,7 +157,18 @@ def heavy_hitters(docs: DataFrame, k: int, capacity: int) -> DataFrame:
         .limit(k)
     )
 
-    summ = _mg_word_summaries(docs, capacity)
+    # cached via the shared shingle-relation store (FIFO + lock,
+    # released by release_shingle_cache): the guard action and the
+    # returned plan otherwise each run the full summary pass — the
+    # relation is tiny (<= partitions x (capacity+1) rows) but its
+    # input scan is the whole corpus
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _cached_relation,
+    )
+
+    summ = _cached_relation(
+        docs, ("mg", capacity), lambda: _mg_word_summaries(docs, capacity)
+    )
     merged = (
         summ.filter(F.col("term").isNotNull())
         .groupBy("term")
@@ -208,59 +219,61 @@ def _mg_grouped_summaries(docs: DataFrame, capacity: int) -> DataFrame:
     the per-group guarantee needs per-group error accounting, which a
     shared dict would mix. Error sentinels use an explicit flag (a
     NULL term cannot double as the sentinel here: NULL lang is itself
-    a legitimate group)."""
-    words = (
-        docs.filter(F.col("text").isNotNull())
-        .select("lang", F.explode(F.split("text", " ")).alias("term"))
-        .filter(F.col("term") != "")
-    )
+    a legitimate group). Like the global kernel, whole texts cross
+    Arrow (500 k rows at the 100x corpus, not 27 M exploded words) and
+    the explode is C-speed pandas str ops inside the task."""
+    texts = docs.filter(F.col("text").isNotNull()).select("lang", "text")
 
     def run(batches):
-        # self-contained closure (worker-closure probe contract)
+        # self-contained closure (worker-closure probe contract).
+        # Counter state is a (lang, term)-MultiIndexed Series: batch
+        # merge is one C-speed Series.add; the trim loop touches only
+        # the (few) groups over capacity. NULL lang stays a real key
+        # via a sentinel that no split(' ') token can collide with
+        # inside the lang column's domain (restored to None on emit).
         import pandas as pd
 
-        counters: dict = {}  # lang -> {term: c}
-        errs: dict = {}  # lang -> decrement mass
+        # \x01, not \x00: numpy's fixed-width string paths TRUNCATE at
+        # NUL bytes (measured: fillna("\x00") round-trips as ""), which
+        # would silently merge the NULL-lang group with an "" lang
+        NULL = "\x01"
+        counters = None  # lazily seeded: an empty flat-index Series
+        errs: dict = {}  # cannot .add() against a MultiIndex
         for pdf in batches:
             if not len(pdf):
                 continue
-            for (lang, term), cnt in (
-                pdf.groupby(["lang", "term"], dropna=False, sort=False)
+            terms = pdf["text"].str.split(" ").explode()
+            terms = terms[terms != ""]
+            langs = pdf["lang"].fillna(NULL).reindex(terms.index)
+            vc = (
+                pd.DataFrame({"lang": langs, "term": terms})
+                .groupby(["lang", "term"], sort=False)
                 .size()
-                .items()
-            ):
-                lang = None if pd.isna(lang) else lang
-                g = counters.setdefault(lang, {})
-                g[term] = g.get(term, 0) + int(cnt)
-            for lang, g in counters.items():
+            )
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            sizes = counters.groupby(level=0).size()
+            for lang in sizes.index[sizes > capacity]:
+                g = counters.xs(lang, level=0, drop_level=False)
                 over = len(g) - capacity
-                if over > 0:
-                    vals = sorted(g.values())
-                    m = vals[over - 1]
-                    counters[lang] = {t: c - m for t, c in g.items() if c > m}
-                    errs[lang] = errs.get(lang, 0) + m
-        rows_lang, rows_term, rows_c, rows_err = [], [], [], []
-        for lang, g in counters.items():
-            for t, c in g.items():
-                rows_lang.append(lang)
-                rows_term.append(t)
-                rows_c.append(c)
-                rows_err.append(False)
-        for lang in set(counters) | set(errs):
-            rows_lang.append(lang)
-            rows_term.append(None)
-            rows_c.append(errs.get(lang, 0))
-            rows_err.append(True)
+                m = g.nsmallest(over).iloc[-1]
+                kept = g[g > m] - m
+                counters = pd.concat(
+                    [counters.drop(index=lang, level=0), kept]
+                )
+                errs[lang] = errs.get(lang, 0) + int(m)
+        if counters is None:  # empty partition
+            counters = pd.Series(dtype="int64")
+        langs = [
+            None if i[0] == NULL else i[0] for i in counters.index
+        ] + [None if k == NULL else k for k in errs]
+        terms = [i[1] for i in counters.index] + [None] * len(errs)
+        cs = [int(v) for v in counters.values] + list(errs.values())
+        flags = [False] * len(counters) + [True] * len(errs)
         yield pd.DataFrame(
-            {
-                "lang": rows_lang,
-                "term": rows_term,
-                "c": rows_c,
-                "is_err": rows_err,
-            }
+            {"lang": langs, "term": terms, "c": cs, "is_err": flags}
         )
 
-    return words.mapInPandas(
+    return texts.mapInPandas(
         run, schema="lang string, term string, c long, is_err boolean"
     )
 
@@ -321,7 +334,17 @@ def grouped_heavy_hitters(docs: DataFrame, k: int, capacity: int) -> DataFrame:
         .orderBy("lang", F.desc("n"), "term")
     )
 
-    summ = _mg_grouped_summaries(docs, capacity)
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _cached_relation,
+    )
+
+    # same caching rationale as heavy_hitters: guard + final plan
+    # share one summary materialization
+    summ = _cached_relation(
+        docs,
+        ("mg_grouped", capacity),
+        lambda: _mg_grouped_summaries(docs, capacity),
+    )
     merged = (
         summ.filter(~F.col("is_err"))
         .groupBy("lang", "term")
