@@ -704,9 +704,15 @@ def sample_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, n in counts.items()
     ]
     cut = F.broadcast(
-        docs.sparkSession.createDataFrame(cutoffs, ["lang", "cutoff"])
+        # explicit schema: an all-NULL-lang corpus gives inference
+        # nothing to type the lang column from
+        docs.sparkSession.createDataFrame(cutoffs, "lang string, cutoff long")
     )
-    survivors = ranked.join(cut, "lang").filter(F.col("u") < F.col("cutoff"))
+    survivors = ranked.join(
+        cut, ranked["lang"].eqNullSafe(cut["lang"]), "inner"
+    ).select(ranked["lang"], "doc_id", "u", "cutoff").filter(
+        F.col("u") < F.col("cutoff")
+    )
     got = {
         r["lang"]: r["n"]
         for r in survivors.groupBy("lang")

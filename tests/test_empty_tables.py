@@ -132,8 +132,8 @@ _NULL_PARITY_QUERIES = [
     # row from BOTH sides on both engines (NULL comparison semantics)
     "decontam_semantic_overlap",
     # round 6: NULL lang is a window partition of its own on BOTH
-    # engines — the Spark plan's broadcast cutoff can't match NULL, so
-    # the guard detects the deficit and takes the full-window fallback
+    # engines — the broadcast cutoff join is null-safe so the NULL
+    # class takes the same shortlist path as every other class
     "sample_hash_reservoir",
     # round 6: NULL text filtered identically ahead of the MG kernel /
     # the shingle explode on both engines
