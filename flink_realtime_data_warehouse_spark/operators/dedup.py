@@ -79,6 +79,11 @@ def _exploded_shingle_hashes(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 #: the session.
 _SHINGLE_CACHE: dict = {}
 
+#: FIFO bound on cached shingle relations — sized as (parity-tier
+#: corpora ≈ 5) × (per-corpus variants ≈ 4: base, dfcap, mg,
+#: mg_grouped) so a session iterating every tier never thrashes.
+_SHINGLE_CACHE_CAP = 24
+
 #: guards every _SHINGLE_CACHE mutation (insert, FIFO-evict, release):
 #: concurrent sessions (tests/test_concurrent_sessions.py) race the
 #: evict path's popitem against release_shingle_cache's — results were
@@ -167,8 +172,11 @@ def _cached_relation(docs: DataFrame, variant: tuple, builder) -> DataFrame:
         else:
             # bound the cache: a long-lived session iterating many
             # corpora (the parity tiers alone touch ~5 sf_dirs) must
-            # not accumulate persisted relations forever — FIFO-evict
-            while len(_SHINGLE_CACHE) >= 8:
+            # not accumulate persisted relations forever — FIFO-evict.
+            # Cap = corpora × variants: ~5 parity-tier sf_dirs times the
+            # per-corpus variant count (base/dfcap/mg/mg_grouped, r6
+            # ADVICE: 8 thrashed once variants outgrew it).
+            while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_CAP:
                 evicted.append(_SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))))
             _SHINGLE_CACHE[key] = sh
     for old in evicted:

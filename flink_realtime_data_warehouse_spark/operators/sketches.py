@@ -242,6 +242,14 @@ def _mg_grouped_summaries(docs: DataFrame, capacity: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
+            # loud failure over silent merge: a real lang value equal
+            # to the sentinel would alias into the NULL group (r6
+            # ADVICE — the constraint was comment-only before)
+            if pdf["lang"].eq(NULL).any():
+                raise ValueError(
+                    "grouped Misra-Gries: lang column contains the "
+                    "reserved NULL sentinel \\x01"
+                )
             terms = pdf["text"].str.split(" ").explode()
             terms = terms[terms != ""]
             langs = pdf["lang"].fillna(NULL).reindex(terms.index)

@@ -29,6 +29,48 @@ def test_load_bench_recovers_from_truncated_tail(tmp_path):
     assert d["calib_shuffle_sec"] == 0.4
 
 
+def test_load_bench_recovers_from_compact_tail(tmp_path):
+    """The compact final line (separators=(",",":")) has no space after
+    colons and carries scalar keys; recovery must parse it as JSON —
+    reading the queries sub-dict, not scraping scalars into it."""
+    compact = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "value": 12.5,
+            "total_min": 11.9,
+            "calib_shuffle_sec": 0.41,
+            "streaming_rows_per_sec": 21000.0,
+            "sf": 0.1,
+            "queries": {"q_fast": 0.31, "q_slow": 2.5},
+        },
+        separators=(",", ":"),
+    )
+    capture = {"n": 5, "rc": 0, "parsed": None, "tail": "noise\n" + compact}
+    p = tmp_path / "cap.json"
+    p.write_text(json.dumps(capture))
+    d = load_bench(str(p))
+    assert d["queries"] == {"q_fast": 0.31, "q_slow": 2.5}
+    assert d["calib_shuffle_sec"] == 0.41
+
+
+def test_load_bench_compact_truncated_tail_excludes_scalars(tmp_path):
+    """Even a TRUNCATED compact tail (JSON parse impossible) must not
+    ingest scalar keys like value/total_min as query timings."""
+    capture = {
+        "n": 5,
+        "rc": 0,
+        "parsed": None,
+        "tail": '5,"value":12.5,"total_min":11.9,"calib_shuffle_sec":0.41,'
+        '"streaming_rows_per_sec":21000.0,"queries":{"q_fast":0.31,'
+        '"q_slow":2.5}}',
+    }
+    p = tmp_path / "cap.json"
+    p.write_text(json.dumps(capture))
+    d = load_bench(str(p))
+    assert d["queries"] == {"q_fast": 0.31, "q_slow": 2.5}
+    assert d["calib_shuffle_sec"] == 0.41
+
+
 def test_compare_normalizes_calibration_drift(tmp_path):
     old = {
         "queries_min": {"a": 1.0, "b": 2.0, "c": 0.1},

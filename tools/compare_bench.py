@@ -38,10 +38,43 @@ def load_bench(path: str) -> dict:
     if d.get("parsed"):
         return d["parsed"]
     tail = d.get("tail", "")
+    # Preferred recovery: the compact final line is itself JSON — parse the
+    # last brace-balanced object in the tail and read its queries sub-dict
+    # (regex-scraping a JSON line invites scalar keys into the query map).
+    start = tail.rfind('{"metric"')
+    if start < 0:
+        start = tail.rfind("{")
+    if start >= 0:
+        try:
+            parsed = json.loads(tail[start:])
+            if isinstance(parsed, dict) and (
+                "queries" in parsed or "queries_min" in parsed
+            ):
+                return parsed
+        except (json.JSONDecodeError, ValueError):
+            pass
+    # Last resort: regex over a truncated tail. ":\s*" tolerates both the
+    # spaced and the compact (separators=(",", ":")) serializations, and the
+    # exclusion list names every known scalar so none is mistaken for a
+    # query timing.
+    _SCALARS = {
+        "n",
+        "rc",
+        "cpus",
+        "sf",
+        "value",
+        "total_min",
+        "calib",
+        "calib_shuffle_sec",
+        "streaming_rows_per_sec",
+        "streaming_startup_sec",
+        "omitted_sec",
+        "queries_omitted",
+    }
     q = {
         n: float(v)
-        for n, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)
-        if n not in ("n", "rc", "cpus", "sf")
+        for n, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail)
+        if n not in _SCALARS
     }
     calib = None
     m = re.search(r'"calib(?:_shuffle_sec)?":\s*([0-9.]+)', tail)
