@@ -118,6 +118,9 @@ HEADLINE = [
     "text_heavy_hitters",
     "text_heavy_hitters_by_lang",
     "sample_hash_reservoir",
+    # round 7: df-capped incremental ingest gate (the skew defense
+    # composed into the path where boilerplate actually arrives)
+    "dedup_incremental_lsh_dfcap",
 ]
 
 
@@ -253,7 +256,11 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "total_min": round(sum(timings_min.values()), 3),
         "calib_shuffle_sec": calib,
+        # steady-state rate + its measured startup tax (VERDICT r6
+        # item 5): the fixed ~10 s of query-init/state-store overhead
+        # no longer masks streaming regressions in the rate scalar
         "streaming_rows_per_sec": streaming["streaming_rows_per_sec"],
+        "streaming_startup_sec": streaming["streaming_startup_sec"],
         "streaming": streaming,
         "ann_lsh_warm_sec": ann_lsh_warm,
         "ann_pq_warm_sec": ann_pq_warm,

@@ -474,13 +474,23 @@ _BAND_KEYS_SQL = ", ".join(
     for b in range(_N_BANDS)
 )
 
-_BAND_ORACLE_KEYS = "\n".join(
-    "    SELECT doc_id, {b} AS band, ".format(b=b)
-    + " || '|' || ".join(f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS))
-    + " AS key FROM sig"
-    + ("" if b == _N_BANDS - 1 else " UNION ALL")
-    for b in range(_N_BANDS)
-)
+def _band_oracle_keys_from(sig_name: str) -> str:
+    """Band-key UNION ALL oracle fragment over an arbitrary signature
+    CTE name — the incremental df-cap oracle needs TWO signature
+    relations (history capped vs history df, incoming capped vs
+    accumulated df), so the fragment can't hard-code ``sig``."""
+    return "\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(
+            f"h{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        )
+        + f" AS key FROM {sig_name}"
+        + ("" if b == _N_BANDS - 1 else " UNION ALL")
+        for b in range(_N_BANDS)
+    )
+
+
+_BAND_ORACLE_KEYS = _band_oracle_keys_from("sig")
 
 #: shared CTE chain (shingles → signatures → band keys) reused by the
 #: pair oracle and the connected-components oracle
@@ -1143,9 +1153,14 @@ def band_keys_capped(docs: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
     (exponent 1.0, SKEW.json). Same banding scheme, signatures
     computed over the informative-shingle universe only.
     """
-    sig = _shingle_df_capped(docs, cap).groupBy("doc_id").agg(
-        *_minhash_sig_exprs()
-    )
+    return _bands_from_shingles(_shingle_df_capped(docs, cap))
+
+
+def _bands_from_shingles(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) band rows from a (doc_id, s) shingle
+    relation — signatures + stacked band keys, the shared tail of
+    every banding path (whole-corpus, df-capped, incremental)."""
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_exprs())
     return sig.selectExpr(
         "doc_id", f"stack({_N_BANDS}, {_BAND_STACK_ARGS}) AS (band, key)"
     )
@@ -1255,6 +1270,199 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .orderBy("doc_new", "doc_hist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# df-capped incremental near-dup gate: capped band index + persisted
+# document-frequency store (the round-6 skew defense composed into the
+# ingest path, VERDICT r6 item 1)
+# ---------------------------------------------------------------------------
+
+_INCR_LSH_DFCAP_ORACLE = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  (doc_id % {INCR_HISTORY_MOD}) = {INCR_HISTORY_MOD - 1} AS incoming
+           FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, incoming,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+freq_h AS (SELECT s, count(*) AS df FROM sh0 WHERE NOT incoming GROUP BY s),
+freq_a AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+sh_h AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq_h USING (s)
+         WHERE NOT sh0.incoming AND freq_h.df <= {NGRAM_DF_CAP}),
+sh_i AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN freq_a USING (s)
+         WHERE sh0.incoming AND freq_a.df <= {NGRAM_DF_CAP}),
+sig_h AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh_h GROUP BY doc_id),
+sig_i AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh_i GROUP BY doc_id),
+bands_h AS (
+{_band_oracle_keys_from("sig_h")}
+),
+bands_i AS (
+{_band_oracle_keys_from("sig_i")}
+)
+SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+FROM bands_i n JOIN bands_h h ON n.band = h.band AND n.key = h.key
+ORDER BY doc_new, doc_hist
+"""
+
+
+@query("dedup_incremental_lsh_dfcap", oracle=_INCR_LSH_DFCAP_ORACLE)
+def dedup_incremental_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_incremental_lsh`` with the df-cap composed into BOTH
+    sides — the boilerplate-hardened ingest gate (in-plan form of the
+    persisted ``*_capped`` index trio, which the tests prove emits
+    identical candidates).
+
+    The incremental asymmetry is the honest one: history band rows are
+    capped against the document frequency KNOWN AT THEIR INGEST TIME
+    (here: df over the history corpus — one build batch), while the
+    incoming batch caps against the accumulated df INCLUDING its own
+    contribution (stored df + batch delta), because that is what the
+    persisted df store holds at probe time. On clean corpora no
+    shingle crosses the cap and the gate is byte-identical to the
+    uncapped ``dedup_incremental_lsh`` (parity-tested); under planted
+    boilerplate the uncapped probe's candidate volume drifts
+    superlinear (SKEW.json: exponent ~1.56 across 10x->30x) while
+    this gate stays bounded by true near-dup collisions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    sh = _shingle_df(docs)
+    sh_hist = sh.filter(~is_inc)
+    hot_hist = (
+        sh_hist.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("s")
+    )
+    hbands = _bands_from_shingles(
+        sh_hist.join(F.broadcast(hot_hist), "s", "left_anti")
+    ).alias("h")
+    # incoming caps against df over history + batch = the whole corpus
+    ibands = _bands_from_shingles(_shingle_df_capped(docs).filter(is_inc)).alias("n")
+    return (
+        ibands.join(
+            hbands,
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("h.doc_id").alias("doc_hist")
+        )
+        .distinct()
+        .orderBy("doc_new", "doc_hist")
+    )
+
+
+def _df_store_delta(sh: DataFrame) -> DataFrame:
+    """Per-shingle document-frequency contribution of one batch's
+    distinct (doc_id, s) relation — the append unit of the df store."""
+    return sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+
+
+def _capped_batch_shingles(
+    new_docs: DataFrame, stored_df: DataFrame | None, cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(capped shingle relation, df delta) for one ingest batch.
+
+    Accumulated df = stored per-batch deltas + this batch's own delta;
+    shingles over the cap are removed by broadcast anti-join (the hot
+    set is tiny by construction — only boilerplate crosses a 256-doc
+    cap). The aggregation over the df store is map-side-combinable on
+    8-byte keys and its output is the hot set only; at lake scale a
+    compaction job periodically collapses the store to one row per
+    shingle (same economics as bucketing the digest store) so the
+    per-batch scan stays one row per vocabulary term, not per
+    (term, batch).
+    """
+    sh = _exploded_shingle_hashes(new_docs).distinct()
+    delta = _df_store_delta(sh)
+    acc = (
+        delta
+        if stored_df is None
+        else stored_df.select("s", "df").unionByName(delta)
+    )
+    hot = (
+        acc.groupBy("s")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > cap)
+        .select("s")
+    )
+    return sh.join(F.broadcast(hot), "s", "left_anti"), delta
+
+
+def build_dedup_lsh_index_capped(
+    docs: DataFrame, path: str, cap: int = NGRAM_DF_CAP
+) -> None:
+    """Materialize the df-capped band index for an ingested corpus:
+    ``{path}/bands`` (partitioned by band — bucket each band dir by
+    key via operators/scale.py at real scale so probes co-locate
+    shuffle-free) plus ``{path}/df``, the append-only per-batch
+    shingle document-frequency store the cap is computed against."""
+    from pyspark import StorageLevel
+
+    sh_capped, delta = _capped_batch_shingles(docs, None, cap)
+    sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _bands_from_shingles(sh_capped).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{path}/bands")
+        delta.write.mode("overwrite").parquet(f"{path}/df")
+    finally:
+        sh_capped.unpersist()
+
+
+def append_dedup_lsh_index_capped(
+    new_docs: DataFrame, path: str, cap: int = NGRAM_DF_CAP
+) -> None:
+    """Incrementally index newly accepted docs, capped against the
+    accumulated df (store + this batch): band rows and the batch's df
+    delta both APPEND — existing files are never rewritten. Batch
+    band rows are computed with the df known NOW; earlier batches'
+    rows keep the df of THEIR ingest time (the honest incremental
+    asymmetry — once a shingle crosses the cap, every later batch
+    bands without it). Replay idempotency for streaming callers lives
+    in the pbatch dynamic-overwrite composition
+    (streaming/jobs.py::start_history_dedup_ingest)."""
+    from pyspark import StorageLevel
+
+    spark = new_docs.sparkSession
+    stored = spark.read.parquet(f"{path}/df")
+    sh_capped, delta = _capped_batch_shingles(new_docs, stored, cap)
+    sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        _bands_from_shingles(sh_capped).write.mode("append").partitionBy(
+            "band"
+        ).parquet(f"{path}/bands")
+        delta.write.mode("append").parquet(f"{path}/df")
+    finally:
+        sh_capped.unpersist()
+
+
+def probe_dedup_lsh_index_capped(
+    spark: SparkSession, new_docs: DataFrame, path: str, cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """Near-dup candidates of ``new_docs`` against the persisted
+    df-capped index: the batch's band rows (capped against stored df +
+    batch delta) joined to the stored bands on (band, key). Only the
+    batch's band rows and the tiny hot set move — history text is
+    never read, and under boilerplate the hot-shingle anti-join keeps
+    the probe's collision volume bounded where the uncapped probe
+    drifts superlinear (SKEW.json)."""
+    stored = spark.read.parquet(f"{path}/df")
+    sh_capped, _ = _capped_batch_shingles(new_docs, stored, cap)
+    probe = _bands_from_shingles(sh_capped)
+    hist = spark.read.parquet(f"{path}/bands")
+    return (
+        probe.alias("n")
+        .join(
+            hist.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.key") == F.col("h.key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"), F.col("h.doc_id").alias("doc_hist")
+        )
+        .distinct()
     )
 
 

@@ -547,6 +547,7 @@ def start_history_dedup_ingest(
     out_root: str,
     checkpoint: str,
     available_now: bool = True,
+    near_dup_gate: bool = False,
 ):
     """Continuous ingest with GLOBAL dedup against everything ever
     ingested — the streaming face of
@@ -589,17 +590,50 @@ def start_history_dedup_ingest(
     filesystem existence probe, not a broad except — a transient read
     fault must fail the batch and let the checkpoint retry it, never
     classify known duplicates as new).
+
+    ``near_dup_gate=True`` additionally routes every digest-``new``
+    document through the df-CAPPED persisted LSH gate (the round-6
+    skew defense composed into ingest, where boilerplate actually
+    arrives): beside the digest store the job maintains
+
+        ``{out_root}/lsh/bands`` — capped band rows of ingested docs
+        ``{out_root}/lsh/df``    — per-batch shingle df deltas (the
+                                   accumulated document-frequency
+                                   relation the cap is computed from)
+        ``{out_root}/near_dups`` — (doc_id, doc_hist) candidate
+                                   evidence per batch
+
+    Each batch's band rows are capped against the ACCUMULATED df
+    (stored deltas + the batch's own contribution — so a shingle that
+    crosses the cap mid-stream stops banding from that batch on, and a
+    batch-internal boilerplate flood caps itself). Candidates are
+    evidence, not removal: near-dup docs still land in ``clean`` and
+    the index, and downstream curation cuts on the evidence — the
+    same policy split as the batch pair queries. All three new sinks
+    use the identical ``pbatch`` dynamic-overwrite + excluded-on-read
+    discipline as the digest store, so a redelivered batch re-derives
+    identical bands, deltas, and candidates.
     """
-    from flink_realtime_data_warehouse_spark.operators.dedup import incremental_dedup
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        NGRAM_DF_CAP,
+        _bands_from_shingles,
+        _capped_batch_shingles,
+        incremental_dedup,
+    )
 
     digests_path = f"{out_root}/digests"
+    lsh_df_path = f"{out_root}/lsh/df"
+    lsh_bands_path = f"{out_root}/lsh/bands"
     run_id = _incarnation_id(checkpoint)
 
-    def _digest_store_exists() -> bool:
+    def _store_exists(p: str) -> bool:
         jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(digests_path)
+        path = jvm.org.apache.hadoop.fs.Path(p)
         fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(path))
+
+    def _digest_store_exists() -> bool:
+        return _store_exists(digests_path)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         pbatch = f"{run_id}-{batch_id}"
@@ -636,6 +670,49 @@ def start_history_dedup_ingest(
             routed.filter(is_new).select("content_hash"),
             digests_path,
         )
+        if near_dup_gate:
+            from pyspark import StorageLevel
+
+            new_docs = routed.filter(is_new).select("doc_id", "text")
+            stored_df = (
+                spark.read.parquet(lsh_df_path).filter(F.col("pbatch") != pbatch)
+                if _store_exists(lsh_df_path)
+                else None
+            )
+            sh_capped, delta = _capped_batch_shingles(
+                new_docs, stored_df, NGRAM_DF_CAP
+            )
+            # three sinks traverse the capped shingle relation (probe,
+            # band append, df append) — persist it for the batch
+            sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                bands = _bands_from_shingles(sh_capped)
+                if _store_exists(lsh_bands_path):
+                    hist_bands = spark.read.parquet(lsh_bands_path).filter(
+                        F.col("pbatch") != pbatch
+                    )
+                    near = (
+                        bands.alias("n")
+                        .join(
+                            hist_bands.alias("h"),
+                            (F.col("n.band") == F.col("h.band"))
+                            & (F.col("n.key") == F.col("h.key")),
+                        )
+                        .select(
+                            F.col("n.doc_id").alias("doc_id"),
+                            F.col("h.doc_id").alias("doc_hist"),
+                        )
+                        .distinct()
+                    )
+                else:
+                    near = spark.createDataFrame(
+                        [], "doc_id bigint, doc_hist bigint"
+                    )
+                _sink(near, f"{out_root}/near_dups")
+                _sink(bands, lsh_bands_path)
+                _sink(delta, lsh_df_path)
+            finally:
+                sh_capped.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(_process)

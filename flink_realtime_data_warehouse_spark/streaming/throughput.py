@@ -112,12 +112,83 @@ def prepare_router_config(spark: SparkSession, out_path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(out_path)
 
 
+def _measure_startup(spark: SparkSession, work_root: str) -> float:
+    """Fixed per-run overhead of the three topologies: the same jobs
+    driven over ONE-ROW sources with fresh checkpoints. At sf0.1 the
+    three full runs cost ~14 s of which ~10 s is this query-init +
+    state-store + checkpoint tax (the same topologies sustain ~200 k
+    rows/s at 100x corpus, SCALING.json) — measuring it separately
+    lets the steady-state rate carry the cross-round regression signal
+    instead of being startup-dominated (VERDICT r6 item 5)."""
+    import json as _json
+    import time
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        base_log_job,
+        parse_changelog_stream,
+        unique_visitor_job,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.router import start_dim_app
+    from flink_realtime_data_warehouse_spark.streaming.sinks import DimStore
+
+    root = os.path.join(work_root, "startup_probe")
+    beh_src = os.path.join(root, "behavior_src")
+    chg_src = os.path.join(root, "changelog_src")
+    os.makedirs(beh_src, exist_ok=True)
+    os.makedirs(chg_src, exist_ok=True)
+    with open(os.path.join(beh_src, "one.jsonl"), "w") as f:
+        f.write(_json.dumps({
+            "common": {"mid": "mid_0", "is_new": "1"},
+            "page": {"page_id": "home"},
+            "ts": 1_700_000_000_000,
+        }) + "\n")
+    with open(os.path.join(chg_src, "one.jsonl"), "w") as f:
+        f.write(_json.dumps({
+            "database": "gmall", "table": "user_info", "type": "insert",
+            "data": {"id": "1", "name": "probe", "birthday": "x"},
+        }) + "\n")
+    config_path = os.path.join(root, "config")
+    prepare_router_config(spark, config_path)
+
+    t0 = time.perf_counter()
+    for q in base_log_job(
+        spark,
+        read_jsonl_stream(spark, beh_src),
+        os.path.join(root, "out_baselog"),
+        os.path.join(root, "ckpt_baselog"),
+    ):
+        q.awaitTermination()
+    unique_visitor_job(
+        spark,
+        read_jsonl_stream(spark, beh_src),
+        os.path.join(root, "out_uv"),
+        os.path.join(root, "ckpt_uv"),
+    ).awaitTermination()
+    store = DimStore(spark, os.path.join(root, "dim"))
+    start_dim_app(
+        spark,
+        parse_changelog_stream(read_jsonl_stream(spark, chg_src)),
+        config_path,
+        store,
+        os.path.join(root, "ckpt_dim"),
+    ).awaitTermination()
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_streaming_throughput(
     spark: SparkSession, sf_dir: str, work_root: str
 ) -> dict:
     """Run the three topologies sequentially (each with a cold
     checkpoint, availableNow) and report per-stage wall seconds and
-    rows/sec plus the end-to-end aggregate. Prep IO is untimed."""
+    rows/sec plus the end-to-end aggregate. Prep IO is untimed.
+
+    Two rate scalars (VERDICT r6 item 5): ``streaming_rows_per_sec``
+    is the STEADY-STATE rate — row passes divided by the wall net of
+    the measured one-row startup tax — and ``streaming_startup_sec``
+    is that tax, measured by driving the identical three topologies
+    over one-row sources with fresh checkpoints. The raw cold-wall
+    aggregate every prior round reported stays as
+    ``streaming_rows_per_sec_cold`` for cross-round continuity."""
     import time
 
     from flink_realtime_data_warehouse_spark.streaming.jobs import (
@@ -173,12 +244,22 @@ def run_streaming_throughput(
     # the reference's two Kafka consumers), M changelog rows one job —
     # the aggregate rate counts each row once per topology it crosses
     row_passes = 2 * n_behavior + n_changelog
+    startup = _measure_startup(spark, work_root)
+    # steady-state denominator: never let a tiny workload (total ≈
+    # startup) produce a zero/negative wall — floor at 10% of total
+    steady_wall = max(total - startup, 0.1 * total)
     result = {
         **timings,
         "rows_behavior": n_behavior,
         "rows_changelog": n_changelog,
         "streaming_total_sec": round(total, 3),
-        "streaming_rows_per_sec": round(row_passes / total, 1) if total else 0.0,
+        "streaming_startup_sec": startup,
+        "streaming_rows_per_sec": (
+            round(row_passes / steady_wall, 1) if total else 0.0
+        ),
+        "streaming_rows_per_sec_cold": (
+            round(row_passes / total, 1) if total else 0.0
+        ),
     }
 
     # fourth topology: the exactly-once history-dedup lake ingest

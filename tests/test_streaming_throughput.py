@@ -21,6 +21,10 @@ def test_streaming_throughput_end_to_end(spark, tmp_path):
         "streaming_total_sec",
         "history_dedup_sec",
     }
+    # startup/steady split (r7): the one-row probe measures a positive
+    # fixed tax, and netting it out can only raise the rate
+    assert res["streaming_startup_sec"] > 0
+    assert res["streaming_rows_per_sec"] >= res["streaming_rows_per_sec_cold"]
     assert res["rows_docs"] > 0 and res["history_dedup_rows_per_sec"] > 0
     outs = _smoke_outputs(spark, str(tmp_path))
     # every behavior line is a page record and survives parse+ST1

@@ -67,6 +67,7 @@ def load_bench(path: str) -> dict:
         "calib",
         "calib_shuffle_sec",
         "streaming_rows_per_sec",
+        "streaming_rows_per_sec_cold",
         "streaming_startup_sec",
         "omitted_sec",
         "queries_omitted",
@@ -104,6 +105,21 @@ def main() -> None:
     flagged = [
         r for r in rows if r[4] > FLAG_AT and max(r[1], r[2]) > NOISE_FLOOR_SEC
     ]
+    # streaming: steady-state rate + startup tax compared when both
+    # captures carry them (r7+); older captures only have the cold rate
+    streaming = {}
+    for key in (
+        "streaming_rows_per_sec",
+        "streaming_startup_sec",
+        "streaming_rows_per_sec_cold",
+    ):
+        so, sn = old.get(key), new.get(key)
+        if so and sn:
+            streaming[key] = {
+                "old": so,
+                "new": sn,
+                "ratio": round(sn / so, 3),
+            }
     print(
         json.dumps(
             {
@@ -111,6 +127,7 @@ def main() -> None:
                 "old_total_min": round(sum(qo[q] for q in common), 2),
                 "new_total_min": round(sum(qn[q] for q in common), 2),
                 "calib_drift": round(drift, 3),
+                **({"streaming": streaming} if streaming else {}),
                 "flagged": [
                     {
                         "query": q,

@@ -180,6 +180,78 @@ def measure_dir(spark, sf_dir: str) -> dict:
         )
     out["lsh"] = lsh
 
+    # --- incremental ingest gate (round 7): the df-cap composed into
+    # the PERSISTED band-index probe — ingest is where boilerplate
+    # actually arrives. History docs build the capped index; the
+    # incoming slice probes it. The uncapped probe bound (history
+    # band-cell counts × incoming band-cell counts) is computed first
+    # and the uncapped probe only runs while that bound stays
+    # task-sized — on the skew corpus the bound IS the finding.
+    import shutil
+    import tempfile
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        INCR_HISTORY_MOD,
+        build_dedup_lsh_index_capped,
+        probe_dedup_lsh_index_capped,
+    )
+
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    hist_docs, inc_docs = docs.filter(~is_inc), docs.filter(is_inc)
+    hb = band_keys(hist_docs).groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("ch")
+    )
+    ib = band_keys(inc_docs).groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("ci")
+    )
+    unc_probe_bound = int(
+        hb.join(ib, ["band", "key"])
+        .agg(F.sum(F.col("ch") * F.col("ci")).alias("b"))
+        .collect()[0]["b"]
+        or 0
+    )
+    gate = {"uncapped_probe_bound": unc_probe_bound}
+    idx_root = tempfile.mkdtemp(prefix="frdw_skew_lshidx_")
+    try:
+        t0 = time.perf_counter()
+        build_dedup_lsh_index_capped(hist_docs, idx_root)
+        gate["capped_build_wall_sec"] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            probe_dedup_lsh_index_capped(
+                spark, inc_docs, idx_root
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        gate["capped_probe_wall_sec"] = round(best, 3)
+        capped_probe = probe_dedup_lsh_index_capped(spark, inc_docs, idx_root)
+        gate["capped_candidates"] = capped_probe.count()
+        # planted truth at the gate: every DUP_EVERY-th doc duplicates
+        # its predecessor, and (doc_id % 20 == 19) => incoming while
+        # (doc_id-1) => history, so ALL planted pairs cross the gate
+        planted_inc = (
+            docs.filter((F.col("doc_id") % 20 == 19) & (F.col("doc_id") > 0))
+            .select(
+                F.col("doc_id").alias("doc_new"),
+                (F.col("doc_id") - 1).alias("doc_hist"),
+            )
+        )
+        gate["planted_pairs"] = planted_inc.count()
+        gate["planted_recalled"] = planted_inc.join(
+            capped_probe, ["doc_new", "doc_hist"]
+        ).count()
+        if unc_probe_bound <= PAIR_GATE:
+            from flink_realtime_data_warehouse_spark.operators.dedup import (
+                dedup_incremental_lsh,
+            )
+
+            gate["uncapped_candidates"] = dedup_incremental_lsh(
+                spark, sf_dir
+            ).count()
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+    out["incremental_gate"] = gate
+
     # --- source overlap: per-shingle source SETS (≤ |sources| each)
     # explode map-side; a Zipfian source mix widens the sets but the
     # relation stays ≤ shingles × |sources| by construction
