@@ -137,6 +137,7 @@ def semantic_dedup(
     threshold: float = SEMDEDUP_COS_THRESHOLD,
     sign_dims: tuple[int, ...] = SEMDEDUP_SIGN_DIMS,
     bucket_col=None,
+    bucket_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full SemDeDup pass: (vec_id, rep_id, is_kept) for every vector.
 
@@ -162,10 +163,24 @@ def semantic_dedup(
     shuffling a pair relation: per-task work is the same matmul as
     before plus an O(pairs α(n)) union-find, and the operator's output
     is |corpus| rows regardless of how dense a bucket's dup graph is.
+
+    ``bucket_df`` is the DataFrame-shaped partitioner override for
+    assignments that aren't expressible as a Column — pass
+    ``similarity.two_level_cell_assignment``'s (vec_id, cell) output
+    (renamed or not; the second column is taken as the bucket) to run
+    the sub-linear-driver trained quantizer; the join is on vec_id and
+    the rest of the operator is unchanged.
     """
-    if bucket_col is None:
-        bucket_col = _bucket_col(sign_dims)
-    coded = emb.select("vec_id", "v", bucket_col.alias("bucket"))
+    if bucket_df is not None:
+        b = bucket_df
+        bcol = [c for c in b.columns if c != "vec_id"][0]
+        coded = emb.join(
+            b.select("vec_id", F.col(bcol).alias("bucket")), "vec_id"
+        ).select("vec_id", "v", "bucket")
+    else:
+        if bucket_col is None:
+            bucket_col = _bucket_col(sign_dims)
+        coded = emb.select("vec_id", "v", bucket_col.alias("bucket"))
 
     thr = threshold
 

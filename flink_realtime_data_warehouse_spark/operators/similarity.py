@@ -475,6 +475,152 @@ IVF_NPROBE = 4  #: cells scanned per query
 IVF_LLOYD_ITERS = 2
 
 
+def _assign_to_centroids(spark: SparkSession, centroids):
+    """mapInPandas kernel: argmax-cosine cell per vector against a
+    broadcast centroid matrix."""
+
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf["v"].to_numpy())
+            norms = np.linalg.norm(block, axis=1, keepdims=True)
+            bn = block / np.where(norms > 0, norms, 1.0)
+            cell = (bn @ c.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"cell": cell, "vec_id": pdf["vec_id"], "v": pdf["v"]}
+            )
+
+    return _assign
+
+
+def _train_centroids(
+    spark: SparkSession, emb: DataFrame, k: int, lloyd_iters: int
+):
+    """Deterministic distributed Lloyd over (vec_id, v): centroids seed
+    from the ``k`` lowest vec_ids, assignment is a broadcast-centroid
+    NumPy argmax per Arrow batch, the mean recompute an explode/avg
+    aggregation. Only the (k × dim) centroid matrix reaches the
+    driver — the caller chooses k's scaling rule (see
+    ``two_level_cell_assignment`` for the sub-linear one)."""
+    import numpy as np
+
+    seed_rows = emb.orderBy("vec_id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("_train_centroids: empty embedding corpus")
+    dim = len(seed_rows[0]["v"])
+    cent = np.stack([r["v"] for r in seed_rows])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    for _ in range(lloyd_iters):
+        assigned = emb.mapInPandas(
+            _assign_to_centroids(spark, cent),
+            schema="cell int, vec_id bigint, v array<float>",
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()
+        acc: dict[int, list[float]] = {}
+        for r in means:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        for cell_id, vec in acc.items():
+            v = np.array(vec)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new_cent[cell_id] = v / n
+        cent = new_cent
+    return cent
+
+
+def two_level_cell_assignment(
+    spark: SparkSession,
+    emb: DataFrame,
+    n_cells: int,
+    lloyd_iters: int = IVF_LLOYD_ITERS,
+    sub_iters: int = 4,
+) -> DataFrame:
+    """(vec_id, cell) trained-quantizer assignment whose DRIVER/BROADCAST
+    footprint grows as √n_cells instead of n_cells — the scaling rule
+    the flat single-level quantizer lacks (VERDICT r6 item 2).
+
+    The semdedup measurement's k = n/64 rule keeps comparisons/vector
+    flat but grows the single-level centroid matrix LINEARLY with the
+    corpus: at 10⁹ vectors × 64 dims that is a ~4 GB driver matrix
+    re-broadcast per Arrow batch. This operator keeps the same total
+    cell budget hierarchically:
+
+    - level 1: k₁ = ⌈√n_cells⌉ centroids trained with the distributed
+      Lloyd loop — the ONLY matrix that ever reaches the driver or a
+      broadcast (k₁ × dim = O(√n · dim) under k ∝ n);
+    - level 2: each level-1 cell is locally k-means'd into
+      k₂ = ⌈n_cells / k₁⌉ sub-cells INSIDE its own Arrow task
+      (`applyInPandas` over cell1) — sub-centroids live only for the
+      task's lifetime, deterministic seeding from the cell's lowest
+      vec_ids, argmax-cosine iterations in one NumPy block.
+
+    Final cell id = cell1 · k₂ + cell2, densely packed over the same
+    budget, so downstream consumers (semdedup's within-cell dedup, an
+    IVF write partitioned by cell) see the same flat cell population
+    as the linear rule — measured in SCALING.json's quantizer family:
+    comparisons/vector stays flat across the 100× corpus range while
+    the driver matrix rows grow as √n. Per-task input is n/k₁ ≈ 64·√n
+    vectors; at 10⁹ vectors that is ~250 k × 64 × 8 B ≈ 128 MB per
+    task — add a third level before that becomes the new bottleneck.
+    """
+    import math
+
+    k1 = max(1, math.isqrt(max(n_cells - 1, 0)) + 1) if n_cells > 1 else 1
+    k2 = max(1, -(-n_cells // k1))
+    cent1 = _train_centroids(spark, emb, k1, lloyd_iters)
+    assigned1 = emb.mapInPandas(
+        _assign_to_centroids(spark, cent1),
+        schema="cell int, vec_id bigint, v array<float>",
+    ).withColumnRenamed("cell", "cell1")
+
+    n_sub_iters = sub_iters
+    k2_local = k2
+
+    def _sub(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cell1 = int(key[0])
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["v"].to_numpy())[order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms > 0, norms, 1.0)
+        kk = min(k2_local, len(ids))
+        cent = mn[:kk].copy()
+        sub = np.zeros(len(ids), dtype=np.int64)
+        for _ in range(n_sub_iters):
+            sub = (mn @ cent.T).argmax(axis=1)
+            for c in range(kk):
+                mask = sub == c
+                if mask.any():
+                    v = mn[mask].mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cent[c] = v / nv
+        sub = (mn @ cent.T).argmax(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids, "cell": cell1 * k2_local + sub}
+        )
+
+    return assigned1.groupBy("cell1").applyInPandas(
+        _sub, "vec_id bigint, cell bigint"
+    )
+
+
 def build_ann_ivf_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -496,57 +642,10 @@ def build_ann_ivf_index(
     """
     import json as _json
 
-    import numpy as np
-
-    seed_rows = emb.orderBy("vec_id").limit(n_list).collect()
-    if not seed_rows:
-        raise ValueError("build_ann_ivf_index: empty embedding corpus")
-    dim = len(seed_rows[0]["v"])
-    cent = np.stack([r["v"] for r in seed_rows])
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-
-    def _assign_expr(centroids):
-        bc = spark.sparkContext.broadcast(centroids)
-
-        def _assign(batches):
-            import pandas as pd
-
-            c = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                block = np.stack(pdf["v"].to_numpy())
-                bn = block / np.linalg.norm(block, axis=1, keepdims=True)
-                cell = (bn @ c.T).argmax(axis=1)
-                yield pd.DataFrame(
-                    {"cell": cell, "vec_id": pdf["vec_id"], "v": pdf["v"]}
-                )
-
-        return _assign
-
-    for _ in range(lloyd_iters):
-        assigned = emb.mapInPandas(
-            _assign_expr(cent), schema="cell int, vec_id bigint, v array<float>"
-        )
-        means = (
-            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
-        new_cent = cent.copy()
-        acc: dict[int, list[float]] = {}
-        for r in means:
-            acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
-        for cell_id, vec in acc.items():
-            v = np.array(vec)
-            n = np.linalg.norm(v)
-            if n > 0:
-                new_cent[cell_id] = v / n
-        cent = new_cent
-
+    cent = _train_centroids(spark, emb, n_list, lloyd_iters)
     final = emb.mapInPandas(
-        _assign_expr(cent), schema="cell int, vec_id bigint, v array<float>"
+        _assign_to_centroids(spark, cent),
+        schema="cell int, vec_id bigint, v array<float>",
     )
     (
         final.repartition("cell")

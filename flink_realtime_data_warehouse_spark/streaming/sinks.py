@@ -44,6 +44,34 @@ def _parse_extend(extend: str | None) -> dict[str, str]:
     return out
 
 
+def _repair_swap_dir(root: str, path: str) -> None:
+    """Shared crash-recovery sweep for the rename-swap table stores
+    (DimStore / DimHistoryStore): roll back half-finished partition
+    swaps, restore a renamed-away table dir, drop stale staging and
+    backup dirs. See ``DimStore._repair`` for the failure taxonomy."""
+    base = os.path.basename(path)
+    if not os.path.isdir(path) and os.path.isdir(root):
+        # whole-table swap interrupted between rename-away and
+        # rename-in (legacy unpartitioned rewrite): restore the backup
+        for d in sorted(os.listdir(root)):
+            if d.startswith(f"{base}__old_"):
+                os.rename(os.path.join(root, d), path)
+                break
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(f"{base}__tmp_") or d.startswith(f"{base}__old_"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            if d.startswith("_pk_part=") and "__old_" in d:
+                dst = os.path.join(path, d.split("__old_")[0])
+                src = os.path.join(path, d)
+                if os.path.isdir(dst):
+                    shutil.rmtree(src, ignore_errors=True)  # swap completed
+                else:
+                    os.rename(src, dst)  # roll back the half-swap
+
+
 class DimStore:
     """Keyed upsert table store rooted at a directory (one subdir per table).
 
@@ -80,11 +108,32 @@ class DimStore:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self._path(table))
 
+    def _repair(self, table: str) -> None:
+        """Crash-recovery sweep, run before any read or mutation.
+
+        The partition swap is two renames (dst→old, src→dst) plus a
+        cleanup — atomic only individually, so a process killed inside
+        ``upsert``/``delete`` can leave (a) a partition renamed away to
+        ``_pk_part=N__old_x`` with no replacement in place — without
+        repair the next merge would silently read the table MINUS that
+        partition (real data loss), and Spark would parse the leftover
+        dir as a bogus partition value; (b) a completed swap whose
+        backup dir survived the crash; (c) staging ``__tmp`` /
+        whole-table ``__old`` siblings. Repair rolls (a) back (the
+        batch never committed — the checkpoint replays it in full),
+        deletes (b)'s backup, restores a missing table dir from (c)'s
+        whole-table backup, and drops stale staging dirs. Verified
+        end-to-end by tests/test_fault_injection.py (kill mid-swap →
+        restart → no loss, no dup, untouched partitions
+        byte-identical)."""
+        _repair_swap_dir(self.root, self._path(table))
+
     def read(self, table: str) -> DataFrame:
         # mergeSchema: partition-scoped rewrites leave files with the
         # schema of the batch that last touched them, so an evolving
         # config whitelist yields mixed footers — union them on read
         # (Delta/Iceberg track this in the table log instead)
+        self._repair(table)
         return (
             self.spark.read.option("mergeSchema", "true")
             .parquet(self._path(table))
@@ -108,6 +157,7 @@ class DimStore:
         ``MERGE WHEN MATCHED`` and keeps the same interface.
         """
         path = self._path(table)
+        self._repair(table)
         exists = self.exists(table)
         meta = self._load_meta(table)
         if meta is None:
@@ -186,6 +236,7 @@ class DimStore:
         rows deleted. A real deployment swaps the body for Delta/
         Iceberg ``DELETE WHERE`` and keeps the interface.
         """
+        self._repair(table)
         meta = self._load_meta(table)
         if meta is None:
             return 0
@@ -354,6 +405,7 @@ class DimHistoryStore:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
+        _repair_swap_dir(self.root, self._path(table))
         return (
             self.spark.read.option("mergeSchema", "true")
             .parquet(self._path(table))
@@ -389,6 +441,7 @@ class DimHistoryStore:
         touched hash partitions are read back and swapped.
         """
         path = self._path(table)
+        _repair_swap_dir(self.root, path)
         exists = self.exists(table)
         meta = None
         if exists:

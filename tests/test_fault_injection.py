@@ -1,0 +1,314 @@
+"""Fault-injection tier (round-7 item 3): every prior replay test ended
+its batch cleanly; these kill a job MID-foreachBatch — after some sink
+files are written / some partition dirs swapped, before the batch
+commits — and verify restart converges with no loss, no duplicates,
+and untouched partitions byte-identical."""
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.streaming import sinks as sinks_mod
+from flink_realtime_data_warehouse_spark.streaming.sinks import DimStore
+
+
+class _FaultyOS:
+    """Proxy for the ``os`` module that crashes on the N-th
+    tmp→partition swap rename — the moment AFTER the target partition
+    was renamed away to its ``__old`` backup and BEFORE its
+    replacement landed (the worst instant to die in)."""
+
+    def __init__(self, real, fail_on_swap: int):
+        self._real = real
+        self._swaps = 0
+        self._fail_on = fail_on_swap
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def rename(self, src, dst):
+        if "__tmp_" in src and os.path.basename(dst).startswith("_pk_part="):
+            self._swaps += 1
+            if self._swaps == self._fail_on:
+                raise RuntimeError("injected mid-swap crash")
+        return self._real.rename(src, dst)
+
+
+def _partition_stamps(table_dir: str) -> dict:
+    """{partition dir: sorted [(file, md5)]} — byte-level identity."""
+    out = {}
+    for d in os.listdir(table_dir):
+        if not d.startswith("_pk_part=") or "__" in d:
+            continue
+        files = []
+        pdir = os.path.join(table_dir, d)
+        for f in sorted(os.listdir(pdir)):
+            p = os.path.join(pdir, f)
+            if os.path.isfile(p):
+                with open(p, "rb") as fh:
+                    files.append((f, hashlib.md5(fh.read()).hexdigest()))
+        out[d] = files
+    return out
+
+
+def _two_ids_in_distinct_partitions(spark, ids, n_parts):
+    rows = spark.createDataFrame([(i,) for i in ids], ["id"]).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(n_parts)).cast("int").alias("p")
+    ).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.p, r.id)
+    parts = sorted(by_part)
+    assert len(parts) >= 2
+    return [by_part[parts[0]], by_part[parts[1]]], {r.id: r.p for r in rows}
+
+
+def test_dimstore_mid_swap_crash_then_repair_converges(spark, tmp_path, monkeypatch):
+    store = DimStore(spark, str(tmp_path / "dim"))
+    ids = [str(i) for i in range(1, 9)]
+    store.upsert(
+        "t",
+        spark.createDataFrame([(i, f"v{i}") for i in ids], ["id", "name"]),
+    )
+    table_dir = str(tmp_path / "dim" / "t")
+    before = _partition_stamps(table_dir)
+
+    upd_ids, part_of = _two_ids_in_distinct_partitions(spark, ids, 16)
+    batch2 = spark.createDataFrame(
+        [(i, f"NEW{i}") for i in upd_ids], ["id", "name"]
+    )
+    monkeypatch.setattr(sinks_mod, "os", _FaultyOS(os, fail_on_swap=2))
+    with pytest.raises(Exception, match="injected"):
+        store.upsert("t", batch2)
+    monkeypatch.setattr(sinks_mod, "os", os)
+
+    # the crash left a half-swap: one updated partition missing, its
+    # backup stranded — exactly the data-loss window repair closes
+    damaged = [d for d in os.listdir(table_dir) if "__old_" in d]
+    assert damaged, "fault did not land mid-swap"
+
+    # replay (the checkpoint would redeliver the same batch): repair
+    # rolls the half-swap back, then the merge re-applies in full
+    store.upsert("t", batch2)
+    got = {r["id"]: r["name"] for r in store.read("t").collect()}
+    assert got == {
+        i: (f"NEW{i}" if i in upd_ids else f"v{i}") for i in ids
+    }
+    # no repair debris left behind
+    assert not [d for d in os.listdir(table_dir) if "__old_" in d]
+    # partitions the batch never touched are byte-identical
+    after = _partition_stamps(table_dir)
+    touched = {f"_pk_part={part_of[i]}" for i in upd_ids}
+    for d, stamp in before.items():
+        if d not in touched:
+            assert after[d] == stamp, f"untouched partition rewritten: {d}"
+
+
+def test_dimstore_repair_restores_whole_table_swap(spark, tmp_path):
+    """Legacy unpartitioned rewrite path: crash between rename-away and
+    rename-in leaves the table dir missing entirely — repair restores
+    the backup so no read ever sees an absent table."""
+    store = DimStore(spark, str(tmp_path / "dim"))
+    store.upsert(
+        "t", spark.createDataFrame([("1", "a"), ("2", "b")], ["id", "name"])
+    )
+    path = str(tmp_path / "dim" / "t")
+    os.rename(path, path + "__old_deadbeef")  # simulate the half-swap
+    got = {r["id"]: r["name"] for r in store.read("t").collect()}
+    assert got == {"1": "a", "2": "b"}
+    assert os.path.isdir(path)
+
+
+def test_dim_router_streaming_mid_swap_crash_replay(spark, tmp_path, monkeypatch):
+    """End-to-end: the DimApp streaming topology killed inside its
+    foreachBatch upsert, restarted from the same checkpoint."""
+    from flink_realtime_data_warehouse_spark.schemas import TABLE_PROCESS_SCHEMA
+    from flink_realtime_data_warehouse_spark.sources.streams import (
+        read_jsonl_stream,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        parse_changelog_stream,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.router import start_dim_app
+
+    config_path = str(tmp_path / "config")
+    spark.createDataFrame(
+        [("user_info", "dim_user_info", "id,name", "id", None)],
+        TABLE_PROCESS_SCHEMA,
+    ).coalesce(1).write.parquet(config_path)
+
+    src = str(tmp_path / "cdc")
+    os.makedirs(src, exist_ok=True)
+
+    def cdc_line(i, name):
+        return json.dumps({
+            "database": "gmall", "table": "user_info", "type": "insert",
+            "data": {"id": str(i), "name": name},
+        })
+
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write("\n".join(cdc_line(i, f"v{i}") for i in range(1, 9)))
+
+    store = DimStore(spark, str(tmp_path / "dim"))
+
+    def run():
+        q = start_dim_app(
+            spark,
+            parse_changelog_stream(read_jsonl_stream(spark, src)),
+            config_path,
+            store,
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination()
+
+    run()
+    table_dir = str(tmp_path / "dim" / "dim_user_info")
+    before = _partition_stamps(table_dir)
+    ids = [str(i) for i in range(1, 9)]
+    upd_ids, part_of = _two_ids_in_distinct_partitions(spark, ids, 16)
+
+    with open(os.path.join(src, "b2.jsonl"), "w") as f:
+        f.write("\n".join(cdc_line(i, f"NEW{i}") for i in upd_ids))
+    monkeypatch.setattr(sinks_mod, "os", _FaultyOS(os, fail_on_swap=2))
+    with pytest.raises(Exception):
+        run()
+    monkeypatch.setattr(sinks_mod, "os", os)
+    assert [d for d in os.listdir(table_dir) if "__old_" in d]
+
+    run()  # restart: same checkpoint redelivers the crashed batch
+    got = {r["id"]: r["name"] for r in store.read("dim_user_info").collect()}
+    assert got == {i: (f"NEW{i}" if i in upd_ids else f"v{i}") for i in ids}
+    after = _partition_stamps(table_dir)
+    touched = {f"_pk_part={part_of[i]}" for i in upd_ids}
+    for d, stamp in before.items():
+        if d not in touched:
+            assert after[d] == stamp, f"untouched partition rewritten: {d}"
+
+
+def test_history_dedup_crash_between_sinks_replay(spark, tmp_path, monkeypatch):
+    """Kill the ingest AFTER the clean sink wrote its files but BEFORE
+    the dups/digest sinks ran (mid-batch, uncommitted): restart must
+    re-derive the batch with no duplicate admission and a complete
+    digest store."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"doc_id": 1, "text": "one one one"},
+            {"doc_id": 2, "text": "two two two"},
+            {"doc_id": 3, "text": "one one one"},  # within-batch dup
+        ]))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_history_dedup_ingest(
+            spark, stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+
+    real_parquet = DataFrameWriter.parquet
+
+    def faulty_parquet(self, path, **kw):
+        if path.endswith("/dups"):
+            raise RuntimeError("injected crash before dups sink")
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", faulty_parquet)
+    with pytest.raises(Exception):
+        run()
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+
+    # damage: clean has the batch's partition, digest store absent
+    clean_dir = str(tmp_path / "out" / "clean")
+    assert os.path.isdir(clean_dir)
+    assert not os.path.isdir(str(tmp_path / "out" / "digests"))
+
+    run()  # restart replays the uncommitted batch
+    clean = sorted(
+        r.doc_id for r in spark.read.parquet(clean_dir).collect()
+    )
+    assert clean == [1, 2]  # no duplicate admission, no loss
+    dups = {r.doc_id: r.status for r in
+            spark.read.parquet(str(tmp_path / "out" / "dups")).collect()}
+    assert dups == {3: "dup_batch"}
+    digests = spark.read.parquet(str(tmp_path / "out" / "digests"))
+    assert digests.select("content_hash").distinct().count() == 2
+    # exactly one pbatch partition per sink — the replay overwrote its
+    # own first attempt instead of stacking a second copy
+    assert spark.read.parquet(clean_dir).select("pbatch").distinct().count() == 1
+
+
+def test_rollup_mid_batch_crash_after_write_replay(spark, tmp_path, monkeypatch):
+    """Windowed-rollup store: the batch's partial write SUCCEEDS, then
+    the job dies before the checkpoint commit. Restart replays the
+    batch; dynamic (pday, pbatch) overwrite makes it land on its own
+    partition — serving reads equal a clean run's."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        continuous_minute_rollup_job,
+        read_minute_rollup,
+    )
+
+    src = str(tmp_path / "events")
+    os.makedirs(src, exist_ok=True)
+    rows = [
+        {"event_time": "2024-05-01T10:00:05", "value": 1.0},
+        {"event_time": "2024-05-01T10:00:55", "value": 2.0},
+        {"event_time": "2024-05-01T10:01:05", "value": 5.0},
+    ]
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    def run():
+        events = (
+            spark.readStream.schema("event_time timestamp, value double")
+            .json(src)
+        )
+        q = continuous_minute_rollup_job(
+            events, str(tmp_path / "store"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+
+    real_parquet = DataFrameWriter.parquet
+    store_dir = str(tmp_path / "store")
+
+    def write_then_crash(self, path, **kw):
+        real_parquet(self, path, **kw)
+        if path == store_dir:
+            raise RuntimeError("injected crash after sink write")
+        return None
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", write_then_crash)
+    with pytest.raises(Exception):
+        run()
+    monkeypatch.setattr(DataFrameWriter, "parquet", real_parquet)
+    # the sink files landed but the batch never committed
+    assert os.path.isdir(store_dir)
+
+    run()  # replay overwrites the same (pday, pbatch) partitions
+    got = {
+        r.bucket_ms: (r.n_events, r.total_value, r.max_value)
+        for r in read_minute_rollup(spark, store_dir).collect()
+    }
+    assert len(got) == 2
+    assert sorted(got.values()) == [(1, 5.0, 5.0), (2, 3.0, 2.0)]
+    # one pbatch segment per day — no duplicated partials
+    segs = (
+        spark.read.parquet(store_dir)
+        .select("pday", "pbatch").distinct().count()
+    )
+    assert segs == 1
