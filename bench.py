@@ -119,8 +119,12 @@ HEADLINE = [
     "text_heavy_hitters_by_lang",
     "sample_hash_reservoir",
     # round 7: df-capped incremental ingest gate (the skew defense
-    # composed into the path where boilerplate actually arrives)
+    # composed into the path where boilerplate actually arrives),
+    # per-source drift + per-language collocations (grouped data-card
+    # forms with null-safe group handling)
     "dedup_incremental_lsh_dfcap",
+    "dq_drift_report_by_source",
+    "text_collocation_lift_by_lang",
 ]
 
 

@@ -143,6 +143,13 @@ _NULL_PARITY_QUERIES = [
     # round 6: NULL lang is a real group — per-group MG guard must
     # enumerate it from the error relation (null-safe full outer)
     "text_heavy_hitters_by_lang",
+    # round 7: grouped variants — NULL source/lang are REAL groups:
+    # window-partition totals (drift) and eqNullSafe joins (colloc)
+    # must keep them where plain equi-joins would drop them
+    "dq_drift_report_by_source",
+    "text_collocation_lift_by_lang",
+    # round 7: the capped incremental gate under injected NULLs
+    "dedup_incremental_lsh_dfcap",
 ]
 
 

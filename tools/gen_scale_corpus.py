@@ -63,7 +63,17 @@ EPOCH_2024 = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in epoch micros
 #: deterministically so tools/measure_skew.py can measure which
 #: operator defenses hold and which collapse.
 BOILERPLATE = "the data table scan filter join"  # 4 shared 3-gram shingles
-BOILERPLATE_EVERY_10 = 3  #: docs with doc_id % 10 < 3 carry the phrase
+#: carrier residues mod 10 — still 30% incidence, but DE-ALIASED from
+#: the doc_id % 5 history/incoming split every incremental operator
+#: uses (round-7 finding: the original rule, doc_id % 10 < 3, maps to
+#: residues {0,1,2} mod 5 — the incoming slice doc_id % 5 == 4 could
+#: structurally NEVER carry boilerplate, so the ingest-gate skew
+#: measurement was blind to the exact cliff it exists to expose).
+#: {0, 4, 7} puts carriers in both slices (incoming: doc_id%10==4 →
+#: half the incoming slice; history: {0,7} → a quarter of history)
+#: while keeping the planted near-dup pairs (residues 8,9 mod 10)
+#: boilerplate-free, as the recall measurements assume.
+BOILERPLATE_RESIDUES = (0, 4, 7)
 
 
 def _zipf_probs(n: int, s: float) -> np.ndarray:
@@ -90,7 +100,7 @@ def gen_documents(
             continue
         words = vocab[rng.integers(0, len(vocab), size=int(lengths[i]))]
         body = " ".join(words)
-        if zipf and i % 10 < BOILERPLATE_EVERY_10:
+        if zipf and i % 10 in BOILERPLATE_RESIDUES:
             # shared boilerplate tail: 30% of docs carry 4 identical
             # 3-gram shingles, each with document frequency 0.3·n —
             # the inverted-index stressor (legal footers, cookie
