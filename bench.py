@@ -125,6 +125,8 @@ HEADLINE = [
     "dedup_incremental_lsh_dfcap",
     "dq_drift_report_by_source",
     "text_collocation_lift_by_lang",
+    # round 7: stats through the real BMP encode->decode round trip
+    "multimodal_bmp_channel_stats",
 ]
 
 

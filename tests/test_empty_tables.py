@@ -150,6 +150,9 @@ _NULL_PARITY_QUERIES = [
     "text_collocation_lift_by_lang",
     # round 7: the capped incremental gate under injected NULLs
     "dedup_incremental_lsh_dfcap",
+    # round 7: the real-BMP codec row — NULL text filtered identically
+    # ahead of the encode→decode kernel on both engines
+    "multimodal_bmp_channel_stats",
 ]
 
 

@@ -169,3 +169,42 @@ def test_frame_digest_arithmetic_pinned(spark):
         .collect()[0]["d"]
     )
     assert digest == expect
+
+
+def test_bmp_codec_round_trip_and_guards():
+    """encode→decode inverts every step (BGR swap, bottom-up flip,
+    row padding) for widths that do and don't need padding; compressed
+    and non-24-bit payloads stay honestly NotImplemented."""
+    import numpy as np
+    import pytest
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 5), (3, 5), (4, 7), (2, 4), (5, 1)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_bmp(px)
+        assert blob[:2] == b"BM"
+        assert np.array_equal(decode_bmp(blob), px)
+        # decode_image dispatches BMP natively (no pillow needed)
+        assert np.array_equal(decode_image(blob), px)
+
+    # a decoder that skipped any inversion step would fail round-trip:
+    # positional pixels pin flip + padding + channel order explicitly
+    px = np.zeros((2, 5, 3), dtype=np.uint8)
+    px[0, 0] = (255, 0, 0)   # top-left red
+    px[1, 4] = (0, 0, 255)   # bottom-right blue
+    img = decode_bmp(encode_bmp(px))
+    assert tuple(img[0, 0]) == (255, 0, 0)
+    assert tuple(img[1, 4]) == (0, 0, 255)
+
+    blob = bytearray(encode_bmp(px))
+    blob[28] = 32  # declare 32 bpp
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG not a bmp")
