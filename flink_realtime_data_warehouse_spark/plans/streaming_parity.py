@@ -484,3 +484,144 @@ def export_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink).orderBy("user_id")
+
+
+def _gate_parity_oracle() -> str:
+    """Batch statement of the full streaming near-dup-gate composition
+    (start_history_dedup_ingest(near_dup_gate=True) over history batch
+    then incoming batch): digest-first election per batch, history
+    digests blocking incoming exact dups, df-capped banding with the
+    batch-time df asymmetry (history vs accumulated), probe join."""
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        INCR_HISTORY_MOD,
+        NGRAM_DF_CAP,
+        _band_oracle_keys_from,
+        _SIG_ORACLE_COLS,
+    )
+
+    shingle = (
+        "SELECT DISTINCT doc_id, ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]"
+        " || ' ' || ws[i+2]), 1, 15))::BIGINT AS s\n"
+        "  FROM {w}, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1)"
+        " ELSE [] END) AS t(i)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, md5(text) AS d,
+         (doc_id % {INCR_HISTORY_MOD}) = {INCR_HISTORY_MOD - 1} AS incoming
+  FROM documents),
+hist_new AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (PARTITION BY d ORDER BY doc_id) AS rn
+    FROM base WHERE NOT incoming) WHERE rn = 1),
+hdig AS (SELECT DISTINCT d FROM base WHERE NOT incoming AND d IS NOT NULL),
+inc_new AS (
+  SELECT doc_id, text FROM (
+    SELECT b.doc_id, b.text,
+           row_number() OVER (PARTITION BY b.d ORDER BY b.doc_id) AS rn,
+           coalesce(b.d IN (SELECT d FROM hdig), FALSE) AS in_hist
+    FROM base b WHERE b.incoming)
+  WHERE NOT in_hist AND rn = 1),
+wh AS (SELECT doc_id, string_split(text, ' ') AS ws FROM hist_new),
+sh_h0 AS (
+  {shingle.format(w='wh')}),
+wi AS (SELECT doc_id, string_split(text, ' ') AS ws FROM inc_new),
+sh_i0 AS (
+  {shingle.format(w='wi')}),
+freq_h AS (SELECT s, count(*) AS df FROM sh_h0 GROUP BY s),
+freq_a AS (SELECT s, sum(df) AS df FROM (
+    SELECT s, count(*) AS df FROM sh_h0 GROUP BY s
+    UNION ALL
+    SELECT s, count(*) AS df FROM sh_i0 GROUP BY s) GROUP BY s),
+sh_h AS (SELECT sh_h0.doc_id, sh_h0.s FROM sh_h0 JOIN freq_h USING (s)
+         WHERE freq_h.df <= {NGRAM_DF_CAP}),
+sh_i AS (SELECT sh_i0.doc_id, sh_i0.s FROM sh_i0 JOIN freq_a USING (s)
+         WHERE freq_a.df <= {NGRAM_DF_CAP}),
+sig_h AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh_h GROUP BY doc_id),
+sig_i AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh_i GROUP BY doc_id),
+bands_h AS (
+{_band_oracle_keys_from("sig_h")}
+),
+bands_i AS (
+{_band_oracle_keys_from("sig_i")}
+)
+SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+FROM bands_i n JOIN bands_h h ON n.band = h.band AND n.key = h.key
+ORDER BY doc_new, doc_hist
+"""
+
+
+@query("histdedup_gate_streaming_parity", oracle=_gate_parity_oracle())
+def histdedup_gate_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL streaming ingest composition under the oracle: the
+    history slice (doc_id % 5 != 4) arrives as micro-batch 0 and the
+    incoming slice as micro-batch 1 through the REAL
+    ``start_history_dedup_ingest(near_dup_gate=True)`` job — exact
+    dedup routing, digest store, df store, capped band index, probe —
+    and the ``near_dups`` sink is read back as the result.
+
+    The oracle states every semantic the composition stacks up: per-
+    batch digest-first election (dup_batch copies never reach the
+    gate), history digests blocking incoming exact re-crawls, history
+    bands capped against the df KNOWN AT THEIR INGEST TIME (batch 0's
+    own delta), incoming bands capped against the accumulated df
+    (store + batch 1's delta), candidates = full-band collisions.
+    This is the streaming sibling of ``dedup_incremental_lsh_dfcap``
+    — same banding, but driven through checkpoints, pbatch partitions,
+    and the persisted stores instead of one logical plan.
+    """
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        INCR_HISTORY_MOD,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    root = tempfile.mkdtemp(prefix="frdw_gateparity_")
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def _drop(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(root, f"slice_{name}")
+        df.select(
+            F.to_json(F.struct("doc_id", "text")).alias("v")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        dst = os.path.join(src, name)
+        parts = [f for f in os.listdir(tmp) if f.startswith("part-")]
+        if parts:
+            shutil.move(os.path.join(tmp, parts[0]), dst)
+        else:  # empty slice (zero-row tier): an empty file = empty batch
+            open(dst, "w").close()
+        os.utime(dst, (mtime, mtime))
+
+    # modification times order the micro-batches: history first
+    _drop(docs.filter(~is_inc).select("doc_id", "text"), "0.jsonl", 1_000_000_000.0)
+    _drop(docs.filter(is_inc).select("doc_id", "text"), "1.jsonl", 1_000_000_100.0)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = os.path.join(root, "out")
+    q = start_history_dedup_ingest(
+        spark, stream, out, os.path.join(root, "ckpt"), near_dup_gate=True
+    )
+    q.awaitTermination()
+    near_path = os.path.join(out, "near_dups")
+    near = spark.read.schema("doc_id bigint, doc_hist bigint, pbatch string")
+    try:
+        result = near.parquet(near_path)
+    except Exception:  # zero-row tier: no batch ever wrote the sink
+        result = spark.createDataFrame(
+            [], "doc_id bigint, doc_hist bigint, pbatch string"
+        )
+    return (
+        result.select(F.col("doc_id").alias("doc_new"), "doc_hist")
+        .distinct()
+        .orderBy("doc_new", "doc_hist")
+    )

@@ -638,10 +638,15 @@ def start_history_dedup_ingest(
     def _process(batch: DataFrame, batch_id: int) -> None:
         pbatch = f"{run_id}-{batch_id}"
         batch = batch.dropDuplicates(["doc_id"])
+        # explicit schemas on every store read: a zero-row batch's
+        # dynamic-overwrite write creates the store directory with no
+        # data files, and schema inference on it would fail the NEXT
+        # batch (found by the empty-corpus tier driving the gate
+        # parity row end-to-end)
         if _digest_store_exists():
-            history = spark.read.parquet(digests_path).filter(
-                F.col("pbatch") != pbatch
-            )
+            history = spark.read.schema(
+                "content_hash string, pbatch string"
+            ).parquet(digests_path).filter(F.col("pbatch") != pbatch)
         else:
             history = spark.createDataFrame(
                 [], "content_hash string, pbatch string"
@@ -675,7 +680,9 @@ def start_history_dedup_ingest(
 
             new_docs = routed.filter(is_new).select("doc_id", "text")
             stored_df = (
-                spark.read.parquet(lsh_df_path).filter(F.col("pbatch") != pbatch)
+                spark.read.schema("s bigint, df bigint, pbatch string")
+                .parquet(lsh_df_path)
+                .filter(F.col("pbatch") != pbatch)
                 if _store_exists(lsh_df_path)
                 else None
             )
@@ -688,8 +695,12 @@ def start_history_dedup_ingest(
             try:
                 bands = _bands_from_shingles(sh_capped)
                 if _store_exists(lsh_bands_path):
-                    hist_bands = spark.read.parquet(lsh_bands_path).filter(
-                        F.col("pbatch") != pbatch
+                    hist_bands = (
+                        spark.read.schema(
+                            "doc_id bigint, band int, key string, pbatch string"
+                        )
+                        .parquet(lsh_bands_path)
+                        .filter(F.col("pbatch") != pbatch)
                     )
                     near = (
                         bands.alias("n")

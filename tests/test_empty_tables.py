@@ -153,6 +153,10 @@ _NULL_PARITY_QUERIES = [
     # round 7: the real-BMP codec row — NULL text filtered identically
     # ahead of the encode→decode kernel on both engines
     "multimodal_bmp_channel_stats",
+    # round 7: the streaming gate composition — NULL-text docs group
+    # under the NULL digest in the per-batch election (one 'new' copy)
+    # and produce no shingles/bands, identically on both engines
+    "histdedup_gate_streaming_parity",
 ]
 
 
