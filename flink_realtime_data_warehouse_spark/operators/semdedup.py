@@ -106,7 +106,9 @@ def semantic_bucket_pairs(
     sign bits 1.51 (raw sign bits lose discriminative power on
     correlated dims), and the trained k-means cell assignment 0.91
     with comparisons-per-vector flat — at real scale use the trained
-    assignment.
+    assignment via ``similarity.two_level_cell_assignment`` (same cell
+    budget, √k driver footprint; SCALING.json → quantizer) through
+    ``semantic_dedup(bucket_df=…)``.
     """
     coded = emb.select("vec_id", "v", _bucket_col(sign_dims).alias("bucket"))
 

