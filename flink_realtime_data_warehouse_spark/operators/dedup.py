@@ -1426,7 +1426,13 @@ def append_dedup_lsh_index_capped(
     (streaming/jobs.py::start_history_dedup_ingest)."""
     from pyspark import StorageLevel
 
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
     spark = new_docs.sparkSession
+    for sub in ("df", "bands"):  # roll back a crashed compaction swap
+        _repair_swap_dir(path, f"{path}/{sub}")
     stored = spark.read.parquet(f"{path}/df")
     sh_capped, delta = _capped_batch_shingles(new_docs, stored, cap)
     sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1439,6 +1445,48 @@ def append_dedup_lsh_index_capped(
         sh_capped.unpersist()
 
 
+def compact_dedup_lsh_index_capped(spark: SparkSession, path: str) -> None:
+    """Fold the capped index's append-only stores: the df store to ONE
+    row per shingle (sum of per-batch deltas — the accumulated df is
+    preserved exactly, so the hot set and every future band are
+    unchanged) and the band store into consolidated band partitions
+    (one write instead of one file-set per append). This is the
+    compaction the per-batch economics assume: without it the df
+    aggregation scans one row per (shingle, batch) instead of per
+    shingle, and the band probe lists an ever-growing file set.
+
+    Crash-safe the DimStore way: each store is rewritten to a temp
+    sibling then swapped (rename-away + rename-in), and every
+    entry point (``append``/``probe``/``compact``) runs the shared
+    ``_repair_swap_dir`` sweep first, so a compaction killed between
+    the two renames rolls back on the next touch instead of leaving
+    the store missing."""
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    import os
+    import shutil
+    import uuid
+
+    for sub, rewrite in (
+        ("df", lambda d: d.groupBy("s").agg(F.sum("df").alias("df"))),
+        ("bands", lambda d: d.repartition("band")),
+    ):
+        store = os.path.join(path, sub)
+        _repair_swap_dir(path, store)
+        tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
+        src = spark.read.parquet(store)
+        w = rewrite(src).write.mode("overwrite")
+        if sub == "bands":
+            w = w.partitionBy("band")
+        w.parquet(tmp)
+        old = f"{store}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(store, old)
+        os.rename(tmp, store)
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def probe_dedup_lsh_index_capped(
     spark: SparkSession, new_docs: DataFrame, path: str, cap: int = NGRAM_DF_CAP
 ) -> DataFrame:
@@ -1449,6 +1497,12 @@ def probe_dedup_lsh_index_capped(
     never read, and under boilerplate the hot-shingle anti-join keeps
     the probe's collision volume bounded where the uncapped probe
     drifts superlinear (SKEW.json)."""
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    for sub in ("df", "bands"):  # roll back a crashed compaction swap
+        _repair_swap_dir(path, f"{path}/{sub}")
     stored = spark.read.parquet(f"{path}/df")
     sh_capped, _ = _capped_batch_shingles(new_docs, stored, cap)
     probe = _bands_from_shingles(sh_capped)

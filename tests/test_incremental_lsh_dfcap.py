@@ -313,3 +313,76 @@ def test_streaming_near_dup_gate_replay_idempotent(spark, tmp_path):
             assert spark.read.parquet(near_dir).count() == 0
         except Exception:
             pass  # empty sink dir with no parquet footers
+
+
+def test_compaction_preserves_probe_and_collapses_stores(spark, tmp_path):
+    """compact_dedup_lsh_index_capped folds df deltas to one row per
+    shingle and consolidates band files; probes before/after are
+    identical, a post-compaction append behaves exactly like one
+    without compaction, and a compaction crashed mid-swap rolls back
+    on the next touch."""
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        append_dedup_lsh_index_capped,
+        build_dedup_lsh_index_capped,
+        compact_dedup_lsh_index_capped,
+        probe_dedup_lsh_index_capped,
+    )
+
+    hist, inc, planted = _corpus(spark)
+    h1 = hist.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    h2 = hist.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    idx = str(tmp_path / "idx")
+    build_dedup_lsh_index_capped(h1, idx, cap=CAP)
+    append_dedup_lsh_index_capped(h2, idx, cap=CAP)
+
+    def probe():
+        return {
+            (r.doc_new, r.doc_hist)
+            for r in probe_dedup_lsh_index_capped(spark, inc, idx, cap=CAP).collect()
+        }
+
+    def store_files(sub):
+        out = []
+        for root, _, files in os.walk(os.path.join(idx, sub)):
+            out += [f for f in files if f.endswith(".parquet")]
+        return out
+
+    before = probe()
+    df_rows_before = spark.read.parquet(f"{idx}/df").count()
+    compact_dedup_lsh_index_capped(spark, idx)
+    assert probe() == before
+    df_after = spark.read.parquet(f"{idx}/df")
+    # one row per shingle, accumulated df preserved
+    assert df_after.count() == df_after.select("s").distinct().count()
+    assert df_after.count() < df_rows_before
+
+    # append after compaction == append without compaction
+    idx2 = str(tmp_path / "idx2")
+    build_dedup_lsh_index_capped(h1, idx2, cap=CAP)
+    append_dedup_lsh_index_capped(h2, idx2, cap=CAP)
+    extra = spark.createDataFrame(
+        [(777, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12 zq13 zq14")],
+        "doc_id bigint, text string",
+    )
+    append_dedup_lsh_index_capped(extra, idx, cap=CAP)   # compacted
+    append_dedup_lsh_index_capped(extra, idx2, cap=CAP)  # not compacted
+    got1 = {
+        (r.doc_new, r.doc_hist)
+        for r in probe_dedup_lsh_index_capped(spark, inc, idx, cap=CAP).collect()
+    }
+    got2 = {
+        (r.doc_new, r.doc_hist)
+        for r in probe_dedup_lsh_index_capped(spark, inc, idx2, cap=CAP).collect()
+    }
+    assert got1 == got2 == before
+
+    # crashed-compaction rollback: simulate the kill between the two
+    # swap renames (store renamed away, replacement never landed)
+    import shutil
+
+    df_store = os.path.join(idx, "df")
+    os.rename(df_store, df_store + "__old_deadbeef")
+    assert probe() == before  # repair sweep restored the store
+    assert os.path.isdir(df_store)
+    assert not os.path.isdir(df_store + "__old_deadbeef")
