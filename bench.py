@@ -267,6 +267,9 @@ def main() -> None:
         # no longer masks streaming regressions in the rate scalar
         "streaming_rows_per_sec": streaming["streaming_rows_per_sec"],
         "streaming_startup_sec": streaming["streaming_startup_sec"],
+        # the df-capped ingest gate's own rate (round 7): short key so
+        # the compact driver line stays inside its budget
+        "hist_gate_rps": streaming["history_dedup_gated_rows_per_sec"],
         "streaming": streaming,
         "ann_lsh_warm_sec": ann_lsh_warm,
         "ann_pq_warm_sec": ann_pq_warm,

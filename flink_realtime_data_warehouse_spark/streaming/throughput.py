@@ -288,6 +288,25 @@ def run_streaming_throughput(
     result["history_dedup_rows_per_sec"] = (
         round(n_docs / hist_sec, 1) if hist_sec else 0.0
     )
+
+    # fifth topology: the same ingest with the df-capped near-dup gate
+    # (round 7) — digest classify + capped banding + band-index probe +
+    # df/band store maintenance per batch. Its own rate, so the
+    # ingest-gate path has a cross-round regression number.
+    t0 = time.perf_counter()
+    stream = spark.readStream.schema("doc_id bigint, text string").json(doc_src)
+    start_history_dedup_ingest(
+        spark,
+        stream,
+        os.path.join(work_root, "out_histdedup_gated"),
+        os.path.join(work_root, "ckpt_histdedup_gated"),
+        near_dup_gate=True,
+    ).awaitTermination()
+    gated_sec = round(time.perf_counter() - t0, 3)
+    result["history_dedup_gated_sec"] = gated_sec
+    result["history_dedup_gated_rows_per_sec"] = (
+        round(n_docs / gated_sec, 1) if gated_sec else 0.0
+    )
     return result
 
 

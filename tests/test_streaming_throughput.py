@@ -26,6 +26,8 @@ def test_streaming_throughput_end_to_end(spark, tmp_path):
     assert res["streaming_startup_sec"] > 0
     assert res["streaming_rows_per_sec"] >= res["streaming_rows_per_sec_cold"]
     assert res["rows_docs"] > 0 and res["history_dedup_rows_per_sec"] > 0
+    # the gated ingest (digest + df-capped band probe) has its own rate
+    assert res["history_dedup_gated_rows_per_sec"] > 0
     outs = _smoke_outputs(spark, str(tmp_path))
     # every behavior line is a page record and survives parse+ST1
     assert outs["out_baselog/dwd_traffic_corrected_log"] == res["rows_behavior"]

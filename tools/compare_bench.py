@@ -69,6 +69,7 @@ def load_bench(path: str) -> dict:
         "streaming_rows_per_sec",
         "streaming_rows_per_sec_cold",
         "streaming_startup_sec",
+        "hist_gate_rps",
         "omitted_sec",
         "queries_omitted",
     }
@@ -112,6 +113,7 @@ def main() -> None:
         "streaming_rows_per_sec",
         "streaming_startup_sec",
         "streaming_rows_per_sec_cold",
+        "hist_gate_rps",
     ):
         so, sn = old.get(key), new.get(key)
         if so and sn:
