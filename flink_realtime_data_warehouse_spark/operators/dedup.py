@@ -84,6 +84,19 @@ _SHINGLE_CACHE: dict = {}
 #: mg_grouped) so a session iterating every tier never thrashes.
 _SHINGLE_CACHE_CAP = 24
 
+#: session counters so cache thrash is OBSERVABLE (r6 ADVICE): a
+#: rising eviction count during a bench run means the FIFO is
+#: recomputing the full-corpus scans it exists to amortize.
+_SHINGLE_CACHE_STATS = {"hits": 0, "misses": 0, "evictions": 0}
+
+
+def shingle_cache_stats() -> dict:
+    """Snapshot of the shared shingle-cache counters (hits / misses /
+    FIFO evictions) — bench and scaling harnesses read this to make
+    cache thrash visible instead of silently recomputing."""
+    with _SHINGLE_LOCK:
+        return dict(_SHINGLE_CACHE_STATS)
+
 #: guards every _SHINGLE_CACHE mutation (insert, FIFO-evict, release):
 #: concurrent sessions (tests/test_concurrent_sessions.py) race the
 #: evict path's popitem against release_shingle_cache's — results were
@@ -158,6 +171,7 @@ def _cached_relation(docs: DataFrame, variant: tuple, builder) -> DataFrame:
     )
     with _SHINGLE_LOCK:
         hit = _SHINGLE_CACHE.get(key)
+        _SHINGLE_CACHE_STATS["hits" if hit is not None else "misses"] += 1
     if hit is not None:
         return hit
     sh = builder().persist(StorageLevel.MEMORY_AND_DISK)
@@ -178,6 +192,7 @@ def _cached_relation(docs: DataFrame, variant: tuple, builder) -> DataFrame:
             # ADVICE: 8 thrashed once variants outgrew it).
             while len(_SHINGLE_CACHE) >= _SHINGLE_CACHE_CAP:
                 evicted.append(_SHINGLE_CACHE.pop(next(iter(_SHINGLE_CACHE))))
+                _SHINGLE_CACHE_STATS["evictions"] += 1
             _SHINGLE_CACHE[key] = sh
     for old in evicted:
         try:

@@ -386,3 +386,26 @@ def test_compaction_preserves_probe_and_collapses_stores(spark, tmp_path):
     assert probe() == before  # repair sweep restored the store
     assert os.path.isdir(df_store)
     assert not os.path.isdir(df_store + "__old_deadbeef")
+
+
+def test_shingle_cache_stats_observable(spark):
+    """r6 ADVICE (observability half): hits/misses/evictions count, so
+    a bench run can SEE cache thrash instead of silently recomputing."""
+    from flink_realtime_data_warehouse_spark.operators import dedup as dd
+
+    before = dd.shingle_cache_stats()
+    df = spark.createDataFrame(
+        [(i, f"a{i} b{i} c{i} d{i}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    dd._shingle_df(df).count()   # miss (fresh plan)
+    dd._shingle_df(df).count()   # hit (same plan, same session)
+    after = dd.shingle_cache_stats()
+    assert after["misses"] >= before["misses"] + 1
+    assert after["hits"] >= before["hits"] + 1
+    # force evictions past the FIFO cap with distinct variants
+    base = dd._shingle_df(df)
+    for v in range(dd._SHINGLE_CACHE_CAP + 2):
+        dd._cached_relation(df, ("probe_variant", v), lambda: base.limit(1))
+    assert dd.shingle_cache_stats()["evictions"] >= before["evictions"] + 1
+    dd.release_shingle_cache()
