@@ -1376,7 +1376,10 @@ def _df_store_delta(sh: DataFrame) -> DataFrame:
 
 
 def _capped_batch_shingles(
-    new_docs: DataFrame, stored_df: DataFrame | None, cap: int
+    new_docs: DataFrame,
+    stored_df: DataFrame | None,
+    cap: int,
+    sh: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(capped shingle relation, df delta) for one ingest batch.
 
@@ -1389,8 +1392,16 @@ def _capped_batch_shingles(
     shingle (same economics as bucketing the digest store) so the
     per-batch scan stays one row per vocabulary term, not per
     (term, batch).
+
+    ``sh`` lets a caller that traverses the batch's shingles from
+    several lineages (the streaming gate: df delta, hot set, band
+    append, probe) pass ONE pre-persisted distinct (doc_id, s)
+    relation so the shingle explode runs once per batch instead of
+    once per lineage — the batch family's ``_cached_relation`` trick
+    applied to the ingest path.
     """
-    sh = _exploded_shingle_hashes(new_docs).distinct()
+    if sh is None:
+        sh = _exploded_shingle_hashes(new_docs).distinct()
     delta = _df_store_delta(sh)
     acc = (
         delta
@@ -1460,22 +1471,67 @@ def append_dedup_lsh_index_capped(
         sh_capped.unpersist()
 
 
-def compact_dedup_lsh_index_capped(spark: SparkSession, path: str) -> None:
+#: pbatch value stamped on compacted rows of a streaming-layout store.
+#: Real pbatch values are ``{run_id}-{batch_id}`` with a hex run_id
+#: minted by streaming/jobs.py::_incarnation_id, so the sentinel can
+#: never collide with a live batch partition — and the streaming
+#: reads' ``pbatch != <current>`` exclusion therefore always KEEPS
+#: compacted history (the pre-r8 compaction dropped the column, the
+#: explicit-schema read surfaced it as NULL, and ``NULL != x`` is
+#: NULL → every compacted row silently vanished; ADVICE r7).
+COMPACTED_PBATCH = "__compacted__"
+
+_LSH_STORE_SCHEMAS = {
+    "df": "s bigint, df bigint",
+    "bands": "doc_id bigint, band int, key string",
+}
+
+
+def _is_pbatch_layout(store: str) -> bool:
+    """True when a persisted LSH sub-store was written by the streaming
+    ingest (one ``pbatch=`` partition dir per micro-batch) rather than
+    the batch builders (unpartitioned df / band-partitioned bands)."""
+    import os
+
+    return os.path.isdir(store) and any(
+        d.startswith("pbatch=") for d in os.listdir(store)
+    )
+
+
+def compact_dedup_lsh_index_capped(
+    spark: SparkSession, path: str, exclude_pbatch: str | None = None
+) -> None:
     """Fold the capped index's append-only stores: the df store to ONE
     row per shingle (sum of per-batch deltas — the accumulated df is
     preserved exactly, so the hot set and every future band are
-    unchanged) and the band store into consolidated band partitions
-    (one write instead of one file-set per append). This is the
-    compaction the per-batch economics assume: without it the df
-    aggregation scans one row per (shingle, batch) instead of per
-    shingle, and the band probe lists an ever-growing file set.
+    unchanged) and the band store into consolidated partitions (one
+    write instead of one file-set per append). This is the compaction
+    the per-batch economics assume: without it the df aggregation
+    scans one row per (shingle, batch) instead of per shingle, and the
+    band probe lists an ever-growing file set.
+
+    Streaming-layout stores (``pbatch=`` partitions, written by
+    streaming/jobs.py::start_history_dedup_ingest) keep the ``pbatch``
+    column through compaction: folded rows land on the
+    ``COMPACTED_PBATCH`` sentinel partition, so the streaming reads'
+    explicit ``pbatch`` schema + current-partition exclusion keep
+    working (partitioning stays by pbatch — no mixed layout).
+    ``exclude_pbatch`` (the in-flight batch when compaction runs
+    inside the ingest loop) is left on its own partition UN-folded:
+    if the job dies after compaction but before the checkpoint
+    commits, the replayed batch still excludes exactly its own prior
+    contribution and re-derives identical verdicts — folding it into
+    the sentinel would double-count its df delta on replay.
+    Batch-layout stores (no pbatch — built by
+    ``build_dedup_lsh_index_capped``) compact as before: df to one
+    row per shingle, bands repartitioned and partitioned by band.
 
     Crash-safe the DimStore way: each store is rewritten to a temp
     sibling then swapped (rename-away + rename-in), and every
-    entry point (``append``/``probe``/``compact``) runs the shared
-    ``_repair_swap_dir`` sweep first, so a compaction killed between
-    the two renames rolls back on the next touch instead of leaving
-    the store missing."""
+    entry point (``append``/``probe``/``compact`` and the streaming
+    gate reads) runs the shared ``_repair_swap_dir`` sweep first, so a
+    compaction killed between the two renames rolls back on the next
+    touch instead of leaving the store missing."""
     from flink_realtime_data_warehouse_spark.streaming.sinks import (
         _repair_swap_dir,
     )
@@ -1491,11 +1547,36 @@ def compact_dedup_lsh_index_capped(spark: SparkSession, path: str) -> None:
         store = os.path.join(path, sub)
         _repair_swap_dir(path, store)
         tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
-        src = spark.read.parquet(store)
-        w = rewrite(src).write.mode("overwrite")
-        if sub == "bands":
-            w = w.partitionBy("band")
-        w.parquet(tmp)
+        if _is_pbatch_layout(store):
+            # explicit schema: a zero-row dynamic-overwrite batch leaves
+            # partition dirs with no data files, which breaks inference
+            src = spark.read.schema(
+                f"{_LSH_STORE_SCHEMAS[sub]}, pbatch string"
+            ).parquet(store)
+            keep = (
+                src.filter(F.col("pbatch") == exclude_pbatch)
+                if exclude_pbatch is not None
+                else src.limit(0)
+            )
+            fold = (
+                src.filter(~F.col("pbatch").eqNullSafe(exclude_pbatch))
+                if exclude_pbatch is not None
+                else src
+            )
+            folded = (
+                fold.groupBy("s").agg(F.sum("df").alias("df"))
+                if sub == "df"
+                else fold.drop("pbatch")
+            ).withColumn("pbatch", F.lit(COMPACTED_PBATCH))
+            folded.unionByName(keep).write.mode("overwrite").partitionBy(
+                "pbatch"
+            ).parquet(tmp)
+        else:
+            src = spark.read.parquet(store)
+            w = rewrite(src).write.mode("overwrite")
+            if sub == "bands":
+                w = w.partitionBy("band")
+            w.parquet(tmp)
         old = f"{store}__old_{uuid.uuid4().hex[:8]}"
         os.rename(store, old)
         os.rename(tmp, store)

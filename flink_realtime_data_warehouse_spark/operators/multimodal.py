@@ -58,7 +58,9 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload to an HxWxC uint8 array.
 
     Uncompressed 24-bit BMP decodes natively (``decode_bmp`` — pure
-    NumPy, no codec libs needed). Everything else uses pillow when
+    NumPy, no codec libs needed); compressed/8-bit/32-bit BMPs fall
+    through to pillow so the native decoder is a fast path, not a
+    gate on pillow-rich deployments. Everything else uses pillow when
     importable (richer deployments upgrade this path with no code
     change); otherwise raises — THIS container ships no codec libs,
     and the fakes in the operators below stand in for the compressed
@@ -66,7 +68,10 @@ def decode_image(payload: bytes) -> "object":
     identical either way.
     """
     if payload[:2] == b"BM":
-        return decode_bmp(payload)
+        try:
+            return decode_bmp(payload)
+        except NotImplementedError:
+            pass  # non-BI_RGB-24 variant: let pillow (if any) decode it
     try:
         import io
 

@@ -548,6 +548,7 @@ def start_history_dedup_ingest(
     checkpoint: str,
     available_now: bool = True,
     near_dup_gate: bool = False,
+    compact_every: int | None = None,
 ):
     """Continuous ingest with GLOBAL dedup against everything ever
     ingested — the streaming face of
@@ -613,12 +614,28 @@ def start_history_dedup_ingest(
     use the identical ``pbatch`` dynamic-overwrite + excluded-on-read
     discipline as the digest store, so a redelivered batch re-derives
     identical bands, deltas, and candidates.
+
+    ``compact_every=N`` folds the two LSH stores every N batches
+    (``compact_dedup_lsh_index_capped``): the df store to one row per
+    shingle and the band store to one consolidated file set, both on
+    the ``COMPACTED_PBATCH`` sentinel partition — EXCEPT the current
+    batch's partition, which stays un-folded so a batch redelivered
+    after a post-compaction crash still excludes exactly its own prior
+    contribution (replay stays idempotent across the compaction
+    boundary). Compaction is crash-safe via the shared rename-swap +
+    ``_repair_swap_dir`` sweep, which the gate reads below run before
+    every store access.
     """
     from flink_realtime_data_warehouse_spark.operators.dedup import (
         NGRAM_DF_CAP,
         _bands_from_shingles,
         _capped_batch_shingles,
+        _exploded_shingle_hashes,
+        compact_dedup_lsh_index_capped,
         incremental_dedup,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
     )
 
     digests_path = f"{out_root}/digests"
@@ -654,7 +671,14 @@ def start_history_dedup_ingest(
         statuses = incremental_dedup(
             batch.select("doc_id", "text"), history
         )
-        routed = batch.join(statuses, "doc_id")
+        from pyspark import StorageLevel
+
+        # four lineages traverse the classified batch (clean, dups,
+        # digests, and the gate's new_docs) — persist it so the digest
+        # store scan + classify join run once per batch, not per sink
+        routed = batch.join(statuses, "doc_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
         def _sink(df: DataFrame, path: str) -> None:
             (
@@ -665,65 +689,91 @@ def start_history_dedup_ingest(
                 .parquet(path)
             )
 
-        is_new = F.col("status") == "new"
-        _sink(routed.filter(is_new).drop("content_hash", "status"), f"{out_root}/clean")
-        _sink(
-            routed.filter(~is_new).select("doc_id", "content_hash", "status"),
-            f"{out_root}/dups",
-        )
-        _sink(
-            routed.filter(is_new).select("content_hash"),
-            digests_path,
-        )
-        if near_dup_gate:
-            from pyspark import StorageLevel
-
-            new_docs = routed.filter(is_new).select("doc_id", "text")
-            stored_df = (
-                spark.read.schema("s bigint, df bigint, pbatch string")
-                .parquet(lsh_df_path)
-                .filter(F.col("pbatch") != pbatch)
-                if _store_exists(lsh_df_path)
-                else None
+        try:
+            is_new = F.col("status") == "new"
+            _sink(
+                routed.filter(is_new).drop("content_hash", "status"),
+                f"{out_root}/clean",
             )
-            sh_capped, delta = _capped_batch_shingles(
-                new_docs, stored_df, NGRAM_DF_CAP
+            _sink(
+                routed.filter(~is_new).select("doc_id", "content_hash", "status"),
+                f"{out_root}/dups",
             )
-            # three sinks traverse the capped shingle relation (probe,
-            # band append, df append) — persist it for the batch
-            sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                bands = _bands_from_shingles(sh_capped)
-                if _store_exists(lsh_bands_path):
-                    hist_bands = (
-                        spark.read.schema(
-                            "doc_id bigint, band int, key string, pbatch string"
+            _sink(
+                routed.filter(is_new).select("content_hash"),
+                digests_path,
+            )
+            if near_dup_gate:
+                # roll back a compaction crashed mid-swap BEFORE the
+                # existence probes: a store renamed away between the
+                # two swap renames must be restored, never treated as
+                # an empty cold start
+                for p in (lsh_df_path, lsh_bands_path):
+                    _repair_swap_dir(f"{out_root}/lsh", p)
+                new_docs = routed.filter(is_new).select("doc_id", "text")
+                # pbatch filters are null-safe so rows from a store
+                # compacted by an out-of-band (pre-sentinel) job —
+                # whose pbatch reads as NULL — survive as history
+                # instead of vanishing under NULL != x
+                stored_df = (
+                    spark.read.schema("s bigint, df bigint, pbatch string")
+                    .parquet(lsh_df_path)
+                    .filter(~F.col("pbatch").eqNullSafe(pbatch))
+                    if _store_exists(lsh_df_path)
+                    else None
+                )
+                # ONE persisted shingle relation feeds all four gate
+                # lineages (df delta, hot set, band append, probe) —
+                # without it the explode+distinct re-runs per lineage
+                sh = (
+                    _exploded_shingle_hashes(new_docs)
+                    .distinct()
+                    .persist(StorageLevel.MEMORY_AND_DISK)
+                )
+                sh_capped, delta = _capped_batch_shingles(
+                    new_docs, stored_df, NGRAM_DF_CAP, sh=sh
+                )
+                # two sinks + the probe traverse the capped relation
+                sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    bands = _bands_from_shingles(sh_capped)
+                    if _store_exists(lsh_bands_path):
+                        hist_bands = (
+                            spark.read.schema(
+                                "doc_id bigint, band int, key string, pbatch string"
+                            )
+                            .parquet(lsh_bands_path)
+                            .filter(~F.col("pbatch").eqNullSafe(pbatch))
                         )
-                        .parquet(lsh_bands_path)
-                        .filter(F.col("pbatch") != pbatch)
-                    )
-                    near = (
-                        bands.alias("n")
-                        .join(
-                            hist_bands.alias("h"),
-                            (F.col("n.band") == F.col("h.band"))
-                            & (F.col("n.key") == F.col("h.key")),
+                        near = (
+                            bands.alias("n")
+                            .join(
+                                hist_bands.alias("h"),
+                                (F.col("n.band") == F.col("h.band"))
+                                & (F.col("n.key") == F.col("h.key")),
+                            )
+                            .select(
+                                F.col("n.doc_id").alias("doc_id"),
+                                F.col("h.doc_id").alias("doc_hist"),
+                            )
+                            .distinct()
                         )
-                        .select(
-                            F.col("n.doc_id").alias("doc_id"),
-                            F.col("h.doc_id").alias("doc_hist"),
+                    else:
+                        near = spark.createDataFrame(
+                            [], "doc_id bigint, doc_hist bigint"
                         )
-                        .distinct()
+                    _sink(near, f"{out_root}/near_dups")
+                    _sink(bands, lsh_bands_path)
+                    _sink(delta, lsh_df_path)
+                finally:
+                    sh_capped.unpersist()
+                    sh.unpersist()
+                if compact_every and (batch_id + 1) % compact_every == 0:
+                    compact_dedup_lsh_index_capped(
+                        spark, f"{out_root}/lsh", exclude_pbatch=pbatch
                     )
-                else:
-                    near = spark.createDataFrame(
-                        [], "doc_id bigint, doc_hist bigint"
-                    )
-                _sink(near, f"{out_root}/near_dups")
-                _sink(bands, lsh_bands_path)
-                _sink(delta, lsh_df_path)
-            finally:
-                sh_capped.unpersist()
+        finally:
+            routed.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(_process)

@@ -107,8 +107,17 @@ def main() -> None:
         r for r in rows if r[4] > FLAG_AT and max(r[1], r[2]) > NOISE_FLOOR_SEC
     ]
     # streaming: steady-state rate + startup tax compared when both
-    # captures carry them (r7+); older captures only have the cold rate
+    # captures carry them (r7+). Pre-r7 captures stored the COLD wall
+    # rate under the name "streaming_rows_per_sec"; comparing that
+    # against the r7+ steady-state rate under the same key would report
+    # the semantic change as a throughput win, so when the old capture
+    # lacks the _cold key, compare the NEW cold scalar against the old
+    # value instead and skip the steady-state key entirely.
     streaming = {}
+    old_is_pre_r7 = (
+        "streaming_rows_per_sec" in old
+        and "streaming_rows_per_sec_cold" not in old
+    )
     for key in (
         "streaming_rows_per_sec",
         "streaming_startup_sec",
@@ -116,6 +125,17 @@ def main() -> None:
         "hist_gate_rps",
     ):
         so, sn = old.get(key), new.get(key)
+        if old_is_pre_r7 and key == "streaming_rows_per_sec":
+            sn = new.get("streaming_rows_per_sec_cold")
+            if so and sn:
+                streaming["streaming_rows_per_sec_cold_vs_old_cold"] = {
+                    "old": so,
+                    "new": sn,
+                    "ratio": round(sn / so, 3),
+                }
+            continue
+        if old_is_pre_r7 and key == "streaming_rows_per_sec_cold":
+            continue  # folded into the explicit cold-vs-cold row above
         if so and sn:
             streaming[key] = {
                 "old": so,
