@@ -63,8 +63,9 @@ EMB_CLEAN_SQL = (
 #: minimum mean recall over the query block the checked queries demand;
 #: LSH/IVF are deterministic (md5 hyperplanes / lowest-id k-means
 #: seeds), so the verdict is a stable function of the data — thresholds
-#: carry margin under the measured floor (LSH 0.50/0.50/0.62 and IVF
-#: 0.88/0.92/1.00 at sf0.001/0.01/0.1; pinned in
+#: carry margin under the measured floor (LSH 0.50/0.50/0.62 at
+#: sf0.001/0.01/0.1; IVF on the r8 two-level index 0.86/0.90/0.84,
+#: vs 0.88/0.92/1.00 for the r7 flat quantizer; pinned in
 #: tests/test_similarity_dedup.py)
 LSH_MIN_MEAN_RECALL = 0.4
 IVF_MIN_MEAN_RECALL = 0.7
@@ -473,6 +474,11 @@ def ann_lsh_probe(
 IVF_NLIST = 16  #: coarse-quantizer cells
 IVF_NPROBE = 4  #: cells scanned per query
 IVF_LLOYD_ITERS = 2
+#: floor on the two-level index's level-1 fanout: k₁ = max(⌈√k⌉, this)
+#: capped at k. Keeps the parent cut fine enough for recall at small k
+#: while leaving the driver-matrix bound O(√k) asymptotically (the
+#: constant is absorbed once k > IVF_K1_MIN²).
+IVF_K1_MIN = 8
 
 
 def _assign_to_centroids(spark: SparkSession, centroids):
@@ -541,6 +547,49 @@ def _train_centroids(
     return cent
 
 
+#: per-task budget for a level-2 clustering input. The two-level rule's
+#: per-task input is n/k₁ ≈ 64·√k vectors under the k = n/64 cell rule
+#: (~128 MB at 10⁹ vectors × 64 dims) — comfortably inside this 1 GiB
+#: default, which is a quarter of a 4 GB/thread executor. A corpus or
+#: skew profile that pushes ONE level-1 cell past it must escalate to a
+#: third level, and the guard below makes that a loud error instead of
+#: an OOM-shaped task (VERDICT r7 item 5).
+LEVEL2_TASK_BUDGET_BYTES = 1 << 30
+
+
+def _check_level2_task_budget(
+    assigned1: DataFrame, budget_bytes: int | None = None
+) -> None:
+    """Raise if the LARGEST level-1 cell's estimated in-task bytes
+    (rows × (4·dim vector + ~24 B row overhead)) exceed the task
+    budget — a dominant cell (duplicated embeddings, a degenerate
+    corpus) would otherwise hand one Arrow task the whole pile. The
+    check is one map-combinable count over (cell1) — k₁ rows to the
+    driver — and changes nothing below the budget. ``budget_bytes``
+    defaults to the module's ``LEVEL2_TASK_BUDGET_BYTES`` at CALL time
+    (late-bound so a deployment can retune it once, globally)."""
+    if budget_bytes is None:
+        budget_bytes = LEVEL2_TASK_BUDGET_BYTES
+    stats = assigned1.groupBy("cell1").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.max(F.size("v")).alias("dim"),
+    )
+    worst = stats.select(
+        F.max(F.col("rows") * (F.col("dim") * 4 + 24)).alias("bytes"),
+        F.max("rows").alias("rows"),
+    ).collect()[0]
+    if worst["bytes"] is not None and worst["bytes"] > budget_bytes:
+        raise RuntimeError(
+            f"two-level quantizer: largest level-1 cell needs "
+            f"~{int(worst['bytes']) >> 20} MiB in one task "
+            f"({worst['rows']} vectors), over the "
+            f"{budget_bytes >> 20} MiB task budget — add a third "
+            f"quantizer level (split that cell's sub-clustering the "
+            f"same way level 2 split level 1) before building at this "
+            f"scale"
+        )
+
+
 def two_level_cell_assignment(
     spark: SparkSession,
     emb: DataFrame,
@@ -573,8 +622,11 @@ def two_level_cell_assignment(
     as the linear rule — measured in SCALING.json's quantizer family:
     comparisons/vector stays flat across the 100× corpus range while
     the driver matrix rows grow as √n. Per-task input is n/k₁ ≈ 64·√n
-    vectors; at 10⁹ vectors that is ~250 k × 64 × 8 B ≈ 128 MB per
-    task — add a third level before that becomes the new bottleneck.
+    vectors; ``_check_level2_task_budget`` enforces the ceiling at
+    runtime (largest level-1 cell vs ``LEVEL2_TASK_BUDGET_BYTES``,
+    ~128 MB at 10⁹ vectors under the k = n/64 rule) and raises with
+    the add-a-third-level escalation instead of silently building an
+    OOM-shaped task.
     """
     import math
 
@@ -585,6 +637,7 @@ def two_level_cell_assignment(
         _assign_to_centroids(spark, cent1),
         schema="cell int, vec_id bigint, v array<float>",
     ).withColumnRenamed("cell", "cell1")
+    _check_level2_task_budget(assigned1)
 
     n_sub_iters = sub_iters
     k2_local = k2
@@ -627,75 +680,270 @@ def build_ann_ivf_index(
     location: str,
     n_list: int = IVF_NLIST,
     lloyd_iters: int = IVF_LLOYD_ITERS,
+    two_level: bool = False,
+    sub_iters: int = 4,
 ):
     """IVF index: k-means coarse quantizer → vectors partitioned by cell.
 
     Deterministic throughout (no RNG state): centroids initialize from
-    the ``n_list`` lowest vec_ids, then ``lloyd_iters`` rounds of
-    distributed Lloyd — assignment is a broadcast-centroid NumPy argmax
-    per Arrow batch; the mean recompute is an explode/avg aggregation
-    (scales to any corpus; only the (n_list × dim) centroid matrix ever
-    reaches the driver). Vectors are written partitioned by cell so a
-    probe scans ``nprobe`` directories instead of the corpus.
+    the lowest vec_ids, then ``lloyd_iters`` rounds of distributed
+    Lloyd — assignment is a broadcast-centroid NumPy argmax per Arrow
+    batch; the mean recompute is an explode/avg aggregation. Vectors
+    are written partitioned by cell so a probe scans ``nprobe``
+    directories instead of the corpus.
 
-    Scaling rule for ``n_list`` (VERDICT r6 item 2): the flat index is
-    right while n_list stays O(thousands) — the shipped configs. A
-    deployment that grows cells with the corpus (k ∝ n for flat cell
-    populations) must NOT grow this driver matrix with it: use
-    ``two_level_cell_assignment`` for the cell assignment (⌈√k⌉
-    driver-side centroids, sub-cells trained inside their own tasks —
-    measured driver-rows exponent 0.49 vs 1.00 flat, SCALING.json →
-    quantizer) and write the index partitioned by its packed cell id.
+    ``two_level=True`` composes the ⌈√k⌉ scaling rule INTO the index
+    (VERDICT r7 item 1 — the rule existed in
+    ``two_level_cell_assignment`` but the index still trained the flat
+    linear-in-k quantizer): only k₁ = ⌈√n_list⌉ level-1 centroids are
+    ever Lloyd-trained driver-side; each level-1 cell then k-means's
+    its own k₂ = ⌈n_list/k₁⌉ sub-cells INSIDE its Arrow task, and the
+    index is written partitioned by the packed cell id
+    ``cell = cell1·k₂ + cell2`` — the exact same directory layout as
+    the flat index, so every downstream reader is unchanged. The
+    sub-centroids are persisted in the LAKE
+    (``{location}/_subcentroids``, partitioned by cell1), never on the
+    driver: a probe reads only the ≤ nq·nprobe level-1 partitions it
+    selects, so probe-side driver memory is O(√k + nq·nprobe·k₂·dim)
+    where the flat probe's is O(k·dim). At the shipped n_list=16 both
+    forms are trivially cheap; at a k ∝ n deployment (10⁹ vectors,
+    k = n/64) the flat quantizer's driver matrix is ~4 GB where the
+    hierarchical one's is ~16 MB (SCALING.json → quantizer: measured
+    driver-rows exponent 0.49 vs 1.00 flat).
 
-    Returns the centroid matrix (also persisted beside the index).
+    Returns the level-1 centroid matrix (persisted beside the index);
+    ``_meta.json`` records the structure so probe/append pick the
+    matching path.
     """
     import json as _json
+    import math
 
-    cent = _train_centroids(spark, emb, n_list, lloyd_iters)
-    final = emb.mapInPandas(
-        _assign_to_centroids(spark, cent),
+    if not two_level:
+        cent = _train_centroids(spark, emb, n_list, lloyd_iters)
+        final = emb.mapInPandas(
+            _assign_to_centroids(spark, cent),
+            schema="cell int, vec_id bigint, v array<float>",
+        )
+        (
+            final.repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(location)
+        )
+        with open(os.path.join(location, "_centroids.json"), "w") as f:
+            _json.dump(cent.tolist(), f)
+        with open(os.path.join(location, "_meta.json"), "w") as f:
+            _json.dump({"two_level": False, "n_list": n_list}, f)
+        _invalidate_index_df(spark, location)
+        return cent
+
+    from pyspark import StorageLevel
+
+    # k₁ = max(⌈√k⌉, IVF_K1_MIN) capped at n_list: asymptotically the
+    # √k driver bound is unchanged (the floor constant is absorbed once
+    # k > IVF_K1_MIN²), but at small k the finer parent cut is what
+    # keeps recall at flat-quantizer levels — a 4-way first cut over 16
+    # cells measured 0.66-0.74 mean recall where 8×2 measures
+    # 0.84-0.86 against flat's 0.88-0.90 (same nprobe scan budget).
+    k1 = (
+        min(n_list, max(math.isqrt(max(n_list - 1, 0)) + 1, IVF_K1_MIN))
+        if n_list > 1
+        else 1
+    )
+    k2 = max(1, -(-n_list // k1))
+    cent1 = _train_centroids(spark, emb, k1, lloyd_iters)
+    assigned1 = emb.mapInPandas(
+        _assign_to_centroids(spark, cent1),
         schema="cell int, vec_id bigint, v array<float>",
-    )
-    (
-        final.repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(location)
-    )
+    ).withColumnRenamed("cell", "cell1").persist(StorageLevel.MEMORY_AND_DISK)
+    _check_level2_task_budget(assigned1)
+
+    k2_local = k2
+    n_sub_iters = sub_iters
+
+    # self-contained kernel (workers in a driver-created session cannot
+    # import this package — same constraint as every kernel here): one
+    # grouped pass per level-1 cell trains its sub-centroids AND
+    # assigns its vectors, emitting both row kinds in one schema
+    def _sub_index(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cell1 = int(key[0])
+        order = pdf["vec_id"].to_numpy().argsort(kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["v"].to_numpy())[order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms > 0, norms, 1.0)
+        kk = min(k2_local, len(ids))
+        cent = mn[:kk].copy()
+        sub = np.zeros(len(ids), dtype=np.int64)
+        for _ in range(n_sub_iters):
+            sub = (mn @ cent.T).argmax(axis=1)
+            for c in range(kk):
+                mask = sub == c
+                if mask.any():
+                    v = mn[mask].mean(axis=0)
+                    nv = np.linalg.norm(v)
+                    if nv > 0:
+                        cent[c] = v / nv
+        sub = (mn @ cent.T).argmax(axis=1)
+        assign = pd.DataFrame(
+            {
+                "kind": "v",
+                "cell1": cell1,
+                "vec_id": ids,
+                "cell": cell1 * k2_local + sub,
+                "v": list(m.astype(np.float32)),
+            }
+        )
+        cents = pd.DataFrame(
+            {
+                "kind": "c",
+                "cell1": cell1,
+                "vec_id": np.arange(kk, dtype=np.int64),
+                "cell": cell1 * k2_local + np.arange(kk),
+                "v": list(cent.astype(np.float32)),
+            }
+        )
+        return pd.concat([assign, cents], ignore_index=True)
+
+    combined = assigned1.groupBy("cell1").applyInPandas(
+        _sub_index,
+        "kind string, cell1 int, vec_id bigint, cell int, v array<float>",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        (
+            combined.filter(F.col("kind") == "v")
+            .select("cell", "vec_id", "v")
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(location)
+        )
+        (
+            combined.filter(F.col("kind") == "c")
+            .select("cell1", "cell", "v")
+            .write.mode("overwrite")
+            .partitionBy("cell1")
+            .parquet(os.path.join(location, "_subcentroids"))
+        )
+    finally:
+        combined.unpersist()
+        assigned1.unpersist()
     with open(os.path.join(location, "_centroids.json"), "w") as f:
-        _json.dump(cent.tolist(), f)
+        _json.dump(cent1.tolist(), f)
+    with open(os.path.join(location, "_meta.json"), "w") as f:
+        _json.dump(
+            {"two_level": True, "n_list": n_list, "k1": k1, "k2": k2}, f
+        )
     _invalidate_index_df(spark, location)
-    return cent
+    return cent1
 
 
 def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: str) -> None:
     """Incrementally add vectors to an existing IVF index: assign the
-    new rows against the PERSISTED centroids (no re-clustering) and
+    new rows against the PERSISTED quantizer (no re-clustering) and
     append their files into the cell partitions. Same partition-swap
-    economics as the LSH append — existing files untouched."""
+    economics as the LSH append — existing files untouched.
+
+    Two-level indexes assign hierarchically without ever collecting
+    the full quantizer: level-1 argmax against the broadcast ⌈√k⌉
+    matrix, then the new rows are unioned with the LAKE-resident
+    sub-centroid rows of their level-1 cell and a grouped Arrow task
+    argmaxes each cell's newcomers against its own sub-centroids —
+    one shuffle on cell1, no k-sized broadcast anywhere."""
     import json as _json
 
     import numpy as np
 
     with open(os.path.join(location, "_centroids.json")) as f:
         cent = np.array(_json.load(f))
+    meta = _index_meta(location)
     bc = spark.sparkContext.broadcast(cent)
 
-    def _assign(batches):
-        import pandas as pd
+    if not meta.get("two_level"):
 
-        c = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            block = np.stack(pdf["v"].to_numpy())
-            bn = block / np.linalg.norm(block, axis=1, keepdims=True)
-            cell = (bn @ c.T).argmax(axis=1)
-            yield pd.DataFrame({"cell": cell, "vec_id": pdf["vec_id"], "v": pdf["v"]})
+        def _assign(batches):
+            import pandas as pd
 
-    delta = new_emb.mapInPandas(
-        _assign, schema="cell int, vec_id bigint, v array<float>"
-    )
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.stack(pdf["v"].to_numpy())
+                bn = block / np.linalg.norm(block, axis=1, keepdims=True)
+                cell = (bn @ c.T).argmax(axis=1)
+                yield pd.DataFrame({"cell": cell, "vec_id": pdf["vec_id"], "v": pdf["v"]})
+
+        delta = new_emb.mapInPandas(
+            _assign, schema="cell int, vec_id bigint, v array<float>"
+        )
+    else:
+
+        def _assign1(batches):
+            import pandas as pd
+
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                block = np.stack(pdf["v"].to_numpy())
+                norms = np.linalg.norm(block, axis=1, keepdims=True)
+                bn = block / np.where(norms > 0, norms, 1.0)
+                cell1 = (bn @ c.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "kind": "v",
+                        "cell1": cell1,
+                        "vec_id": pdf["vec_id"],
+                        "cell": -1,
+                        "v": pdf["v"],
+                    }
+                )
+
+        tagged_new = new_emb.mapInPandas(
+            _assign1,
+            schema="kind string, cell1 int, vec_id bigint, cell int, v array<float>",
+        )
+        subs = (
+            spark.read.parquet(os.path.join(location, "_subcentroids"))
+            .select(
+                F.lit("c").alias("kind"),
+                "cell1",
+                F.lit(-1).cast("bigint").alias("vec_id"),
+                "cell",
+                "v",
+            )
+        )
+
+        def _assign2(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            is_c = pdf["kind"] == "c"
+            cents = pdf[is_c].sort_values("cell")
+            news = pdf[~is_c]
+            if not len(news) or not len(cents):
+                return pd.DataFrame(
+                    {"cell": [], "vec_id": [], "v": []}
+                ).astype({"cell": "int32", "vec_id": "int64"})
+            cmat = np.stack(cents["v"].to_numpy()).astype(np.float64)
+            block = np.stack(news["v"].to_numpy())
+            norms = np.linalg.norm(block, axis=1, keepdims=True)
+            bn = block / np.where(norms > 0, norms, 1.0)
+            idx = (bn @ cmat.T).argmax(axis=1)
+            return pd.DataFrame(
+                {
+                    "cell": cents["cell"].to_numpy()[idx],
+                    "vec_id": news["vec_id"].to_numpy(),
+                    "v": news["v"].to_numpy(),
+                }
+            )
+
+        delta = tagged_new.unionByName(subs).groupBy("cell1").applyInPandas(
+            _assign2, "cell int, vec_id bigint, v array<float>"
+        )
     (
         delta.repartition("cell")
         .write.mode("append")
@@ -703,6 +951,18 @@ def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: st
         .parquet(location)
     )
     _invalidate_index_df(spark, location)
+
+
+def _index_meta(index_path: str) -> dict:
+    """Structure stamp written by ``build_ann_ivf_index``; a pre-meta
+    (r7 and earlier) index is flat by construction."""
+    import json as _json
+
+    meta_path = os.path.join(index_path, "_meta.json")
+    if not os.path.exists(meta_path):
+        return {"two_level": False}
+    with open(meta_path) as f:
+        return _json.load(f)
 
 
 def ann_ivf_probe(
@@ -715,7 +975,19 @@ def ann_ivf_probe(
     """Probe an IVF index: nearest ``nprobe`` cells per query become a
     single ``cell IN (...)`` partition filter + broadcast kernel-side
     pairing, then exact re-score — the same pruned-scan shape as the
-    LSH probe, with data-adaptive cells instead of random hyperplanes."""
+    LSH probe, with data-adaptive cells instead of random hyperplanes.
+
+    On a two-level index the cell selection itself is hierarchical, so
+    the probe's driver memory never sees the full k×dim quantizer:
+    rank level-1 centroids (⌈√k⌉ rows, from ``_centroids.json``), read
+    ONLY the selected level-1 partitions of the lake-resident
+    sub-centroid table (≤ nq·nprobe·k₂ rows collected — bounded by the
+    query block and nprobe, independent of k), rank the packed cells,
+    and prune the scan with the same ``cell IN (...)`` filter as the
+    flat probe. Candidate-cell recall is guarded by probing nprobe
+    level-1 cells (the true top-nprobe packed cells span at most
+    nprobe parents) and verified end-to-end by
+    ``ann_ivf_topk_checked``'s recall floor."""
     import json as _json
 
     import numpy as np
@@ -725,12 +997,41 @@ def ann_ivf_probe(
     q_ids = queries_pdf["vec_id"].to_numpy()
     q_mat = np.stack(queries_pdf["v"].to_numpy())
     q_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    order = np.argsort(-(q_n @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    meta = _index_meta(index_path)
 
     part_to_q: dict[int, list[int]] = {}
-    for qi in range(len(q_ids)):
-        for j in range(order.shape[1]):
-            part_to_q.setdefault(int(order[qi, j]), []).append(qi)
+    if not meta.get("two_level"):
+        order = np.argsort(-(q_n @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+        for qi in range(len(q_ids)):
+            for j in range(order.shape[1]):
+                part_to_q.setdefault(int(order[qi, j]), []).append(qi)
+    else:
+        k1 = int(meta["k1"])
+        p1 = min(k1, nprobe)
+        order1 = np.argsort(-(q_n @ cent.T), axis=1)[:, :p1]  # (nq, p1)
+        sel1 = sorted({int(c) for row in order1 for c in row})
+        sub_rows = (
+            spark.read.parquet(os.path.join(index_path, "_subcentroids"))
+            .filter(F.col("cell1").isin(sel1))
+            .collect()
+        )
+        by_cell1: dict[int, list] = {}
+        for r in sub_rows:
+            by_cell1.setdefault(int(r["cell1"]), []).append(
+                (int(r["cell"]), r["v"])
+            )
+        for qi in range(len(q_ids)):
+            cand_cells: list[int] = []
+            cand_vecs: list = []
+            for c1 in order1[qi]:
+                for cell, v in sorted(by_cell1.get(int(c1), [])):
+                    cand_cells.append(cell)
+                    cand_vecs.append(v)
+            if not cand_cells:
+                continue
+            sims = np.asarray(cand_vecs, dtype=np.float64) @ q_n[qi]
+            for j in np.argsort(-sims, kind="stable")[:nprobe]:
+                part_to_q.setdefault(cand_cells[int(j)], []).append(qi)
     pruned = _index_df(spark, index_path).filter(
         F.col("cell").isin(sorted(part_to_q))
     )
@@ -819,16 +1120,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: k-means cells as the coarse quantizer,
     nprobe-pruned partition scan, exact re-scoring. The data-adaptive
     sibling of ``ann_lsh_topk`` — better cell occupancy on clustered
-    corpora, same pruned-scan plan shape. Correctness gate:
-    ``ann_ivf_topk_checked``."""
+    corpora, same pruned-scan plan shape. The registry path builds the
+    TWO-LEVEL index (r8): only ⌈√n_list⌉ centroids ever reach the
+    driver, sub-centroids live in the lake, and the probe selects
+    packed cells hierarchically — the scaling rule measured in
+    SCALING.json's quantizer family, now composed into the index this
+    repo actually ships. Correctness gate: ``ann_ivf_topk_checked``."""
     emb = _load_emb(spark, sf_dir)
     queries_pdf = _query_block(spark, emb, sf_dir)
     if not len(queries_pdf):
         return spark.createDataFrame([], _SCORED_SCHEMA + ", rank int")
-    index_path = _auto_index_path(spark, sf_dir, "ivf")
+    index_path = _auto_index_path(spark, sf_dir, "ivf2")
     if not os.path.isdir(index_path):
-        _gc_stale_indexes(_warehouse_root(spark), "ann_ivf_index_", index_path)
-        build_ann_ivf_index(spark, emb, index_path)
+        _gc_stale_indexes(_warehouse_root(spark), "ann_ivf2_index_", index_path)
+        build_ann_ivf_index(spark, emb, index_path, two_level=True)
     return ann_ivf_probe(spark, index_path, queries_pdf)
 
 
@@ -882,8 +1187,9 @@ def ann_lsh_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashable verdict for the IVF path — same construction as
     ``ann_lsh_topk_checked`` with the IVF probe and its threshold
-    (nprobe/nlist = 4/16 scans ~25% of a near-uniform corpus, and the
-    data-adaptive cells push measured recall to 0.88-1.0)."""
+    (nprobe/nlist = 4/16 scans ~25% of a near-uniform corpus; the
+    data-adaptive cells push measured recall to 0.84-0.90 on the
+    two-level index the registry path now builds)."""
     exact = ann_cosine_topk(spark, sf_dir)
     approx = ann_ivf_topk(spark, sf_dir)
     return _recall_verdict(exact, approx, IVF_MIN_MEAN_RECALL)

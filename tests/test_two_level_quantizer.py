@@ -102,3 +102,138 @@ def test_semdedup_accepts_two_level_bucket_df(spark):
     for r in out:
         assert r.rep_id <= r.vec_id
         assert r.is_kept == (r.rep_id == r.vec_id)
+
+
+# ---------------------------------------------------------------------------
+# round 8: the two-level rule COMPOSED INTO the ANN IVF index
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_build_driver_matrix_rows_bounded(spark, monkeypatch, tmp_path):
+    """The hierarchical index build Lloyd-trains ONLY the level-1
+    matrix driver-side: k₁ = min(n_list, max(ceil(sqrt(n_list)),
+    IVF_K1_MIN)) — never n_list — and the bound stays O(sqrt(k))
+    asymptotically (the IVF_K1_MIN floor is absorbed once
+    n_list > IVF_K1_MIN²)."""
+    from flink_realtime_data_warehouse_spark.operators import similarity as sim
+
+    seen = {}
+    real = sim._train_centroids
+
+    def spy(spark_, emb_, k, iters):
+        seen["k"] = k
+        return real(spark_, emb_, k, iters)
+
+    monkeypatch.setattr(sim, "_train_centroids", spy)
+    vec = _vec(spark)
+    sim.build_ann_ivf_index(
+        spark, vec, str(tmp_path / "ivf2"), n_list=16, two_level=True
+    )
+    assert seen["k"] == min(16, max(math.isqrt(15) + 1, sim.IVF_K1_MIN)) == 8
+    # the rule, not the instance: sublinear for every n_list
+    for n in (64, 100, 1000, 10000, 10**6):
+        k1 = min(n, max(math.isqrt(n - 1) + 1, sim.IVF_K1_MIN))
+        assert k1 <= max(math.isqrt(n - 1) + 1, sim.IVF_K1_MIN)
+        assert k1 * max(1, -(-n // k1)) >= n  # cell budget still covered
+
+
+def test_ivf_two_level_layout_and_probe_recall(spark, tmp_path):
+    """Index layout: same cell-partitioned directory as the flat index
+    (downstream readers unchanged), sub-centroids in the lake under
+    _subcentroids partitioned by cell1, structure recorded in
+    _meta.json; the hierarchical probe meets the registry recall
+    floor."""
+    import json as _json
+    import os
+
+    from flink_realtime_data_warehouse_spark.operators import similarity as sim
+
+    sf_dir = SF_DIR
+    emb = sim._load_emb(spark, sf_dir)
+    loc = str(tmp_path / "ivf2")
+    sim.build_ann_ivf_index(spark, emb, loc, n_list=16, two_level=True)
+
+    with open(os.path.join(loc, "_meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["two_level"] is True and meta["k1"] * meta["k2"] >= 16
+    cells = {
+        int(d.split("=")[1])
+        for d in os.listdir(loc)
+        if d.startswith("cell=")
+    }
+    assert cells and all(0 <= c < meta["k1"] * meta["k2"] for c in cells)
+    subs = spark.read.parquet(os.path.join(loc, "_subcentroids"))
+    assert subs.count() <= meta["k1"] * meta["k2"]
+    # every vector indexed exactly once (assignment is total)
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _index_df,
+    )
+
+    assert _index_df(spark, loc).count() == emb.count()
+
+    qp = sim._query_block(spark, emb, sf_dir)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_ivf_probe(spark, loc, qp).collect()
+    }
+    assert len(exact & approx) / len(exact) >= sim.IVF_MIN_MEAN_RECALL
+
+
+def test_ivf_two_level_append_assigns_hierarchically(spark, tmp_path):
+    """append_ann_ivf_vectors on a two-level index: new vectors land in
+    existing packed-cell partitions (no k-sized broadcast — level-1
+    argmax then an in-task argmax against the cell's lake-resident
+    sub-centroids) and a subsequent probe can return them."""
+    from flink_realtime_data_warehouse_spark.operators import similarity as sim
+
+    emb = sim._load_emb(spark, SF_DIR)
+    old = emb.filter(F.col("vec_id") >= 100)
+    new = emb.filter(F.col("vec_id") < 100)
+    loc = str(tmp_path / "ivf2")
+    sim.build_ann_ivf_index(spark, old, loc, n_list=16, two_level=True)
+    n_before = sim._index_df(spark, loc).count()
+    sim.append_ann_ivf_vectors(spark, new, loc)
+    idx = sim._index_df(spark, loc)
+    assert idx.count() == n_before + new.count()
+    # appended rows live in valid packed cells only
+    meta_cells = 16
+    appended = idx.filter(F.col("vec_id") < 100)
+    assert appended.count() == new.count()
+    assert all(
+        0 <= r.cell < meta_cells for r in appended.select("cell").collect()
+    )
+    # identical vectors assign to the identical cell (determinism)
+    again = str(tmp_path / "ivf2b")
+    sim.build_ann_ivf_index(spark, old, again, n_list=16, two_level=True)
+    sim.append_ann_ivf_vectors(spark, new, again)
+    a = {r.vec_id: r.cell for r in sim._index_df(spark, loc).collect()}
+    b = {r.vec_id: r.cell for r in sim._index_df(spark, again).collect()}
+    assert a == b
+
+
+def test_level2_task_budget_guard_trips_on_dominant_cell(spark, monkeypatch):
+    """A dominant level-1 cell past the task budget must raise the
+    add-a-third-level escalation, not build an OOM-shaped task — and
+    below the budget nothing changes (VERDICT r7 item 5)."""
+    import pytest
+
+    from flink_realtime_data_warehouse_spark.operators import similarity as sim
+
+    vec = _vec(spark)
+    n = vec.count()
+    # plant the dominant cell: every vector identical -> one level-1
+    # cell holds the whole corpus
+    one = vec.limit(1).collect()[0]["v"]
+    dom = vec.select("vec_id", F.lit(one).alias("v"))
+    # tiny budget so the planted pile is "past" it
+    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", 1024)
+    with pytest.raises(RuntimeError, match="third"):
+        sim.two_level_cell_assignment(spark, dom, max(32, n // 64)).count()
+    # below the budget: no behavior change
+    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", 1 << 30)
+    out = sim.two_level_cell_assignment(spark, vec, max(32, n // 64))
+    assert out.count() == n
