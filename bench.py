@@ -108,6 +108,7 @@ HEADLINE = [
     # round 5: codec-free perceptual near-dup over binary payloads,
     # embedding-space benchmark decontamination
     "multimodal_perceptual_dups",
+    "multimodal_perceptual_dups_capped",
     "decontam_semantic_overlap",
     # round 5 (closing): 1→N frame sampling through the Arrow kernel
     "multimodal_frame_digests",
@@ -270,6 +271,12 @@ def main() -> None:
         # the df-capped ingest gate's own rate (round 7): short key so
         # the compact driver line stays inside its budget
         "hist_gate_rps": streaming["history_dedup_gated_rows_per_sec"],
+        # the gate's two-point fixed/variable split (round 8): fixed
+        # per-batch overhead vs per-document rate, so regressions in
+        # either term are separately visible (the single rps scalar
+        # conflates them — a small batch is fixed-cost-dominated)
+        "hist_gate_fixed_sec": streaming.get("history_dedup_gated_fixed_sec"),
+        "hist_gate_var_rps": streaming.get("history_dedup_gated_var_rps"),
         "streaming": streaming,
         "ann_lsh_warm_sec": ann_lsh_warm,
         "ann_pq_warm_sec": ann_pq_warm,

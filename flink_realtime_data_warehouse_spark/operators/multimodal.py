@@ -263,6 +263,15 @@ PERCEPTUAL_SAMPLES = 32  #: fixed-stride byte samples per payload
 PERCEPTUAL_STRIDE = 16  #: bytes between samples (absolute, start-anchored)
 PERCEPTUAL_MAX_HAMMING = 4  #: max differing samples for a near-dup pair
 _PREFIX_HEX = 32  #: 16-byte prefix/suffix blocking keys, as hex chars
+#: members per blocking bucket beyond which the block is dropped before
+#: the self-join (the df-cap pattern applied to byte blocking): a block
+#: this populous is template boilerplate — thumbnails of one template,
+#: a shared trailer/footer region — and contributes c² candidate pairs
+#: while discriminating nothing. The zipf twin plants exactly this (30%
+#: of docs share the 16-byte boilerplate suffix → one suffix block with
+#: 0.3n members → (0.3n)² candidates); SKEW.json → multimodal measures
+#: the cliff and the cap holding it flat.
+PERCEPTUAL_BLOCK_CAP = 256
 
 
 def _sig_sql(hx: str) -> str:
@@ -298,11 +307,44 @@ def _hamming_sql(a: str, b: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def perceptual_blocks(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    header_skip: int = 0,
+) -> DataFrame:
+    """(bkey, id, sig) blocking relation of ``perceptual_dedup_pairs``
+    — exposed so skew tooling can bound the self-join (Σ c·(c−1)/2
+    over bkey) WITHOUT running it; the production path and the bound
+    share one definition."""
+    hx = media.filter(F.col(payload_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.hex(F.col(payload_col)).alias("hx"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias("nb"),
+    )
+    sigged = hx.select(
+        "id",
+        F.expr(_sig_sql("hx")).alias("sig"),
+        F.expr(f"substr(hx, {1 + 2 * header_skip}, {_PREFIX_HEX})").alias("pfx"),
+        F.expr(f"substr(hx, greatest(2*nb - {_PREFIX_HEX - 1}, 1), {_PREFIX_HEX})").alias(
+            "sfx"
+        ),
+    )
+    return sigged.select(
+        F.concat(F.lit("p:"), F.md5("pfx")).alias("bkey"), "id", "sig"
+    ).unionByName(
+        sigged.select(
+            F.concat(F.lit("s:"), F.md5("sfx")).alias("bkey"), "id", "sig"
+        )
+    )
+
+
 def perceptual_dedup_pairs(
     media: DataFrame,
     id_col: str = "media_id",
     payload_col: str = "payload",
     header_skip: int = 0,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Blocked byte-level near-dup pairs over opaque binary payloads.
 
@@ -319,27 +361,26 @@ def perceptual_dedup_pairs(
     prefix block into one corpus-sized bucket — pass the format's
     header length so the prefix digest starts at the first
     content-dependent byte. The signature is unaffected (identical
-    headers contribute identical samples)."""
-    hx = media.filter(F.col(payload_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.hex(F.col(payload_col)).alias("hx"),
-        F.octet_length(F.col(payload_col)).cast("bigint").alias("nb"),
-    )
-    sigged = hx.select(
-        "id",
-        F.expr(_sig_sql("hx")).alias("sig"),
-        F.expr(f"substr(hx, {1 + 2 * header_skip}, {_PREFIX_HEX})").alias("pfx"),
-        F.expr(f"substr(hx, greatest(2*nb - {_PREFIX_HEX - 1}, 1), {_PREFIX_HEX})").alias(
-            "sfx"
-        ),
-    )
-    blocks = sigged.select(
-        F.concat(F.lit("p:"), F.md5("pfx")).alias("bkey"), "id", "sig"
-    ).unionByName(
-        sigged.select(
-            F.concat(F.lit("s:"), F.md5("sfx")).alias("bkey"), "id", "sig"
+    headers contribute identical samples).
+
+    ``block_cap``: drop blocking buckets with more members than this
+    BEFORE the self-join (broadcast anti-join on the tiny hot set —
+    only template boilerplate crosses a 256-member cap). A dominant
+    bucket (near-identical thumbnails of one template; a corpus-wide
+    trailer) otherwise puts c² rows through the join — the byte-level
+    twin of the n-gram df cap, measured in SKEW.json → multimodal.
+    Recall cost is bounded: a pair is lost only when BOTH its blocks
+    overflow, and an overflowing block is by construction shared
+    content that does not identify the pair."""
+    blocks = perceptual_blocks(media, id_col, payload_col, header_skip)
+    if block_cap is not None:
+        hot = (
+            blocks.groupBy("bkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > block_cap)
+            .select("bkey")
         )
-    )
+        blocks = blocks.join(F.broadcast(hot), "bkey", "left_anti")
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (
@@ -359,9 +400,17 @@ def perceptual_dedup_pairs(
     )
 
 
-def _perceptual_oracle() -> str:
+def _perceptual_oracle(block_cap: int | None = None) -> str:
     sig = _sig_sql("hx")
     ham = _hamming_sql("p.sa", "p.sb")
+    cap_cte = (
+        f"""
+bc AS (SELECT bkey FROM b GROUP BY bkey HAVING count(*) > {block_cap}),
+b2 AS (SELECT * FROM b WHERE bkey NOT IN (SELECT bkey FROM bc)),"""
+        if block_cap is not None
+        else """
+b2 AS (SELECT * FROM b),"""
+    )
     return f"""
 WITH m AS (
   SELECT doc_id AS id, hex(encode(text)) AS hx,
@@ -374,10 +423,10 @@ s AS (SELECT id, {sig} AS sig,
 b AS (
   SELECT 'p:' || md5(pfx) AS bkey, id, sig FROM s
   UNION ALL
-  SELECT 's:' || md5(sfx) AS bkey, id, sig FROM s),
+  SELECT 's:' || md5(sfx) AS bkey, id, sig FROM s),{cap_cte}
 p AS (
   SELECT DISTINCT ba.id AS da, bb.id AS db, ba.sig AS sa, bb.sig AS sb
-  FROM b ba JOIN b bb ON ba.bkey = bb.bkey AND ba.id < bb.id)
+  FROM b2 ba JOIN b2 bb ON ba.bkey = bb.bkey AND ba.id < bb.id)
 SELECT p.da, p.db, CAST({ham} AS BIGINT) AS hamming
 FROM p WHERE {ham} <= {PERCEPTUAL_MAX_HAMMING}
 ORDER BY p.da, p.db
@@ -398,6 +447,35 @@ def multimodal_perceptual_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return perceptual_dedup_pairs(media).orderBy("da", "db")
+
+
+@query(
+    "multimodal_perceptual_dups_capped",
+    oracle=_perceptual_oracle(block_cap=PERCEPTUAL_BLOCK_CAP),
+)
+def multimodal_perceptual_dups_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-capped perceptual near-dup pairs (VERDICT r7 item 6): the
+    production form of ``multimodal_perceptual_dups`` for corpora with
+    template skew. Blocking buckets with more than
+    ``PERCEPTUAL_BLOCK_CAP`` members are dropped before the self-join
+    (broadcast anti-join on the hot set) — the df-cap defense applied
+    to byte blocking, because one dominant block (a corpus-wide
+    trailer; thumbnails of one template) contributes c² candidate
+    pairs while discriminating nothing. Byte-identical to the uncapped
+    row on clean corpora (no block reaches the cap at the oracle SFs —
+    parity-pinned); on the zipf twin the suffix block carries 0.3·n
+    members and the cap is what keeps the candidate volume linear
+    (SKEW.json → multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return perceptual_dedup_pairs(
+        media, block_cap=PERCEPTUAL_BLOCK_CAP
+    ).orderBy("da", "db")
 
 
 @query(

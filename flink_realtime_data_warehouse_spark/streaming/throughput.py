@@ -88,14 +88,19 @@ def prepare_changelog(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     return cust.count()
 
 
-def prepare_doc_drop(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
+def prepare_doc_drop(
+    spark: SparkSession, sf_dir: str, out_dir: str, limit: int | None = None
+) -> int:
     """Synthesize a document-ingest JSONL file drop from the documents
     table (the corpus the batch dedup family runs on, so the streaming
     gate classifies a workload with the SAME duplicate structure).
-    Returns the line count."""
+    ``limit`` caps the drop (deterministic lowest doc_ids) — the small
+    batch of the gate's fixed/variable split. Returns the line count."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    if limit is not None:
+        docs = docs.orderBy("doc_id").limit(limit)
     lines = docs.select(
         F.to_json(F.struct(F.col("doc_id"), F.col("text"))).alias("value")
     )
@@ -307,6 +312,45 @@ def run_streaming_throughput(
     result["history_dedup_gated_rows_per_sec"] = (
         round(n_docs / gated_sec, 1) if gated_sec else 0.0
     )
+
+    # gate fixed/variable split (VERDICT r7 item 2): the same gated
+    # topology over a SMALL drop isolates the per-batch fixed cost
+    # (stream startup + the df-delta/hot-set/band/probe job overhead,
+    # none of which scales with the batch) from the per-document work.
+    # Two points solve t = fixed + n/var_rps; the 3-size offline curve
+    # (sf0.1/10×/30×, tools/measure_gate_amortization.py) lives in
+    # BASELINE.md — this in-bench split is the per-round regression
+    # scalar for each term separately, because a fixed-cost drift and
+    # a per-row drift need different fixes.
+    small_n = min(500, n_docs)
+    if 0 < small_n < n_docs:
+        small_src = os.path.join(work_root, "doc_src_small")
+        n_small = prepare_doc_drop(spark, sf_dir, small_src, limit=small_n)
+        t0 = time.perf_counter()
+        stream = spark.readStream.schema("doc_id bigint, text string").json(
+            small_src
+        )
+        start_history_dedup_ingest(
+            spark,
+            stream,
+            os.path.join(work_root, "out_histdedup_gated_small"),
+            os.path.join(work_root, "ckpt_histdedup_gated_small"),
+            near_dup_gate=True,
+        ).awaitTermination()
+        small_sec = round(time.perf_counter() - t0, 3)
+        result["history_dedup_gated_small_sec"] = small_sec
+        result["rows_docs_small"] = n_small
+        per_doc = (gated_sec - small_sec) / (n_docs - n_small)
+        if per_doc > 0:
+            result["history_dedup_gated_fixed_sec"] = round(
+                max(small_sec - n_small * per_doc, 0.0), 3
+            )
+            result["history_dedup_gated_var_rps"] = round(1.0 / per_doc, 1)
+        else:
+            # host-noise degenerate (small batch measured no faster):
+            # the whole wall is fixed cost at this scale
+            result["history_dedup_gated_fixed_sec"] = small_sec
+            result["history_dedup_gated_var_rps"] = None
     return result
 
 

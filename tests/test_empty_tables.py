@@ -125,6 +125,7 @@ _NULL_PARITY_QUERIES = [
     # round 5: NULL text must vanish identically from blocking AND
     # signature on both engines (filter + encode/hex agreement)
     "multimodal_perceptual_dups",
+    "multimodal_perceptual_dups_capped",
     # round 5: NULL text must produce no frames on either engine, and
     # the surviving docs' frame arithmetic must agree byte-for-byte
     "multimodal_frame_digests",

@@ -266,6 +266,65 @@ def measure_dir(spark, sf_dir: str) -> dict:
     }
     release_shingle_cache()
 
+    # --- multimodal perceptual blocking under template skew (round 8):
+    # 30% of zipf docs share the 16-byte boilerplate SUFFIX, so one
+    # suffix block carries 0.3·n members and the uncapped self-join
+    # bound goes (0.3n)² — the byte-level analogue of the n-gram df
+    # cliff. The block cap must hold the bound flat while the planted
+    # dup pairs (which share their PREFIX block, and are
+    # boilerplate-free by construction) stay recalled.
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        PERCEPTUAL_BLOCK_CAP,
+        multimodal_perceptual_dups,
+        multimodal_perceptual_dups_capped,
+        perceptual_blocks,
+        perceptual_dedup_pairs,
+    )
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    blocks = perceptual_blocks(media)
+    mm_bound = _pairs_bound(blocks, ["bkey"])
+    hot_blocks = (
+        blocks.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > PERCEPTUAL_BLOCK_CAP)
+    )
+    capped_blocks = blocks.join(F.broadcast(hot_blocks.select("bkey")), "bkey", "left_anti")
+    mm = {
+        "uncapped_block_bound": mm_bound,
+        "hot_blocks": hot_blocks.count(),
+        "capped_block_bound": _pairs_bound(capped_blocks, ["bkey"]),
+        "capped_wall_sec": _timed(
+            multimodal_perceptual_dups_capped, spark, sf_dir
+        ),
+    }
+    capped_pairs_mm = perceptual_dedup_pairs(
+        media, block_cap=PERCEPTUAL_BLOCK_CAP
+    )
+    mm["capped_pairs"] = capped_pairs_mm.count()
+    if mm_bound <= PAIR_GATE:
+        mm["uncapped_pairs"] = perceptual_dedup_pairs(media).count()
+        mm["uncapped_wall_sec"] = _timed(
+            multimodal_perceptual_dups, spark, sf_dir
+        )
+    # planted truth: every DUP_EVERY-th doc = predecessor + " dup" —
+    # same prefix block, suffix shifted by 4 bytes; the capped path
+    # must keep finding them through the (cold) prefix block
+    planted_mm = (
+        docs.filter((F.col("doc_id") % 20 == 19) & (F.col("doc_id") > 0))
+        .select(
+            (F.col("doc_id") - 1).alias("da"), F.col("doc_id").alias("db")
+        )
+    )
+    mm["planted_pairs"] = planted_mm.count()
+    mm["planted_recalled"] = planted_mm.join(
+        capped_pairs_mm.select("da", "db"), ["da", "db"]
+    ).count()
+    out["multimodal"] = mm
+
     # --- semdedup under a dominant cluster: scaled sign bits vs the
     # trained k-means assignment (k grown with n). The dominant cluster
     # defeats FIXED partitioners; k-means splits dense regions by
