@@ -541,6 +541,62 @@ def _incarnation_id(checkpoint: str) -> str:
         return f.read().strip()
 
 
+def compact_history_digest_store(
+    spark: SparkSession, out_root: str, exclude_pbatch: str | None = None
+) -> None:
+    """Fold the history-dedup digest store's per-batch ``pbatch=``
+    partitions onto the ``COMPACTED_PBATCH`` sentinel partition: one
+    consolidated file set instead of one per micro-batch, so the
+    per-batch classify join lists O(1) file sets instead of one per
+    batch ever ingested (content hashes are unique across partitions
+    by construction — only digest-``new`` rows append — and the
+    ``distinct()`` makes re-compaction idempotent). ``exclude_pbatch``
+    (the in-flight batch) stays un-folded so a batch redelivered after
+    a post-compaction crash still excludes exactly its own prior
+    digests. Crash-safe via the shared rename-swap +
+    ``_repair_swap_dir`` sweep, which the ingest's digest reads also
+    run before their existence probes."""
+    import os
+    import shutil
+    import uuid
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        COMPACTED_PBATCH,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    store = os.path.join(out_root, "digests")
+    _repair_swap_dir(out_root, store)
+    if not os.path.isdir(store):
+        return
+    src = spark.read.schema("content_hash string, pbatch string").parquet(store)
+    keep = (
+        src.filter(F.col("pbatch") == exclude_pbatch)
+        if exclude_pbatch is not None
+        else src.limit(0)
+    )
+    fold = (
+        src.filter(~F.col("pbatch").eqNullSafe(exclude_pbatch))
+        if exclude_pbatch is not None
+        else src
+    )
+    folded = (
+        fold.select("content_hash")
+        .distinct()
+        .withColumn("pbatch", F.lit(COMPACTED_PBATCH))
+    )
+    tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
+    folded.unionByName(keep).write.mode("overwrite").partitionBy(
+        "pbatch"
+    ).parquet(tmp)
+    old = f"{store}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(store, old)
+    os.rename(tmp, store)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def start_history_dedup_ingest(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -615,16 +671,20 @@ def start_history_dedup_ingest(
     discipline as the digest store, so a redelivered batch re-derives
     identical bands, deltas, and candidates.
 
-    ``compact_every=N`` folds the two LSH stores every N batches
-    (``compact_dedup_lsh_index_capped``): the df store to one row per
-    shingle and the band store to one consolidated file set, both on
-    the ``COMPACTED_PBATCH`` sentinel partition — EXCEPT the current
-    batch's partition, which stays un-folded so a batch redelivered
-    after a post-compaction crash still excludes exactly its own prior
+    ``compact_every=N`` folds the job's append-only stores every N
+    batches onto the ``COMPACTED_PBATCH`` sentinel partition: the
+    digest store to one consolidated file set
+    (``compact_history_digest_store`` — the classify join then lists
+    O(1) file sets instead of one per batch ever ingested) and, with
+    the gate on, the two LSH stores
+    (``compact_dedup_lsh_index_capped``: df to one row per shingle,
+    bands to one file set) — EXCEPT the current batch's partition,
+    which stays un-folded so a batch redelivered after a
+    post-compaction crash still excludes exactly its own prior
     contribution (replay stays idempotent across the compaction
     boundary). Compaction is crash-safe via the shared rename-swap +
-    ``_repair_swap_dir`` sweep, which the gate reads below run before
-    every store access.
+    ``_repair_swap_dir`` sweep, which the store reads below run before
+    every existence probe.
     """
     from flink_realtime_data_warehouse_spark.operators.dedup import (
         NGRAM_DF_CAP,
@@ -650,6 +710,11 @@ def start_history_dedup_ingest(
         return bool(fs.exists(path))
 
     def _digest_store_exists() -> bool:
+        # roll back a digest compaction crashed mid-swap BEFORE the
+        # existence probe — a store renamed away between the two swap
+        # renames must restore, never read as an empty cold start
+        # (an empty history would classify known duplicates as new)
+        _repair_swap_dir(out_root, digests_path)
         return _store_exists(digests_path)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -663,7 +728,11 @@ def start_history_dedup_ingest(
         if _digest_store_exists():
             history = spark.read.schema(
                 "content_hash string, pbatch string"
-            ).parquet(digests_path).filter(F.col("pbatch") != pbatch)
+            ).parquet(digests_path).filter(
+                # null-safe: rows from an out-of-band (pre-sentinel)
+                # compaction read pbatch as NULL and must stay history
+                ~F.col("pbatch").eqNullSafe(pbatch)
+            )
         else:
             history = spark.createDataFrame(
                 [], "content_hash string, pbatch string"
@@ -768,7 +837,11 @@ def start_history_dedup_ingest(
                 finally:
                     sh_capped.unpersist()
                     sh.unpersist()
-                if compact_every and (batch_id + 1) % compact_every == 0:
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_history_digest_store(
+                    spark, out_root, exclude_pbatch=pbatch
+                )
+                if near_dup_gate:
                     compact_dedup_lsh_index_capped(
                         spark, f"{out_root}/lsh", exclude_pbatch=pbatch
                     )

@@ -46,8 +46,12 @@ BATCHES = [
 def _write_batches(src, batches=BATCHES):
     os.makedirs(src, exist_ok=True)
     for i, rows in enumerate(batches):
-        with open(os.path.join(src, f"b{i}.jsonl"), "w") as f:
+        p = os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as f:
             f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        # FileStreamSource orders batches by modification time; files
+        # written inside one clock tick would arrive in arbitrary order
+        os.utime(p, (1_000_000_000.0 + i, 1_000_000_000.0 + i))
 
 
 def _run(spark, root, ckpt="ckpt", out="out", compact_every=None):
@@ -206,3 +210,126 @@ def test_replay_after_completed_compaction_is_idempotent(spark, tmp_path):
         == before_bands
     )
     assert _clean_ids(spark, out) == [1, 2, 3, 4]
+
+
+def _run_plain(spark, root, ckpt="ckpt", out="out", compact_every=None):
+    """Ingest WITHOUT the near-dup gate (digest store only)."""
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(os.path.join(root, "docs"))
+    )
+    q = start_history_dedup_ingest(
+        spark,
+        stream,
+        os.path.join(root, out),
+        os.path.join(root, ckpt),
+        compact_every=compact_every,
+    )
+    q.awaitTermination(300)
+
+
+def test_digest_compaction_preserves_dedup_verdicts(spark, tmp_path):
+    """Digest-store compaction every 2 batches: a duplicate arriving
+    AFTER the boundary must still classify dup_history against the
+    folded sentinel partition, clean/dups match the uncompacted twin,
+    and the digest store ends with sentinel + the excluded in-flight
+    partition only."""
+    root = str(tmp_path)
+    batches = [
+        [{"doc_id": 1, "text": "first unique document"},
+         {"doc_id": 2, "text": "second unique document"}],
+        [{"doc_id": 3, "text": "third unique document"}],
+        # batch 2 probes AFTER the compact_every=2 boundary
+        [{"doc_id": 4, "text": "first unique document"},   # dup of folded b0
+         {"doc_id": 5, "text": "third unique document"},   # dup of kept b1
+         {"doc_id": 6, "text": "fourth unique document"}],
+        [{"doc_id": 7, "text": "fourth unique document"}],  # dup of b2
+    ]
+    _write_batches(os.path.join(root, "docs"), batches)
+    _run_plain(spark, root, ckpt="ckpt_c", out="out_c", compact_every=2)
+    _run_plain(spark, root, ckpt="ckpt_u", out="out_u", compact_every=None)
+
+    for out in ("out_c", "out_u"):
+        dups = {
+            r.doc_id: r.status
+            for r in spark.read.parquet(os.path.join(root, out, "dups")).collect()
+        }
+        assert dups == {4: "dup_history", 5: "dup_history", 7: "dup_history"}
+        assert _clean_ids(spark, os.path.join(root, out)) == [1, 2, 3, 6]
+
+    dig = spark.read.parquet(os.path.join(root, "out_c", "digests"))
+    pbatches = {r.pbatch for r in dig.select("pbatch").distinct().collect()}
+    # batch 3 (the excluded in-flight partition) carried no NEW digests
+    # — doc 7 is a pure duplicate — so every data row lives on the
+    # sentinel after the batch-3 compaction folded batches 0-2
+    assert pbatches == {COMPACTED_PBATCH}
+    # every unique hash survives the fold exactly once
+    assert dig.count() == dig.select("content_hash").distinct().count() == 4
+
+
+def test_digest_compaction_replay_idempotent(spark, tmp_path):
+    """Crash after a digest compaction but before the checkpoint
+    commit: the redelivered batch re-derives identical stores (its own
+    partition was excluded from the fold)."""
+    root = str(tmp_path)
+    batches = [
+        [{"doc_id": 1, "text": "doc one"}, {"doc_id": 2, "text": "doc two"}],
+        [{"doc_id": 3, "text": "doc one"}, {"doc_id": 4, "text": "doc three"}],
+    ]
+    _write_batches(os.path.join(root, "docs"), batches)
+    _run_plain(spark, root, compact_every=2)
+    out = os.path.join(root, "out")
+    dig_path = os.path.join(out, "digests")
+    before = sorted(map(tuple, spark.read.parquet(dig_path).collect()))
+    before_clean = _clean_ids(spark, out)
+
+    shutil.rmtree(os.path.join(root, "ckpt", "commits"))
+    _run_plain(spark, root, compact_every=2)
+    assert sorted(map(tuple, spark.read.parquet(dig_path).collect())) == before
+    assert _clean_ids(spark, out) == before_clean == [1, 2, 4]
+
+
+def test_crash_mid_digest_compaction_swap_converges(spark, tmp_path, monkeypatch):
+    """Kill between the digest store's rename-away and rename-in, then
+    restart: the repair sweep restores the store before the existence
+    probe (known duplicates must NOT classify as new) and the retried
+    compaction completes."""
+    root = str(tmp_path)
+    batches = [
+        [{"doc_id": 1, "text": "doc one"}, {"doc_id": 2, "text": "doc two"}],
+        [{"doc_id": 3, "text": "doc three"}],
+        [{"doc_id": 4, "text": "doc one"}],  # dup of folded history
+    ]
+    _write_batches(os.path.join(root, "docs"), batches)
+
+    real_rename = os.rename
+    state = {"armed": True}
+
+    def faulty_rename(src, dst):
+        if (
+            state["armed"]
+            and "__tmp_" in str(src)
+            and str(dst).endswith("digests")
+        ):
+            state["armed"] = False
+            raise RuntimeError("injected mid-digest-swap crash")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", faulty_rename)
+    with pytest.raises(Exception, match="injected|Injected|STREAM"):
+        _run_plain(spark, root, compact_every=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    out = os.path.join(root, "out")
+    assert not os.path.isdir(os.path.join(out, "digests"))
+    assert any(d.startswith("digests__old_") for d in os.listdir(out))
+
+    _run_plain(spark, root, compact_every=2)
+    dups = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert dups == {4: "dup_history"}
+    assert _clean_ids(spark, out) == [1, 2, 3]
+    assert not [d for d in os.listdir(out) if "__old_" in d or "__tmp_" in d]
