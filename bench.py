@@ -88,6 +88,7 @@ HEADLINE = [
     # round 4 (late): hard negatives, incremental near-dup gate,
     # quality tiers, drift monitor
     "ann_hard_negatives",
+    "ann_ivf_streaming_ingest_checked",
     "dedup_incremental_lsh",
     "curation_quality_tiers",
     "dq_drift_report",

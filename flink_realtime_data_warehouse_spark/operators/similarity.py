@@ -841,11 +841,14 @@ def build_ann_ivf_index(
     return cent1
 
 
-def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: str) -> None:
-    """Incrementally add vectors to an existing IVF index: assign the
-    new rows against the PERSISTED quantizer (no re-clustering) and
-    append their files into the cell partitions. Same partition-swap
-    economics as the LSH append — existing files untouched.
+def ivf_assign_delta(
+    spark: SparkSession, new_emb: DataFrame, location: str
+) -> DataFrame:
+    """(cell, vec_id, v) assignment of new vectors against an existing
+    index's PERSISTED quantizer (no re-clustering) — the shared kernel
+    of ``append_ann_ivf_vectors`` and the streaming embedding ingest
+    (which writes the delta under its own replay-idempotent store
+    instead of appending files directly).
 
     Two-level indexes assign hierarchically without ever collecting
     the full quantizer: level-1 argmax against the broadcast ⌈√k⌉
@@ -944,6 +947,18 @@ def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: st
         delta = tagged_new.unionByName(subs).groupBy("cell1").applyInPandas(
             _assign2, "cell int, vec_id bigint, v array<float>"
         )
+    return delta
+
+
+def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: str) -> None:
+    """Incrementally add vectors to an existing IVF index: assign the
+    new rows against the persisted quantizer (``ivf_assign_delta``)
+    and append their files into the cell partitions. Same
+    partition-swap economics as the LSH append — existing files
+    untouched. NOT replay-idempotent (a redelivered batch would
+    double-append): streaming callers use the pbatch-partitioned delta
+    store in streaming/jobs.py::start_embedding_ingest instead."""
+    delta = ivf_assign_delta(spark, new_emb, location)
     (
         delta.repartition("cell")
         .write.mode("append")
@@ -1032,9 +1047,49 @@ def ann_ivf_probe(
             sims = np.asarray(cand_vecs, dtype=np.float64) @ q_n[qi]
             for j in np.argsort(-sims, kind="stable")[:nprobe]:
                 part_to_q.setdefault(cand_cells[int(j)], []).append(qi)
-    pruned = _index_df(spark, index_path).filter(
+    # streaming layout (start_embedding_ingest): vectors live under a
+    # swappable {index}/cells dir (compaction rename-swaps it whole,
+    # so the quantizer artifacts and delta store beside it survive the
+    # swap); batch-built indexes keep their cell dirs at the top level
+    cells_path = os.path.join(index_path, "cells")
+    if os.path.isdir(cells_path) or any(
+        d.startswith("cells__") for d in os.listdir(index_path)
+    ):
+        from flink_realtime_data_warehouse_spark.streaming.sinks import (
+            _repair_swap_dir,
+        )
+
+        _repair_swap_dir(index_path, cells_path)
+        _repair_swap_dir(index_path, os.path.join(index_path, "_deltas"))
+        vec_root = cells_path
+    else:
+        vec_root = index_path
+    pruned = _index_df(spark, vec_root).filter(
         F.col("cell").isin(sorted(part_to_q))
     )
+    # streaming delta tail (start_embedding_ingest): vectors ingested
+    # since the last compaction live under {index}/_deltas partitioned
+    # by pbatch — small by construction (compaction folds them into the
+    # cell partitions on a cadence), so the cell filter on the tail is
+    # a data-column predicate, not partition pruning. The vec_id
+    # dedup makes the probe correct in the crash window where a folded
+    # delta partition has not been cleared yet (a vector then exists
+    # in both the main index and the tail).
+    deltas_path = os.path.join(index_path, "_deltas")
+    if os.path.isdir(deltas_path):
+        tail = (
+            spark.read.schema(
+                "cell int, vec_id bigint, v array<float>, pbatch string"
+            )
+            .parquet(deltas_path)
+            .filter(F.col("cell").isin(sorted(part_to_q)))
+            .select("cell", "vec_id", "v")
+        )
+        pruned = (
+            pruned.select("cell", "vec_id", "v")
+            .unionByName(tail)
+            .dropDuplicates(["vec_id"])
+        )
     return _probe_partitioned_index(
         spark, pruned, "cell", part_to_q, q_ids, q_n, topk
     )

@@ -541,6 +541,195 @@ def _incarnation_id(checkpoint: str) -> str:
         return f.read().strip()
 
 
+def compact_ann_ivf_deltas(
+    spark: SparkSession, index_root: str, exclude_pbatch: str | None = None
+) -> None:
+    """Fold the streaming IVF index's delta tail into its cell
+    partitions (the LSM shape: appends land in the pbatch-partitioned
+    ``_deltas`` store, probes read main + tail, compaction merges):
+    main cells ∪ folded delta rows, deduplicated by vec_id (makes the
+    fold idempotent AND absorbs the crash window where a folded delta
+    partition was not cleared yet), rewritten partitioned by cell and
+    rename-swapped as the ``cells`` dir — quantizer artifacts and the
+    delta store live BESIDE it and survive the swap. ``exclude_pbatch``
+    (the in-flight batch) keeps its delta partition so its replay
+    stays idempotent. At lake scale the merge would rewrite only the
+    cells the tail actually touches; the whole-store rewrite here
+    keeps the crash story one rename-swap."""
+    import os
+    import shutil
+    import uuid
+
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _invalidate_index_df,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    cells = os.path.join(index_root, "cells")
+    deltas = os.path.join(index_root, "_deltas")
+    _repair_swap_dir(index_root, cells)
+    _repair_swap_dir(index_root, deltas)
+    if not os.path.isdir(deltas) or not os.path.isdir(cells):
+        return
+    d = spark.read.schema(
+        "cell int, vec_id bigint, v array<float>, pbatch string"
+    ).parquet(deltas)
+    keep = (
+        d.filter(F.col("pbatch") == exclude_pbatch)
+        if exclude_pbatch is not None
+        else d.limit(0)
+    )
+    fold = (
+        d.filter(~F.col("pbatch").eqNullSafe(exclude_pbatch))
+        if exclude_pbatch is not None
+        else d
+    )
+    if fold.limit(1).count() == 0:
+        return  # nothing to fold — leave both stores untouched
+    main = spark.read.parquet(cells).select("cell", "vec_id", "v")
+    merged = (
+        main.unionByName(fold.select("cell", "vec_id", "v"))
+        .dropDuplicates(["vec_id"])
+    )
+    tmp = f"{cells}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    old = f"{cells}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(cells, old)
+    os.rename(tmp, cells)
+    shutil.rmtree(old, ignore_errors=True)
+    # now shrink the delta store to the kept (in-flight) partition; a
+    # crash between the two swaps leaves folded rows in BOTH stores —
+    # the probe's vec_id dedup keeps answers correct and the next fold
+    # re-converges
+    tmp = f"{deltas}__tmp_{uuid.uuid4().hex[:8]}"
+    keep.write.mode("overwrite").partitionBy("pbatch").parquet(tmp)
+    old = f"{deltas}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(deltas, old)
+    os.rename(tmp, deltas)
+    shutil.rmtree(old, ignore_errors=True)
+    _invalidate_index_df(spark, cells)
+
+
+def start_embedding_ingest(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    index_root: str,
+    checkpoint: str,
+    available_now: bool = True,
+    compact_every: int | None = None,
+    n_list: int | None = None,
+):
+    """Continuous VECTOR ingest maintaining a probe-ready two-level IVF
+    index — the streaming face of ``build/append_ann_ivf_index`` (an
+    embedding lake the similarity family can query while it grows).
+
+    The first non-empty micro-batch cold-builds the hierarchical index
+    (deterministic: seed-pinned Lloyd — a replayed build re-derives
+    byte-identical centroids); its vector files are moved under the
+    swappable ``{index_root}/cells`` dir and the quantizer artifacts
+    (``_centroids.json``, ``_subcentroids``, ``_meta.json``) stay
+    beside it, then a ``_built_pbatch`` marker commits the build.
+    Every later batch assigns against the PERSISTED quantizer
+    (``ivf_assign_delta`` — no k-sized broadcast, no re-clustering)
+    and lands its rows in ``{index_root}/_deltas`` under a
+    ``pbatch=<run_id>-<batch_id>`` dynamic-overwrite partition: a
+    redelivered batch overwrites its own partition with identical
+    rows, never double-appends (the reason this path exists instead of
+    ``append_ann_ivf_vectors``'s raw file append).
+
+    ``ann_ivf_probe`` reads main cells + the delta tail transparently
+    (vec_id-deduplicated); ``compact_every=N`` folds the tail into the
+    cell partitions every N batches (``compact_ann_ivf_deltas``),
+    excluding the in-flight batch. Crash windows: mid-build → marker
+    absent → deterministic rebuild; after build before checkpoint
+    commit → the builder batch's replay sees its own marker and skips
+    (its contribution IS the index); mid-compaction-swap →
+    ``_repair_swap_dir`` (run by every reader and mutator) rolls back;
+    between compaction's two swaps → folded rows exist in both stores
+    until the probe dedup / next fold absorbs them. Quantizer drift
+    under distribution shift is the standard IVF trade: retrain
+    offline and rebuild, exactly like any IVF deployment.
+    """
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        IVF_NLIST,
+        _invalidate_index_df,
+        build_ann_ivf_index,
+        ivf_assign_delta,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    nl = n_list if n_list is not None else IVF_NLIST
+    cells = os.path.join(index_root, "cells")
+    deltas = os.path.join(index_root, "_deltas")
+    marker = os.path.join(index_root, "_built_pbatch")
+    run_id = _incarnation_id(checkpoint)
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        pbatch = f"{run_id}-{batch_id}"
+        vecs = batch.select("vec_id", "v").dropDuplicates(["vec_id"])
+        _repair_swap_dir(index_root, cells)
+        _repair_swap_dir(index_root, deltas)
+        if os.path.exists(marker):
+            with open(marker, encoding="utf-8") as f:
+                built_by = f.read().strip()
+            if built_by == pbatch:
+                return  # replay of the builder batch: the index IS its sink
+            delta = ivf_assign_delta(spark, vecs, index_root)
+            (
+                delta.withColumn("pbatch", F.lit(pbatch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("pbatch")
+                .parquet(deltas)
+            )
+        else:
+            if vecs.limit(1).count() == 0:
+                return  # nothing to build yet — wait for vectors
+            # clear a half-built attempt, then deterministic rebuild
+            os.makedirs(index_root, exist_ok=True)
+            for stale in ("cells", "_subcentroids", "_centroids.json",
+                          "_meta.json"):
+                p = os.path.join(index_root, stale)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.exists(p):
+                    os.remove(p)
+            staging = os.path.join(index_root, "__build_staging")
+            shutil.rmtree(staging, ignore_errors=True)
+            build_ann_ivf_index(
+                spark, vecs, staging, n_list=nl, two_level=True
+            )
+            os.makedirs(cells, exist_ok=True)
+            for d in os.listdir(staging):
+                src = os.path.join(staging, d)
+                if d.startswith("cell="):
+                    os.rename(src, os.path.join(cells, d))
+                elif d in ("_centroids.json", "_subcentroids", "_meta.json"):
+                    os.rename(src, os.path.join(index_root, d))
+            shutil.rmtree(staging, ignore_errors=True)
+            _invalidate_index_df(spark, staging)
+            with open(marker, "w", encoding="utf-8") as f:
+                f.write(pbatch)
+        _invalidate_index_df(spark, cells)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_ann_ivf_deltas(spark, index_root, exclude_pbatch=pbatch)
+
+    return (
+        emb_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
 def compact_history_digest_store(
     spark: SparkSession, out_root: str, exclude_pbatch: str | None = None
 ) -> None:

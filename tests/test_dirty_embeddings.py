@@ -29,6 +29,7 @@ _EMBEDDING_FAMILY = [
     "ann_hard_negatives",
     "ann_lsh_topk_checked",
     "ann_ivf_topk_checked",
+    "ann_ivf_streaming_ingest_checked",
     "ann_pq_topk_checked",
     "search_hybrid_rrf",
     "decontam_semantic_overlap",
