@@ -129,6 +129,8 @@ HEADLINE = [
     "text_collocation_lift_by_lang",
     # round 7: stats through the real BMP encode->decode round trip
     "multimodal_bmp_channel_stats",
+    # round 8: right-to-erasure composed over the whole lake
+    "lake_takedown_audit",
 ]
 
 

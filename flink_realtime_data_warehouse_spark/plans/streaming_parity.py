@@ -731,3 +731,95 @@ def ann_ivf_streaming_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFr
     else:  # zero-row corpus: the index was never built
         approx = spark.createDataFrame([], _SCORED_SCHEMA + ", rank int")
     return _recall_verdict(exact, approx, ANN_STREAM_MIN_MEAN_RECALL)
+
+
+# ---------------------------------------------------------------------------
+# retention (round 8): takedown purges composed over the whole lake
+# ---------------------------------------------------------------------------
+
+_TAKEDOWN_ORACLE = """
+WITH base AS (
+  SELECT doc_id, md5(text) AS d, (doc_id % 5) = 4 AS inc
+  FROM documents),
+elect AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY d, CASE WHEN d IS NULL THEN CAST(inc AS INT) ELSE 0 END
+           ORDER BY inc, doc_id) AS rn
+  FROM base)
+SELECT doc_id FROM elect WHERE rn = 1 AND doc_id % 17 <> 3
+ORDER BY doc_id
+"""
+
+
+@query("lake_takedown_audit", oracle=_TAKEDOWN_ORACLE)
+def lake_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure over the REAL lake: ingest the corpus through
+    ``start_history_dedup_ingest(near_dup_gate=True)`` (history slice
+    then incoming slice — the same two micro-batches as the gate
+    parity row), run ``takedown_documents`` for every ``doc_id % 17
+    == 3``, and read the clean store back. The oracle states the whole
+    composition: per-batch digest-first election (history first, then
+    lowest doc_id; null-text docs elect per batch because a NULL hash
+    never matches the digest store), MINUS the purged set. The purge
+    set deliberately crosses every store: purged canonicals, purged
+    duplicates (their evidence rows go, the canonical's digest stays),
+    and purged gate candidates — so the row is green only if all five
+    store rewrites compose without corrupting the election history.
+    Digest policy is the default ``block_reingest=True`` (payload
+    erased, content blocked), the posture takedown obligations want;
+    the policy fork is test-pinned in tests/test_takedown.py.
+    """
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.retention import (
+        takedown_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(5)) == 4
+    root = tempfile.mkdtemp(prefix="frdw_takedown_")
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def _drop(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(root, f"slice_{name}")
+        df.select(
+            F.to_json(F.struct("doc_id", "text")).alias("v")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        dst = os.path.join(src, name)
+        parts = [f for f in os.listdir(tmp) if f.startswith("part-")]
+        if parts:
+            shutil.move(os.path.join(tmp, parts[0]), dst)
+        else:
+            open(dst, "w").close()
+        os.utime(dst, (mtime, mtime))
+
+    _drop(docs.filter(~is_inc).select("doc_id", "text"), "0.jsonl", 1_000_000_000.0)
+    _drop(docs.filter(is_inc).select("doc_id", "text"), "1.jsonl", 1_000_000_100.0)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = os.path.join(root, "out")
+    q = start_history_dedup_ingest(
+        spark, stream, out, os.path.join(root, "ckpt"), near_dup_gate=True
+    )
+    q.awaitTermination()
+
+    takedown_documents(
+        spark, out, docs.filter(F.pmod("doc_id", F.lit(17)) == 3).select("doc_id")
+    )
+
+    clean_path = os.path.join(out, "clean")
+    clean = spark.read.schema("doc_id bigint, text string, pbatch string")
+    try:
+        result = clean.parquet(clean_path)
+    except Exception:  # zero-row tier: no batch ever wrote the sink
+        result = spark.createDataFrame([], "doc_id bigint, text string, pbatch string")
+    return result.select("doc_id").orderBy("doc_id")

@@ -158,6 +158,8 @@ _NULL_PARITY_QUERIES = [
     # under the NULL digest in the per-batch election (one 'new' copy)
     # and produce no shingles/bands, identically on both engines
     "histdedup_gate_streaming_parity",
+    "lake_takedown_audit",
+    "ann_ivf_streaming_ingest_checked",
 ]
 
 

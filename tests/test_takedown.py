@@ -1,0 +1,175 @@
+"""Retention / right-to-erasure (round 8): takedown_documents purges a
+doc set from every store of the history-dedup lake, idempotently and
+crash-safely, with the digest policy fork (block re-ingestion vs full
+unblock) pinned."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.streaming.jobs import (
+    start_history_dedup_ingest,
+)
+from flink_realtime_data_warehouse_spark.streaming.retention import (
+    reapply_tombstones,
+    takedown_documents,
+)
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+BATCHES = [
+    [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": "second wholly unrelated document body"},
+        {"doc_id": 3, "text": "third unique document text entirely"},
+    ],
+    [
+        {"doc_id": 4, "text": BASE},                # exact dup of 1
+        {"doc_id": 5, "text": BASE + " lambda"},    # near-dup of 1
+        {"doc_id": 6, "text": "sixth document with novel words"},
+    ],
+]
+
+
+def _build_lake(spark, root, batches=BATCHES, ckpt="ckpt", out="out"):
+    src = os.path.join(root, "docs")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (1_000_000_000.0 + i, 1_000_000_000.0 + i))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_history_dedup_ingest(
+        spark,
+        stream,
+        os.path.join(root, out),
+        os.path.join(root, ckpt),
+        near_dup_gate=True,
+    )
+    q.awaitTermination(300)
+    return os.path.join(root, out)
+
+
+def _clean_ids(spark, out):
+    return sorted(
+        r.doc_id for r in spark.read.parquet(os.path.join(out, "clean")).collect()
+    )
+
+
+def _reingest(spark, root, rows, out, ckpt):
+    src = os.path.join(root, f"docs_{ckpt}")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "r.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = start_history_dedup_ingest(
+        spark, stream, out, os.path.join(root, ckpt), near_dup_gate=True
+    )
+    q.awaitTermination(300)
+
+
+def test_takedown_purges_every_store_and_blocks_reingest(spark, tmp_path):
+    root = str(tmp_path)
+    out = _build_lake(spark, root)
+    assert _clean_ids(spark, out) == [1, 2, 3, 5, 6]
+
+    removed = takedown_documents(spark, out, [1, 5])
+    assert removed["clean"] == 2
+    assert removed["lsh/bands"] > 0
+    assert removed["near_dups"] == 1  # the (5, 1) candidate pair
+    assert removed["digests"] == 0  # policy default: content stays blocked
+
+    assert _clean_ids(spark, out) == [2, 3, 6]
+    bands = spark.read.schema(
+        "doc_id bigint, band int, key string, pbatch string"
+    ).parquet(os.path.join(out, "lsh", "bands"))
+    assert not {1, 5} & {r.doc_id for r in bands.select("doc_id").collect()}
+    near = os.path.join(out, "near_dups")
+    nd = spark.read.schema("doc_id bigint, doc_hist bigint, pbatch string").parquet(near)
+    assert nd.count() == 0
+
+    # block_reingest=True: a re-crawl of the purged content under a
+    # FRESH checkpoint classifies dup_history — it never re-enters
+    _reingest(spark, root, [{"doc_id": 100, "text": BASE}], out, "ckpt2")
+    assert 100 not in _clean_ids(spark, out)
+    dups = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert dups[100] == "dup_history"
+
+
+def test_takedown_unblock_policy_respects_surviving_carriers(spark, tmp_path):
+    """block_reingest=False removes a digest ONLY when no surviving
+    clean doc carries the content: purging the DUPLICATE of kept
+    content must not unblock it, purging the sole carrier must."""
+    root = str(tmp_path)
+    out = _build_lake(spark, root)
+
+    # doc 3 is the sole carrier of its text; doc 1 is the canonical of
+    # BASE — purge 3 (sole) with unblock, and purge nothing else
+    removed = takedown_documents(spark, out, [3], block_reingest=False)
+    assert removed["digests"] == 1
+    _reingest(spark, root, [{"doc_id": 200, "text": "third unique document text entirely"}], out, "ckpt2")
+    assert 200 in _clean_ids(spark, out)  # unblocked: re-enters
+
+    # purging dup doc 4 (canonical 1 survives in clean) unblocks nothing
+    removed = takedown_documents(spark, out, [4], block_reingest=False)
+    assert removed["digests"] == 0
+    _reingest(spark, root, [{"doc_id": 300, "text": BASE}], out, "ckpt3")
+    assert 300 not in _clean_ids(spark, out)
+
+
+def test_takedown_idempotent_and_tombstone_reapply(spark, tmp_path):
+    root = str(tmp_path)
+    out = _build_lake(spark, root)
+    takedown_documents(spark, out, [1])
+    after = _clean_ids(spark, out)
+    # re-run: nothing else changes
+    removed = takedown_documents(spark, out, [1])
+    assert removed["clean"] == 0
+    assert _clean_ids(spark, out) == after == [2, 3, 5, 6]
+    # reapply from the log converges too
+    removed = reapply_tombstones(spark, out)
+    assert removed["clean"] == 0
+    assert _clean_ids(spark, out) == after
+
+
+def test_takedown_crash_mid_swap_reapply_converges(spark, tmp_path, monkeypatch):
+    """Kill between the clean store's rename-away and rename-in: the
+    store is missing at that instant; the repair sweep restores it and
+    reapply_tombstones finishes the job."""
+    root = str(tmp_path)
+    out = _build_lake(spark, root)
+
+    real_rename = os.rename
+    state = {"armed": True}
+
+    def faulty(s, d):
+        if state["armed"] and "__tmp_" in str(s) and str(d).endswith("clean"):
+            state["armed"] = False
+            raise RuntimeError("injected mid-takedown-swap crash")
+        return real_rename(s, d)
+
+    monkeypatch.setattr(os, "rename", faulty)
+    with pytest.raises(RuntimeError, match="injected"):
+        takedown_documents(spark, out, [1, 5])
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert not os.path.isdir(os.path.join(out, "clean"))  # mid-swap
+    removed = reapply_tombstones(spark, out)  # sweeps, then purges
+    assert removed["clean"] == 2
+    assert _clean_ids(spark, out) == [2, 3, 6]
+    assert not [d for d in os.listdir(out) if "__old_" in d or "__tmp_" in d]
