@@ -794,6 +794,7 @@ def start_history_dedup_ingest(
     available_now: bool = True,
     near_dup_gate: bool = False,
     compact_every: int | None = None,
+    respect_tombstones: bool = False,
 ):
     """Continuous ingest with GLOBAL dedup against everything ever
     ingested — the streaming face of
@@ -874,6 +875,18 @@ def start_history_dedup_ingest(
     boundary). Compaction is crash-safe via the shared rename-swap +
     ``_repair_swap_dir`` sweep, which the store reads below run before
     every existence probe.
+
+    ``respect_tombstones=True`` makes erasure win over checkpoint
+    redelivery: every batch anti-joins the lake's ``_tombstones`` log
+    (written by streaming/retention.py::takedown_documents) before its
+    doc-keyed sinks, so a batch replayed AFTER a takedown cannot
+    resurrect a purged document's payload, band rows, or evidence —
+    the digest sink stays UNfiltered so the purged content remains
+    blocked from re-ingestion (the block_reingest=True posture). The
+    cost is one broadcast anti-join per batch against a
+    takedown-request-sized id set. With the flag off, the documented
+    quiescence contract applies instead: re-run
+    ``reapply_tombstones`` after recovery.
     """
     from flink_realtime_data_warehouse_spark.operators.dedup import (
         NGRAM_DF_CAP,
@@ -949,12 +962,25 @@ def start_history_dedup_ingest(
 
         try:
             is_new = F.col("status") == "new"
+            # erasure-over-redelivery: doc-keyed sinks exclude
+            # tombstoned ids; the digest sink below stays UNfiltered
+            # so purged content remains blocked from re-ingestion
+            doc_rows = routed
+            if respect_tombstones and _store_exists(
+                f"{out_root}/_tombstones"
+            ):
+                tomb = (
+                    spark.read.schema("doc_id bigint")
+                    .parquet(f"{out_root}/_tombstones")
+                    .distinct()
+                )
+                doc_rows = routed.join(F.broadcast(tomb), "doc_id", "left_anti")
             _sink(
-                routed.filter(is_new).drop("content_hash", "status"),
+                doc_rows.filter(is_new).drop("content_hash", "status"),
                 f"{out_root}/clean",
             )
             _sink(
-                routed.filter(~is_new).select("doc_id", "content_hash", "status"),
+                doc_rows.filter(~is_new).select("doc_id", "content_hash", "status"),
                 f"{out_root}/dups",
             )
             _sink(
@@ -968,7 +994,9 @@ def start_history_dedup_ingest(
                 # an empty cold start
                 for p in (lsh_df_path, lsh_bands_path):
                     _repair_swap_dir(f"{out_root}/lsh", p)
-                new_docs = routed.filter(is_new).select("doc_id", "text")
+                # tombstoned docs contribute no bands/df on a replay
+                # (erasure wins over cap bookkeeping — documented)
+                new_docs = doc_rows.filter(is_new).select("doc_id", "text")
                 # pbatch filters are null-safe so rows from a store
                 # compacted by an out-of-band (pre-sentinel) job —
                 # whose pbatch reads as NULL — survive as history

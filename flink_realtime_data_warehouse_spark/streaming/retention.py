@@ -222,3 +222,96 @@ def reapply_tombstones(
     return takedown_documents(
         spark, out_root, ids, block_reingest=block_reingest, _log=False
     )
+
+
+def takedown_vectors(
+    spark: SparkSession, index_root: str, vec_ids
+) -> dict:
+    """Purge vectors from a STREAMING IVF index
+    (streaming/jobs.py::start_embedding_ingest): the swappable
+    ``cells`` dir and the ``_deltas`` tail are each rewritten without
+    the purged ids behind the shared rename-swap (pbatch partitioning
+    of the tail preserved, so batch replays and delta compaction
+    compose unchanged). The quantizer artifacts are untouched — cell
+    centroids are aggregates over many vectors, not recoverable
+    payload, and keeping them preserves assignment determinism for
+    future appends (the standard IVF posture; retrain offline if the
+    purge is large enough to shift the distribution). Ids append to
+    ``{index_root}/_tombstones`` first, so the operation is idempotent
+    and resumable with ``reapply_vector_tombstones``."""
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _invalidate_index_df,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    if isinstance(vec_ids, DataFrame):
+        rows = (
+            vec_ids.select(
+                F.col(vec_ids.columns[0]).cast("bigint").alias("vec_id")
+            )
+            .distinct()
+            .collect()
+        )
+        ids = spark.createDataFrame(rows, "vec_id bigint")
+    else:
+        ids = spark.createDataFrame(
+            [(int(i),) for i in vec_ids], "vec_id bigint"
+        ).distinct()
+    ids.write.mode("append").parquet(os.path.join(index_root, "_tombstones"))
+    return _purge_vector_stores(spark, index_root, ids)
+
+
+def _purge_vector_stores(spark: SparkSession, index_root: str, ids: DataFrame) -> dict:
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _invalidate_index_df,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        _repair_swap_dir,
+    )
+
+    removed: dict[str, int] = {}
+    cells = os.path.join(index_root, "cells")
+    _repair_swap_dir(index_root, cells)
+    if os.path.isdir(cells) and _has_parquet(cells):
+        main = spark.read.parquet(cells)
+        n = main.join(F.broadcast(ids), "vec_id").count()
+        removed["cells"] = n
+        if n:
+            keep = main.join(F.broadcast(ids), "vec_id", "left_anti")
+            tmp = f"{cells}__tmp_{uuid.uuid4().hex[:8]}"
+            keep.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(tmp)
+            old = f"{cells}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(cells, old)
+            os.rename(tmp, cells)
+            shutil.rmtree(old, ignore_errors=True)
+            _invalidate_index_df(spark, cells)
+    deltas = os.path.join(index_root, "_deltas")
+    _repair_swap_dir(index_root, deltas)
+    if os.path.isdir(deltas):
+        d = spark.read.schema(
+            "cell int, vec_id bigint, v array<float>, pbatch string"
+        ).parquet(deltas)
+        n = d.join(F.broadcast(ids), "vec_id").count()
+        removed["_deltas"] = n
+        if n:
+            _swap_rewrite(
+                spark,
+                index_root,
+                deltas,
+                d.join(F.broadcast(ids), "vec_id", "left_anti"),
+            )
+    return removed
+
+
+def reapply_vector_tombstones(spark: SparkSession, index_root: str) -> dict:
+    """Re-run the vector purge for every tombstoned id (crash/replay
+    recovery). Idempotent."""
+    path = os.path.join(index_root, "_tombstones")
+    if not os.path.isdir(path):
+        return {}
+    ids = spark.read.schema("vec_id bigint").parquet(path).distinct()
+    return _purge_vector_stores(spark, index_root, ids)

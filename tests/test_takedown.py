@@ -173,3 +173,119 @@ def test_takedown_crash_mid_swap_reapply_converges(spark, tmp_path, monkeypatch)
     assert removed["clean"] == 2
     assert _clean_ids(spark, out) == [2, 3, 6]
     assert not [d for d in os.listdir(out) if "__old_" in d or "__tmp_" in d]
+
+
+def test_respect_tombstones_blocks_replay_resurrection(spark, tmp_path):
+    """Erasure wins over checkpoint redelivery: takedown, then erase
+    the commit marker so the last batch replays — with
+    respect_tombstones=True the purged doc's payload/evidence stay
+    gone while its digest still blocks re-ingestion."""
+    root = str(tmp_path)
+    src = os.path.join(root, "docs")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(BATCHES):
+        p = os.path.join(src, f"b{i}.jsonl")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (1_000_000_000.0 + i, 1_000_000_000.0 + i))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = start_history_dedup_ingest(
+            spark,
+            stream,
+            os.path.join(root, "out"),
+            os.path.join(root, "ckpt"),
+            near_dup_gate=True,
+            respect_tombstones=True,
+        )
+        q.awaitTermination(300)
+
+    run()
+    out = os.path.join(root, "out")
+    takedown_documents(spark, out, [5])  # doc 5 arrived in the LAST batch
+    assert _clean_ids(spark, out) == [1, 2, 3, 6]
+
+    # crash-after-write replay of the last batch: without the flag this
+    # would dynamic-overwrite doc 5 back into clean
+    shutil.rmtree(os.path.join(root, "ckpt", "commits"))
+    run()
+    assert _clean_ids(spark, out) == [1, 2, 3, 6]
+    bands = spark.read.schema(
+        "doc_id bigint, band int, key string, pbatch string"
+    ).parquet(os.path.join(out, "lsh", "bands"))
+    assert 5 not in {r.doc_id for r in bands.select("doc_id").distinct().collect()}
+    # the digest still blocks the purged content from re-entering
+    _reingest(spark, root, [{"doc_id": 500, "text": BASE + " lambda"}], out, "ckpt_b")
+    assert 500 not in _clean_ids(spark, out)
+
+
+def test_vector_takedown_purges_cells_and_tail(spark, tmp_path):
+    """takedown_vectors removes ids from the streaming IVF index's
+    cells AND delta tail; probes stop returning them; reapply after a
+    mid-swap crash converges."""
+    import pytest as _pytest
+
+    from flink_realtime_data_warehouse_spark.operators.similarity import (
+        _load_emb,
+        _query_block,
+        ann_ivf_probe,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_embedding_ingest,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.retention import (
+        reapply_vector_tombstones,
+        takedown_vectors,
+    )
+
+    root = str(tmp_path)
+    sf_dir = "/root/testdata/sf0.001"
+    emb = _load_emb(spark, sf_dir)
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    m5 = F.pmod("vec_id", F.lit(5))
+    for i, cond in enumerate((m5 < 4, m5 == 4)):
+        part = emb.filter(cond)
+        tmp = os.path.join(root, f"sl{i}")
+        part.select(F.to_json(F.struct("vec_id", "v")).alias("j")).coalesce(
+            1
+        ).write.mode("overwrite").text(tmp)
+        dst = os.path.join(src, f"{i}.jsonl")
+        parts = [f for f in os.listdir(tmp) if f.startswith("part-")]
+        shutil.move(os.path.join(tmp, parts[0]), dst)
+        os.utime(dst, (1_000_000_000.0 + i, 1_000_000_000.0 + i))
+    stream = (
+        spark.readStream.schema("vec_id bigint, v array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    index_root = os.path.join(root, "index")
+    start_embedding_ingest(
+        spark, stream, index_root, os.path.join(root, "ckpt")
+    ).awaitTermination(300)
+
+    # purge one cells-resident id (m5<4) and one tail-resident (m5==4)
+    all_ids = sorted(r.vec_id for r in emb.select("vec_id").collect())
+    cells_victim = next(i for i in all_ids if i % 5 < 4 and i >= 20)
+    tail_victim = next(i for i in all_ids if i % 5 == 4 and i >= 20)
+    removed = takedown_vectors(spark, index_root, [cells_victim, tail_victim])
+    assert removed["cells"] == 1 and removed["_deltas"] == 1
+
+    qp = _query_block(spark, emb, sf_dir)
+    neighbors = {
+        r.neighbor_id for r in ann_ivf_probe(spark, index_root, qp).collect()
+    }
+    assert cells_victim not in neighbors and tail_victim not in neighbors
+
+    # idempotent + reapply converge
+    removed = takedown_vectors(spark, index_root, [cells_victim, tail_victim])
+    assert removed == {"cells": 0, "_deltas": 0}
+    assert reapply_vector_tombstones(spark, index_root) == {
+        "cells": 0,
+        "_deltas": 0,
+    }
