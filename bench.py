@@ -131,6 +131,7 @@ HEADLINE = [
     "multimodal_bmp_channel_stats",
     # round 8: right-to-erasure composed over the whole lake
     "lake_takedown_audit",
+    "dedup_incremental_lsh_dfcap_compacted",
 ]
 
 

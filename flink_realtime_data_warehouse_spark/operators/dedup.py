@@ -1369,6 +1369,43 @@ def dedup_incremental_lsh_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental_lsh_dfcap_compacted", oracle=_INCR_LSH_DFCAP_ORACLE)
+def dedup_incremental_lsh_dfcap_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PERSISTED ingest gate driven through a COMPACTION boundary
+    under the DuckDB oracle: build the df-capped index from the
+    history slice (``build_dedup_lsh_index_capped``), compact it
+    (``compact_dedup_lsh_index_capped`` — the df store folds to one
+    row per shingle, the band store to consolidated band partitions),
+    then probe the incoming slice. Same oracle as
+    ``dedup_incremental_lsh_dfcap``: compaction preserves the
+    accumulated df exactly, so the hot set, every band, and every
+    candidate are unchanged — previously pinned only by a unit test,
+    now hash-checked by the driver. (The STREAMING-layout compaction
+    twin is oracle-covered by ``histdedup_gate_streaming_parity`` plus
+    the cadenced-compaction parity tests.)"""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    idx = tempfile.mkdtemp(prefix="frdw_dfcap_compact_")
+    build_dedup_lsh_index_capped(docs.filter(~is_inc), idx)
+    compact_dedup_lsh_index_capped(spark, idx)
+    if not any(
+        f.endswith(".parquet")
+        # the BANDS store: a zero-row build writes an empty-but-footered
+        # df file yet a band-partitioned dir with no files at all
+        for _r, _d, files in os.walk(os.path.join(idx, "bands"))
+        for f in files
+    ):  # zero-row tier: an empty history has no index to probe
+        return spark.createDataFrame([], "doc_new bigint, doc_hist bigint")
+    return probe_dedup_lsh_index_capped(
+        spark, docs.filter(is_inc), idx
+    ).orderBy("doc_new", "doc_hist")
+
+
 def _df_store_delta(sh: DataFrame) -> DataFrame:
     """Per-shingle document-frequency contribution of one batch's
     distinct (doc_id, s) relation — the append unit of the df store."""
@@ -1546,6 +1583,12 @@ def compact_dedup_lsh_index_capped(
     ):
         store = os.path.join(path, sub)
         _repair_swap_dir(path, store)
+        if not any(
+            f.endswith(".parquet")
+            for _r, _d, files in os.walk(store)
+            for f in files
+        ):
+            continue  # zero-row store: nothing to fold, inference would fail
         tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
         if _is_pbatch_layout(store):
             # explicit schema: a zero-row dynamic-overwrite batch leaves

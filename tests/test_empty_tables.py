@@ -159,6 +159,7 @@ _NULL_PARITY_QUERIES = [
     # and produce no shingles/bands, identically on both engines
     "histdedup_gate_streaming_parity",
     "lake_takedown_audit",
+    "dedup_incremental_lsh_dfcap_compacted",
     "ann_ivf_streaming_ingest_checked",
 ]
 
