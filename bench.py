@@ -132,6 +132,11 @@ HEADLINE = [
     # round 8: right-to-erasure composed over the whole lake
     "lake_takedown_audit",
     "dedup_incremental_lsh_dfcap_compacted",
+    # round 8 (late): distributed prefix-sum numbering, partitioned
+    # Bloom membership gate, deterministic corpus shuffle → shards
+    "ids_stable_assign",
+    "dedup_bloom_gate_checked",
+    "export_shuffled_shards",
 ]
 
 

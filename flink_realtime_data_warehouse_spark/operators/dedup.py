@@ -1754,3 +1754,201 @@ def dedup_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# partitioned Bloom-filter membership gate (constant-bits-per-key pre-filter)
+# ---------------------------------------------------------------------------
+#
+# The exact digest store (incremental_dedup / the streaming gate) costs
+# 16 bytes per historical unique document and answers exactly. A Bloom
+# membership gate answers "definitely new / maybe seen" in ~10 BITS per
+# key — 13× less state — so an ingest pipeline can pre-filter the
+# overwhelmingly-new crawl stream against trillion-document history and
+# consult the exact store only for the "maybe" trickle. False negatives
+# are impossible by construction (the verdict row proves it on real
+# data); false positives are bounded by sizing (k=4, 10 bits/key ≈ 1.2%
+# theoretical, gated at BLOOM_FPR_BOUND).
+#
+# Scale shape: the filter is PARTITIONED — one bounded bit-array row per
+# pkey = hash(digest) % BLOOM_PARTS, built inside an Arrow task from
+# only that partition's digests and NEVER collected to the driver (a
+# 10¹¹-doc history at 10 bits/key is ~125 GB of filter — fatal as one
+# driver-side object, trivial as BLOOM_PARTS bounded rows co-partitioned
+# with the probe's shuffle). Probing cogroups the incoming batch with
+# its matching filter row: ONE shuffle of the batch on pkey, bit tests
+# vectorized in NumPy.
+
+BLOOM_BITS_PER_KEY = 10  #: m/n sizing → ~1.2% FPR at k=4
+BLOOM_HASHES = 4  #: double-hashing h1 + i*h2, i < k
+BLOOM_PARTS = 32  #: filter rows; scale with history so each stays ~MBs
+BLOOM_FPR_BOUND = 0.05  #: verdict gate, margin over the theoretical rate
+
+_BLOOM_SCHEMA = "pkey int, n_keys long, m_bits long, bloom binary"
+
+
+def _bloom_hash_pair(hex_digests) -> "tuple":
+    """(h1, h2) uint64 arrays from md5 hex digests — h2 forced odd so
+    the double-hash probe sequence never degenerates.
+
+    NOTE: the Arrow kernels below INLINE this derivation instead of
+    calling it — cloudpickle serializes a module-level function by
+    reference, and the driver contract's executors cannot import this
+    package (the round-1 worker-closure bug class); kernels must stay
+    self-contained. This copy exists for tests and direct callers."""
+    import numpy as np
+
+    h1 = np.fromiter(
+        (int(h[:15], 16) for h in hex_digests), dtype=np.uint64
+    )
+    h2 = np.fromiter(
+        (int(h[15:30], 16) | 1 for h in hex_digests), dtype=np.uint64
+    )
+    return h1, h2
+
+
+def build_bloom_membership(
+    history_digests: DataFrame, n_parts: int = BLOOM_PARTS
+) -> DataFrame:
+    """Build the partitioned Bloom filter from history ``content_hash``
+    digests. Returns one (pkey, n_keys, m_bits, bloom) row per hash
+    partition; each bit array is sized to the NEXT power of two over
+    ``n_keys * BLOOM_BITS_PER_KEY`` so the per-partition FPR holds
+    regardless of how history mass splits across pkeys."""
+    import math
+
+    import pandas as pd
+
+    def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        hexes = pdf["content_hash"].dropna().unique()
+        n = len(hexes)
+        m = 64 if n == 0 else max(64, 1 << math.ceil(math.log2(n * BLOOM_BITS_PER_KEY)))
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if n:
+            h1 = np.fromiter((int(h[:15], 16) for h in hexes), dtype=np.uint64)
+            h2 = np.fromiter((int(h[15:30], 16) | 1 for h in hexes), dtype=np.uint64)
+            for i in range(BLOOM_HASHES):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+                )
+        return pd.DataFrame(
+            {
+                "pkey": [int(pdf["pkey"].iloc[0])],
+                "n_keys": [n],
+                "m_bits": [m],
+                "bloom": [bits.tobytes()],
+            }
+        )
+
+    keyed = history_digests.filter(F.col("content_hash").isNotNull()).withColumn(
+        "pkey", F.pmod(F.xxhash64("content_hash"), F.lit(n_parts)).cast("int")
+    )
+    return keyed.groupBy("pkey").applyInPandas(_build, schema=_BLOOM_SCHEMA)
+
+
+def probe_bloom_membership(
+    incoming: DataFrame, blooms: DataFrame, n_parts: int = BLOOM_PARTS
+) -> DataFrame:
+    """Probe (doc_id, content_hash) rows against the partitioned filter.
+
+    Emits the batch + ``maybe_dup`` — False is definitive ("never
+    ingested", skip the exact store entirely), True must be confirmed
+    against the exact digest store. A pkey with no filter row (cold
+    partition) and NULL digests both read definitively-new."""
+    import pandas as pd
+
+    def _probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if not len(left):
+            return pd.DataFrame(
+                {"doc_id": [], "content_hash": [], "maybe_dup": []}
+            ).astype({"doc_id": "int64", "content_hash": "object", "maybe_dup": "bool"})
+        maybe = np.zeros(len(left), dtype=bool)
+        ok = left["content_hash"].notna().to_numpy()
+        if len(right) and ok.any():
+            m = np.uint64(int(right["m_bits"].iloc[0]))
+            bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8)
+            hexes = left.loc[ok, "content_hash"]
+            h1 = np.fromiter((int(h[:15], 16) for h in hexes), dtype=np.uint64)
+            h2 = np.fromiter((int(h[15:30], 16) | 1 for h in hexes), dtype=np.uint64)
+            hit = np.ones(int(ok.sum()), dtype=bool)
+            for i in range(BLOOM_HASHES):
+                pos = (h1 + np.uint64(i) * h2) % m
+                byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+                hit &= (byte & (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)) != 0
+            maybe[ok] = hit
+        return pd.DataFrame(
+            {
+                "doc_id": left["doc_id"].to_numpy(),
+                "content_hash": left["content_hash"].to_numpy(),
+                "maybe_dup": maybe,
+            }
+        )
+
+    keyed = incoming.withColumn(
+        "pkey", F.pmod(F.xxhash64("content_hash"), F.lit(n_parts)).cast("int")
+    )
+    return (
+        keyed.groupBy("pkey")
+        .cogroup(blooms.groupBy("pkey"))
+        .applyInPandas(_probe, schema="doc_id long, content_hash string, maybe_dup boolean")
+    )
+
+
+_BLOOM_GATE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS content_hash,
+         (doc_id % {INCR_HISTORY_MOD}) = {INCR_HISTORY_MOD - 1} AS incoming
+  FROM documents WHERE text IS NOT NULL),
+hist AS (SELECT DISTINCT content_hash FROM d WHERE NOT incoming),
+inc AS (
+  SELECT i.content_hash, h.content_hash IS NOT NULL AS in_hist
+  FROM d i LEFT JOIN hist h USING (content_hash) WHERE i.incoming)
+SELECT CAST(count(*) AS BIGINT) AS n_incoming,
+       CAST(coalesce(sum(CASE WHEN in_hist THEN 1 END), 0) AS BIGINT) AS n_true_dups,
+       CAST(0 AS BIGINT) AS false_negatives,
+       TRUE AS fpr_ok
+FROM inc
+"""
+
+
+@query("dedup_bloom_gate_checked", oracle=_BLOOM_GATE_ORACLE)
+def dedup_bloom_gate_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashable verdict for the Bloom membership gate (same
+    construction as the ann_*_checked rows): the history slice
+    (doc_id % 5 != 4) builds the partitioned filter, the incoming slice
+    probes it, and the probe is audited IN-PLAN against exact digest
+    membership — ``false_negatives`` must be 0 (a Bloom filter cannot
+    miss a planted member; any nonzero value is a bug, not noise) and
+    the measured false-positive rate must clear ``BLOOM_FPR_BOUND``.
+    The filter is deterministic (md5 double-hashing, power-of-two
+    sizing), so the verdict is a stable function of the data."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_inc = F.pmod("doc_id", F.lit(INCR_HISTORY_MOD)) == INCR_HISTORY_MOD - 1
+    hist = docs.filter(~is_inc).select(F.md5("text").alias("content_hash")).distinct()
+    incoming = docs.filter(is_inc).select("doc_id", F.md5("text").alias("content_hash"))
+    flagged = probe_bloom_membership(incoming, build_bloom_membership(hist))
+    audited = flagged.join(
+        hist.withColumn("in_hist", F.lit(True)), "content_hash", "left"
+    ).select(
+        "maybe_dup", F.coalesce("in_hist", F.lit(False)).alias("in_hist")
+    )
+    fp = F.sum(F.when(F.col("maybe_dup") & ~F.col("in_hist"), 1).otherwise(0))
+    new = F.sum(F.when(~F.col("in_hist"), 1).otherwise(0))
+    return audited.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_hist"), 1)), F.lit(0)
+        ).cast("bigint").alias("n_true_dups"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_hist") & ~F.col("maybe_dup"), 1)), F.lit(0)
+        ).cast("bigint").alias("false_negatives"),
+        F.coalesce(
+            fp / F.greatest(new, F.lit(1)) <= BLOOM_FPR_BOUND, F.lit(True)
+        ).alias("fpr_ok"),
+    )

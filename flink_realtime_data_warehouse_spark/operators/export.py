@@ -134,3 +134,87 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle → training shards
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8  #: export shard count (one file/prefix per shard downstream)
+_SHARD_BUCKETS = 256  #: md5-rank prefix buckets for the per-shard prefix-sum
+
+
+_SHUFFLE_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rk
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT doc_id,
+       ('0x' || substr(rk, 1, 15))::BIGINT % {N_SHARDS} AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY ('0x' || substr(rk, 1, 15))::BIGINT % {N_SHARDS}
+         ORDER BY rk, doc_id) - 1 AS BIGINT) AS pos
+FROM r ORDER BY shard, pos
+"""
+
+
+@query("export_shuffled_shards", oracle=_SHUFFLE_ORACLE)
+def export_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards — the
+    step between curation and the data loader: every epoch-0 batch
+    stream needs the corpus in a reproducible pseudorandom order,
+    sharded so loaders can read in parallel. Shard and within-shard
+    position both derive from ``md5(doc_id)``, so the permutation is a
+    pure function of the data (re-runs, retries, and other engines
+    agree byte-for-byte — the oracle IS the proof).
+
+    Design for 100 TB: the naive plan is a global ORDER BY hash — an
+    all-data range sort whose skew is invisible until the last stage.
+    Here position is computed with the same two-pass prefix-sum as
+    ``assign_stable_ids`` but GROUPED: the md5 rank's first byte gives
+    {_SHARD_BUCKETS} perfectly uniform buckets per shard (hash output,
+    so equal-width really is equal-mass), the (shard, bucket) counts
+    collect as ≤ {N_SHARDS}×{_SHARD_BUCKETS} scalars, and each window
+    sorts only one bucket's rows — {N_SHARDS}×{_SHARD_BUCKETS}-way
+    parallel, no single-reducer funnel anywhere. The export writer then
+    partitions by shard and sorts within partitions by the same rank.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    r = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("rk")
+    ).select(
+        "doc_id",
+        "rk",
+        F.expr(
+            f"CAST(conv(substring(rk, 1, 15), 16, 10) AS BIGINT) % {N_SHARDS}"
+        ).alias("shard"),
+        F.expr("CAST(conv(substring(rk, 1, 2), 16, 10) AS INT)").alias("_bkt"),
+    )
+    counts = {
+        (row["shard"], row["_bkt"]): row["cnt"]
+        for row in r.groupBy("shard", "_bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets = []
+    for s in range(N_SHARDS):
+        acc = 0
+        for b in range(_SHARD_BUCKETS):
+            offsets.append((s, b, acc))
+            acc += counts.get((s, b), 0)
+    off_df = spark.createDataFrame(offsets, "shard long, _bkt int, _off long")
+    w = Window.partitionBy("shard", "_bkt").orderBy("rk", "doc_id")
+    return (
+        r.join(F.broadcast(off_df), ["shard", "_bkt"])
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("_off") + F.row_number().over(w) - F.lit(1))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

@@ -102,6 +102,78 @@ def salted_agg(
     return phase2
 
 
+def assign_stable_ids(
+    df: DataFrame,
+    order_col: str,
+    n_buckets: int = 256,
+    id_col: str = "stable_id",
+) -> DataFrame:
+    """Dense, deterministic 0..n-1 IDs in ``order_col`` order WITHOUT a
+    single-partition global sort.
+
+    The naive `row_number() OVER (ORDER BY k)` plans an Exchange
+    SinglePartition — every row of a 100 TB table funnels through ONE
+    reducer, which is the canonical Spark scale-killer. This does the
+    textbook two-pass prefix-sum instead:
+
+    1. one cheap aggregate → (min, max, n) of the key (3 scalars);
+    2. equal-width range bucket over [min, max] — the bigint→double
+       mapping is monotone non-decreasing (IEEE mul/div by positive
+       constants round monotonically), so bucket order == key order,
+       with a clamp at the top edge;
+    3. per-bucket counts (one ≤ n_buckets-row shuffle) → driver-side
+       cumulative offsets (n_buckets scalars, never the data);
+    4. ``row_number`` WITHIN each bucket (Exchange hashpartitioning on
+       the bucket id, n_buckets-way parallel) + the bucket's offset.
+
+    ``order_col`` must be unique and non-null (ties would make the
+    within-bucket row_number nondeterministic; callers filter/dedupe
+    first). Equal-width buckets assume a roughly uniform key range —
+    for pathologically clustered keys, feed quantile-derived custom
+    boundaries by pre-mapping the key; the numbering stays exact either
+    way, skew only costs parallelism. Returns df + ``id_col`` (bigint).
+    """
+    from pyspark.sql.window import Window
+
+    stats = df.select(
+        F.min(order_col).alias("lo"),
+        F.max(order_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if not stats["n"]:
+        return df.withColumn(id_col, F.lit(None).cast("bigint"))
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    span = hi - lo + 1
+    b = max(1, min(n_buckets, span))
+    bucket = F.least(
+        F.floor(
+            (F.col(order_col).cast("double") - F.lit(float(lo)))
+            * F.lit(float(b))
+            / F.lit(float(span))
+        ),
+        F.lit(b - 1),
+    ).cast("int")
+    bucketed = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for k in range(b):
+        offsets.append((k, acc))
+        acc += counts.get(k, 0)
+    off_df = df.sparkSession.createDataFrame(offsets, "_bkt int, _off long")
+    w = Window.partitionBy("_bkt").orderBy(order_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "_bkt")
+        .withColumn(
+            id_col,
+            (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("bigint"),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -429,6 +429,33 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ids_stable_assign",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS stable_id
+    FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id
+    """,
+)
+def ids_stable_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global IDs (operators/scale.py::assign_stable_ids) under
+    the oracle: the two-pass bucket/prefix-sum numbering must be
+    byte-identical to ``row_number() OVER (ORDER BY doc_id)`` — the
+    plan the ORACLE uses is exactly the plan a 100 TB job must NOT run
+    (Exchange SinglePartition on the whole corpus), so the oracle row
+    proves the distributed replacement exact. The plan-shape test pins
+    that no SinglePartition exchange appears in this query's plan
+    (tests/test_stable_ids.py)."""
+    from flink_realtime_data_warehouse_spark.operators.scale import (
+        assign_stable_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ids = assign_stable_ids(docs.select("doc_id"), "doc_id", n_buckets=64)
+    return ids.select("doc_id", "stable_id").orderBy("doc_id")
+
+
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str,
                     cols: list[str], n_buckets: int = 16) -> str:
     """Session-catalog bucketed copy of a base table, stamped by

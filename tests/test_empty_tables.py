@@ -161,6 +161,12 @@ _NULL_PARITY_QUERIES = [
     "lake_takedown_audit",
     "dedup_incremental_lsh_dfcap_compacted",
     "ann_ivf_streaming_ingest_checked",
+    # round 8 (late): NULL doc_id rows are excluded from numbering /
+    # sharding on BOTH engines; NULL text reads definitively-new
+    # through the Bloom probe and is excluded from the verdict counts
+    "ids_stable_assign",
+    "export_shuffled_shards",
+    "dedup_bloom_gate_checked",
 ]
 
 
