@@ -107,6 +107,7 @@ def assign_stable_ids(
     order_col: str,
     n_buckets: int = 256,
     id_col: str = "stable_id",
+    boundaries: str = "width",
 ) -> DataFrame:
     """Dense, deterministic 0..n-1 IDs in ``order_col`` order WITHOUT a
     single-partition global sort.
@@ -128,10 +129,23 @@ def assign_stable_ids(
 
     ``order_col`` must be unique and non-null (ties would make the
     within-bucket row_number nondeterministic; callers filter/dedupe
-    first). Equal-width buckets assume a roughly uniform key range —
-    for pathologically clustered keys, feed quantile-derived custom
-    boundaries by pre-mapping the key; the numbering stays exact either
-    way, skew only costs parallelism. Returns df + ``id_col`` (bigint).
+    first). ``boundaries`` picks the bucketing:
+
+    - ``"width"`` (default): equal-width over [min, max] — zero extra
+      passes, exact numbering regardless of distribution, but a
+      pathologically CLUSTERED key range piles rows into few buckets
+      (skew only costs parallelism, never correctness);
+    - ``"sample"``: equi-depth boundaries from a deterministic
+      hash-sample — one extra bounded pass collects ~128 sampled keys
+      per bucket (``pmod(xxhash64(key), rate) == 0``, so the sample is
+      a pure function of the data, not of partitioning or RNG state),
+      sorts them driver-side, and cuts every ⌈len/b⌉-th element; the
+      per-row bucket lookup is a JVM-side count-of-boundaries-≤-key
+      over a broadcast literal array (O(n_buckets) per row, no UDF).
+      Use for clustered/skewed key ranges where width bucketing would
+      serialize the window stage.
+
+    Returns df + ``id_col`` (bigint).
     """
     from pyspark.sql.window import Window
 
@@ -142,17 +156,37 @@ def assign_stable_ids(
     ).collect()[0]
     if not stats["n"]:
         return df.withColumn(id_col, F.lit(None).cast("bigint"))
-    lo, hi = int(stats["lo"]), int(stats["hi"])
+    lo, hi, n = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
     span = hi - lo + 1
     b = max(1, min(n_buckets, span))
-    bucket = F.least(
-        F.floor(
-            (F.col(order_col).cast("double") - F.lit(float(lo)))
-            * F.lit(float(b))
-            / F.lit(float(span))
-        ),
-        F.lit(b - 1),
-    ).cast("int")
+    cuts: list[int] = []
+    if boundaries == "sample" and b > 1:
+        rate = max(1, n // (b * 128))
+        sampled = sorted(
+            r[0]
+            for r in df.filter(
+                F.pmod(F.xxhash64(order_col), F.lit(rate)) == 0
+            )
+            .select(order_col)
+            .collect()
+        )
+        step = max(1, len(sampled) // b)
+        cuts = sorted({int(x) for x in sampled[step::step][: b - 1]})
+    if cuts:
+        b = len(cuts) + 1
+        arr = ", ".join(f"{c}L" for c in cuts)
+        bucket = F.expr(
+            f"size(filter(array({arr}), x -> x <= {order_col}))"
+        ).cast("int")
+    else:
+        bucket = F.least(
+            F.floor(
+                (F.col(order_col).cast("double") - F.lit(float(lo)))
+                * F.lit(float(b))
+                / F.lit(float(span))
+            ),
+            F.lit(b - 1),
+        ).cast("int")
     bucketed = df.withColumn("_bkt", bucket)
     counts = {
         r["_bkt"]: r["cnt"]

@@ -456,6 +456,35 @@ def ids_stable_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.select("doc_id", "stable_id").orderBy("doc_id")
 
 
+@query(
+    "ids_stable_assign_sampled",
+    oracle="""
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS stable_id
+    FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id
+    """,
+)
+def ids_stable_assign_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equi-depth variant of ``ids_stable_assign`` under the SAME
+    oracle: boundaries come from a deterministic hash-sample instead of
+    equal key-range widths, so a clustered/skewed key range still
+    spreads evenly across window partitions (balance pinned in
+    tests/test_stable_ids.py on a 99%-clustered range). Identical
+    output by construction — both rows proving it against the same
+    naive global row_number keeps boundary choice a pure performance
+    knob, never a semantics fork."""
+    from flink_realtime_data_warehouse_spark.operators.scale import (
+        assign_stable_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    ids = assign_stable_ids(
+        docs.select("doc_id"), "doc_id", n_buckets=64, boundaries="sample"
+    )
+    return ids.select("doc_id", "stable_id").orderBy("doc_id")
+
+
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str,
                     cols: list[str], n_buckets: int = 16) -> str:
     """Session-catalog bucketed copy of a base table, stamped by
