@@ -286,6 +286,13 @@ def main() -> None:
         # conflates them — a small batch is fixed-cost-dominated)
         "hist_gate_fixed_sec": streaming.get("history_dedup_gated_fixed_sec"),
         "hist_gate_var_rps": streaming.get("history_dedup_gated_var_rps"),
+        # bloom-prefiltered ingest (round 8, late): an all-new second
+        # drop classified against the grown history, with and without
+        # the filter — the pair measures the skipped history scan
+        "hist_second_sec": streaming.get("history_dedup_second_scan_sec"),
+        "hist_second_bloom_sec": streaming.get(
+            "history_dedup_second_bloom_sec"
+        ),
         "streaming": streaming,
         "ann_lsh_warm_sec": ann_lsh_warm,
         "ann_pq_warm_sec": ann_pq_warm,

@@ -940,15 +940,30 @@ def incremental_dedup(incoming: DataFrame, history_hashes: DataFrame) -> DataFra
     digest gate (streaming/jobs.py::streaming_exact_dedup) — same
     semantics, replayable over a whole crawl instead of a micro-batch.
     """
+    inc = incoming.select("doc_id", F.md5("text").alias("content_hash"))
+    return incremental_dedup_digests(inc, history_hashes)
+
+
+def incremental_dedup_digests(
+    inc: DataFrame, history_hashes: DataFrame
+) -> DataFrame:
+    """Digest-level core of ``incremental_dedup``: classify
+    (doc_id, content_hash) rows against a digest history. Split out so
+    the streaming Bloom pre-filter can route the definitively-new and
+    the maybe-seen slices of a batch through the IDENTICAL
+    classification (same join, same first-copy window, same CASE) —
+    a digest's rows always land in ONE slice (the Bloom verdict is a
+    function of the digest), so the per-digest window is complete
+    within each slice and the split provably cannot change statuses."""
     from pyspark.sql import Window
 
     hist = history_hashes.select("content_hash").distinct().withColumn(
         "in_hist", F.lit(True)
     )
-    inc = incoming.select("doc_id", F.md5("text").alias("content_hash"))
     w = Window.partitionBy("content_hash")
     return (
-        inc.join(hist, "content_hash", "left")
+        inc.select("doc_id", "content_hash")
+        .join(hist, "content_hash", "left")
         .withColumn("first_id", F.min("doc_id").over(w))
         .select(
             "doc_id",
@@ -1808,23 +1823,28 @@ def _bloom_hash_pair(hex_digests) -> "tuple":
 
 
 def build_bloom_membership(
-    history_digests: DataFrame, n_parts: int = BLOOM_PARTS
+    history_digests: DataFrame, n_parts: int = BLOOM_PARTS, headroom: int = 1
 ) -> DataFrame:
     """Build the partitioned Bloom filter from history ``content_hash``
     digests. Returns one (pkey, n_keys, m_bits, bloom) row per hash
     partition; each bit array is sized to the NEXT power of two over
-    ``n_keys * BLOOM_BITS_PER_KEY`` so the per-partition FPR holds
-    regardless of how history mass splits across pkeys."""
+    ``n_keys * BLOOM_BITS_PER_KEY * headroom`` so the per-partition FPR
+    holds regardless of how history mass splits across pkeys.
+    ``headroom > 1`` over-sizes for stores that keep growing in place
+    (the streaming ingest OR-updates until the slack is consumed, then
+    rebuilds with fresh headroom — amortized O(1) rebuild work/key)."""
     import math
 
     import pandas as pd
+
+    sizing = BLOOM_BITS_PER_KEY * max(1, headroom)
 
     def _build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         hexes = pdf["content_hash"].dropna().unique()
         n = len(hexes)
-        m = 64 if n == 0 else max(64, 1 << math.ceil(math.log2(n * BLOOM_BITS_PER_KEY)))
+        m = 64 if n == 0 else max(64, 1 << math.ceil(math.log2(n * sizing)))
         bits = np.zeros(m // 8, dtype=np.uint8)
         if n:
             h1 = np.fromiter((int(h[:15], 16) for h in hexes), dtype=np.uint64)
@@ -1848,6 +1868,63 @@ def build_bloom_membership(
         "pkey", F.pmod(F.xxhash64("content_hash"), F.lit(n_parts)).cast("int")
     )
     return keyed.groupBy("pkey").applyInPandas(_build, schema=_BLOOM_SCHEMA)
+
+
+def or_bloom_membership(
+    blooms: DataFrame, new_digests: DataFrame, n_parts: int = BLOOM_PARTS
+) -> DataFrame:
+    """OR new digests into an existing partitioned filter (same row
+    schema in and out). Bit-setting is idempotent, so a redelivered
+    batch converges to the same bits; ``n_keys`` may overcount on a
+    replay, which only hastens the next full rebuild (the rebuild
+    recounts exactly — never a correctness issue). Partitions with no
+    new digests pass through untouched; a pkey with new digests but no
+    existing row gets a fresh minimum-size array (the caller's
+    overflow check routes anything larger to a full rebuild)."""
+    import pandas as pd
+
+    def _merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        hexes = (
+            left["content_hash"].dropna().unique() if len(left) else []
+        )
+        if len(right):
+            pk = int(right["pkey"].iloc[0])
+            n0 = int(right["n_keys"].iloc[0])
+            m = int(right["m_bits"].iloc[0])
+            bits = np.frombuffer(right["bloom"].iloc[0], dtype=np.uint8).copy()
+        else:
+            pk, n0, m = int(left["pkey"].iloc[0]), 0, 64
+            bits = np.zeros(8, dtype=np.uint8)
+        if len(hexes):
+            h1 = np.fromiter((int(h[:15], 16) for h in hexes), dtype=np.uint64)
+            h2 = np.fromiter(
+                (int(h[15:30], 16) | 1 for h in hexes), dtype=np.uint64
+            )
+            for i in range(BLOOM_HASHES):
+                pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+                np.bitwise_or.at(
+                    bits, (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+                )
+        return pd.DataFrame(
+            {
+                "pkey": [pk],
+                "n_keys": [n0 + len(hexes)],
+                "m_bits": [m],
+                "bloom": [bits.tobytes()],
+            }
+        )
+
+    keyed = new_digests.filter(F.col("content_hash").isNotNull()).withColumn(
+        "pkey", F.pmod(F.xxhash64("content_hash"), F.lit(n_parts)).cast("int")
+    )
+    return (
+        keyed.groupBy("pkey")
+        .cogroup(blooms.groupBy("pkey"))
+        .applyInPandas(_merge, schema=_BLOOM_SCHEMA)
+    )
 
 
 def probe_bloom_membership(

@@ -823,3 +823,102 @@ def lake_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # zero-row tier: no batch ever wrote the sink
         result = spark.createDataFrame([], "doc_id bigint, text string, pbatch string")
     return result.select("doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered history dedup (round 8, late): the exact ingest
+# statuses driven through the partitioned-filter fast path
+# ---------------------------------------------------------------------------
+
+_BLOOM_PARITY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, md5(text) AS ch, (doc_id % 5) = 4 AS inc FROM documents),
+b0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY ch)
+              THEN 'dup_batch' ELSE 'new' END AS status
+  FROM d WHERE NOT inc),
+hist AS (SELECT DISTINCT ch FROM d WHERE NOT inc AND ch IS NOT NULL),
+b1 AS (
+  SELECT d.doc_id,
+         CASE WHEN h.ch IS NOT NULL THEN 'dup_history'
+              WHEN d.doc_id > min(d.doc_id) OVER (PARTITION BY d.ch)
+              THEN 'dup_batch' ELSE 'new' END AS status
+  FROM d LEFT JOIN hist h ON d.ch = h.ch WHERE d.inc)
+SELECT doc_id, status FROM b0
+UNION ALL SELECT doc_id, status FROM b1
+ORDER BY doc_id
+"""
+
+
+@query("histdedup_bloom_streaming_parity", oracle=_BLOOM_PARITY_ORACLE)
+def histdedup_bloom_streaming_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The exact-dedup ingest statuses through the REAL
+    ``start_history_dedup_ingest(bloom_prefilter=True)`` job: history
+    slice (doc_id % 5 != 4) as micro-batch 0, incoming slice as
+    micro-batch 1, every document's routed verdict read back from the
+    clean/dups sinks. The oracle states plain per-batch digest
+    semantics — batch-internal first-copy election (NULL digests form
+    one group per batch), history digests blocking incoming re-crawls
+    — and the row is green only if the Bloom access path (probe →
+    maybe/clear split → filter OR-update or headroom rebuild →
+    superset-ordered writes) changes NOTHING about the verdicts. The
+    batch-0 cold build, the batch-1 probe, and at least one filter
+    update all execute inside this row; the all-new skip, crash
+    windows, and overflow rebuild are pinned in
+    tests/test_bloom_stream.py.
+    """
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.pmod("doc_id", F.lit(5)) == 4
+    root = tempfile.mkdtemp(prefix="frdw_bloomparity_")
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def _drop(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(root, f"slice_{name}")
+        df.select(
+            F.to_json(F.struct("doc_id", "text")).alias("v")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        dst = os.path.join(src, name)
+        parts = [f for f in os.listdir(tmp) if f.startswith("part-")]
+        if parts:
+            shutil.move(os.path.join(tmp, parts[0]), dst)
+        else:
+            open(dst, "w").close()
+        os.utime(dst, (mtime, mtime))
+
+    _drop(docs.filter(~is_inc).select("doc_id", "text"), "0.jsonl", 1_000_000_000.0)
+    _drop(docs.filter(is_inc).select("doc_id", "text"), "1.jsonl", 1_000_000_100.0)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = os.path.join(root, "out")
+    q = start_history_dedup_ingest(
+        spark, stream, out, os.path.join(root, "ckpt"), bloom_prefilter=True
+    )
+    q.awaitTermination()
+
+    def _read(sub: str, schema: str) -> DataFrame:
+        try:
+            return spark.read.schema(schema).parquet(os.path.join(out, sub))
+        except Exception:  # zero-row tier: the sink was never written
+            return spark.createDataFrame([], schema)
+
+    clean = _read(
+        "clean", "doc_id bigint, text string, pbatch string"
+    ).select("doc_id", F.lit("new").alias("status"))
+    dups = _read(
+        "dups", "doc_id bigint, content_hash string, status string, pbatch string"
+    ).select("doc_id", "status")
+    return clean.unionByName(dups).orderBy("doc_id")

@@ -795,6 +795,7 @@ def start_history_dedup_ingest(
     near_dup_gate: bool = False,
     compact_every: int | None = None,
     respect_tombstones: bool = False,
+    bloom_prefilter: bool = False,
 ):
     """Continuous ingest with GLOBAL dedup against everything ever
     ingested — the streaming face of
@@ -876,6 +877,28 @@ def start_history_dedup_ingest(
     ``_repair_swap_dir`` sweep, which the store reads below run before
     every existence probe.
 
+    ``bloom_prefilter=True`` keeps a partitioned Bloom filter
+    (``{out_root}/bloom``, one ~10-bits/key bit-array row per hash
+    partition — operators/dedup.py::build_bloom_membership) beside the
+    digest store and probes each batch against it BEFORE the exact
+    classify: digests the filter rules out are definitively new, so a
+    batch with zero "maybe" rows never reads the digest store at all —
+    the common all-new crawl batch skips the scan of the entire
+    history. "Maybe" rows route through the IDENTICAL exact join
+    (false positives cost a lookup, never a wrong status), and both
+    slices share the same classification core
+    (``incremental_dedup_digests`` — a digest's copies always land in
+    one slice, so the first-copy election is unchanged). The invariant
+    that makes skipping sound — the filter is a SUPERSET of the digest
+    store — is held by WRITE ORDER: the filter is OR-updated (or
+    rebuilt with headroom when a partition's slack is spent) and
+    atomically swapped BEFORE the batch's digest partition lands, so a
+    crash between the two writes only ever leaves extra bits (false
+    positives), never missing ones (false negatives). Replays re-OR
+    the same bits idempotently. A takedown that REMOVES digests
+    (block_reingest=False) leaves stale filter bits — again FP-only:
+    the exact join decides, so purged content re-ingests as new.
+
     ``respect_tombstones=True`` makes erasure win over checkpoint
     redelivery: every batch anti-joins the lake's ``_tombstones`` log
     (written by streaming/retention.py::takedown_documents) before its
@@ -889,12 +912,18 @@ def start_history_dedup_ingest(
     ``reapply_tombstones`` after recovery.
     """
     from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _BLOOM_SCHEMA,
+        BLOOM_BITS_PER_KEY,
+        BLOOM_PARTS,
         NGRAM_DF_CAP,
         _bands_from_shingles,
         _capped_batch_shingles,
         _exploded_shingle_hashes,
+        build_bloom_membership,
         compact_dedup_lsh_index_capped,
-        incremental_dedup,
+        incremental_dedup_digests,
+        or_bloom_membership,
+        probe_bloom_membership,
     )
     from flink_realtime_data_warehouse_spark.streaming.sinks import (
         _repair_swap_dir,
@@ -903,6 +932,10 @@ def start_history_dedup_ingest(
     digests_path = f"{out_root}/digests"
     lsh_df_path = f"{out_root}/lsh/df"
     lsh_bands_path = f"{out_root}/lsh/bands"
+    bloom_path = f"{out_root}/bloom"
+    #: rebuild-with-slack factor: OR-updates consume the headroom, then
+    #: one rebuild re-sizes — amortized O(1) rebuild work per key
+    bloom_headroom = 4
     run_id = _incarnation_id(checkpoint)
 
     def _store_exists(p: str) -> bool:
@@ -919,6 +952,79 @@ def start_history_dedup_ingest(
         _repair_swap_dir(out_root, digests_path)
         return _store_exists(digests_path)
 
+    def _swap_write_bloom(rows: DataFrame) -> None:
+        """Atomically replace the bloom store (rename-swap; the
+        ``_repair_swap_dir`` sweep every reader runs rolls back a
+        mid-swap crash)."""
+        import shutil
+        import uuid as _uuid
+
+        tmp = f"{bloom_path}__tmp_{_uuid.uuid4().hex[:8]}"
+        rows.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(bloom_path):
+            old = f"{bloom_path}__old_{_uuid.uuid4().hex[:8]}"
+            os.rename(bloom_path, old)
+            os.rename(tmp, bloom_path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, bloom_path)
+
+    def _update_bloom(new_digests: DataFrame, pbatch: str) -> None:
+        """Fold the batch's new digests into the filter BEFORE the
+        digest partition lands (the superset-by-write-order invariant).
+        OR-update while every touched partition has sizing slack;
+        rebuild from the digest store + this batch with fresh headroom
+        the moment one would overflow (amortized O(1) work per key —
+        partitions are md5-balanced, so they fill together)."""
+        new_digests = new_digests.filter(
+            F.col("content_hash").isNotNull()
+        ).distinct()
+        new_counts = {
+            r["pkey"]: r["c"]
+            for r in new_digests.groupBy(
+                F.pmod(F.xxhash64("content_hash"), F.lit(BLOOM_PARTS))
+                .cast("int")
+                .alias("pkey")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        if not new_counts and _store_exists(bloom_path):
+            return  # nothing new; the store is already current
+        meta = {}
+        if _store_exists(bloom_path):
+            meta = {
+                r["pkey"]: (int(r["n_keys"]), int(r["m_bits"]))
+                for r in spark.read.schema(_BLOOM_SCHEMA)
+                .parquet(bloom_path)
+                .select("pkey", "n_keys", "m_bits")
+                .collect()
+            }
+        overflow = not meta
+        for pk, c in new_counts.items():
+            n0, m = meta.get(pk, (0, 64))
+            if (n0 + c) * BLOOM_BITS_PER_KEY > m:
+                overflow = True
+        if overflow:
+            hist = (
+                spark.read.schema("content_hash string, pbatch string")
+                .parquet(digests_path)
+                .filter(~F.col("pbatch").eqNullSafe(pbatch))
+                .select("content_hash")
+                if _digest_store_exists()
+                else spark.createDataFrame([], "content_hash string")
+            )
+            rows = build_bloom_membership(
+                hist.unionByName(new_digests).distinct(),
+                headroom=bloom_headroom,
+            )
+        else:
+            rows = or_bloom_membership(
+                spark.read.schema(_BLOOM_SCHEMA).parquet(bloom_path),
+                new_digests,
+            )
+        _swap_write_bloom(rows)
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         pbatch = f"{run_id}-{batch_id}"
         batch = batch.dropDuplicates(["doc_id"])
@@ -927,22 +1033,65 @@ def start_history_dedup_ingest(
         # data files, and schema inference on it would fail the NEXT
         # batch (found by the empty-corpus tier driving the gate
         # parity row end-to-end)
-        if _digest_store_exists():
-            history = spark.read.schema(
-                "content_hash string, pbatch string"
-            ).parquet(digests_path).filter(
-                # null-safe: rows from an out-of-band (pre-sentinel)
-                # compaction read pbatch as NULL and must stay history
-                ~F.col("pbatch").eqNullSafe(pbatch)
-            )
-        else:
-            history = spark.createDataFrame(
+        def _history() -> DataFrame:
+            if _digest_store_exists():
+                return spark.read.schema(
+                    "content_hash string, pbatch string"
+                ).parquet(digests_path).filter(
+                    # null-safe: rows from an out-of-band (pre-sentinel)
+                    # compaction read pbatch as NULL and must stay history
+                    ~F.col("pbatch").eqNullSafe(pbatch)
+                )
+            return spark.createDataFrame(
                 [], "content_hash string, pbatch string"
             )
-        statuses = incremental_dedup(
-            batch.select("doc_id", "text"), history
-        )
+
         from pyspark import StorageLevel
+
+        inc = batch.select("doc_id", F.md5("text").alias("content_hash"))
+        no_history = spark.createDataFrame([], "content_hash string")
+        flagged = None
+        if bloom_prefilter:
+            _repair_swap_dir(out_root, bloom_path)
+            if not _store_exists(bloom_path) and _digest_store_exists():
+                # first enablement over a pre-existing lake: one-time
+                # build from the full digest store (including any
+                # crashed attempt's partition — a superset only ever
+                # costs false positives)
+                _swap_write_bloom(
+                    build_bloom_membership(
+                        spark.read.schema("content_hash string, pbatch string")
+                        .parquet(digests_path)
+                        .select("content_hash"),
+                        headroom=bloom_headroom,
+                    )
+                )
+            if _store_exists(bloom_path):
+                blooms = spark.read.schema(_BLOOM_SCHEMA).parquet(bloom_path)
+                flagged = probe_bloom_membership(inc, blooms).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                maybe = flagged.filter("maybe_dup").select(
+                    "doc_id", "content_hash"
+                )
+                clear = flagged.filter(~F.col("maybe_dup")).select(
+                    "doc_id", "content_hash"
+                )
+                if maybe.limit(1).count():
+                    statuses = incremental_dedup_digests(
+                        maybe, _history()
+                    ).unionByName(
+                        incremental_dedup_digests(clear, no_history)
+                    )
+                else:
+                    # the all-new fast path: the digest store — the
+                    # whole ingest history — is never even scanned
+                    statuses = incremental_dedup_digests(flagged, no_history)
+            else:
+                # cold lake: no filter and no history to consult
+                statuses = incremental_dedup_digests(inc, no_history)
+        else:
+            statuses = incremental_dedup_digests(inc, _history())
 
         # four lineages traverse the classified batch (clean, dups,
         # digests, and the gate's new_docs) — persist it so the digest
@@ -983,6 +1132,12 @@ def start_history_dedup_ingest(
                 doc_rows.filter(~is_new).select("doc_id", "content_hash", "status"),
                 f"{out_root}/dups",
             )
+            if bloom_prefilter:
+                # filter-before-digests write order: a crash between
+                # the two leaves the filter a superset (FPs only)
+                _update_bloom(
+                    routed.filter(is_new).select("content_hash"), pbatch
+                )
             _sink(
                 routed.filter(is_new).select("content_hash"),
                 digests_path,
@@ -1064,6 +1219,8 @@ def start_history_dedup_ingest(
                     )
         finally:
             routed.unpersist()
+            if flagged is not None:
+                flagged.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(_process)

@@ -351,6 +351,69 @@ def run_streaming_throughput(
             # the whole wall is fixed cost at this scale
             result["history_dedup_gated_fixed_sec"] = small_sec
             result["history_dedup_gated_var_rps"] = None
+
+    # sixth topology (round 8, late): the Bloom-prefiltered ingest.
+    # First the same drop through bloom_prefilter=True (its own rate —
+    # the filter build/OR-update overhead must stay visible), then the
+    # access-path win measured DIRECTLY: one more all-new drop into the
+    # plain lake and into the bloom lake — the plain path scans the
+    # whole digest history to classify it, the bloom probe rules every
+    # digest out and skips that scan entirely.
+    t0 = time.perf_counter()
+    stream = spark.readStream.schema("doc_id bigint, text string").json(doc_src)
+    start_history_dedup_ingest(
+        spark,
+        stream,
+        os.path.join(work_root, "out_histdedup_bloom"),
+        os.path.join(work_root, "ckpt_histdedup_bloom"),
+        bloom_prefilter=True,
+    ).awaitTermination()
+    bloom_sec = round(time.perf_counter() - t0, 3)
+    result["history_dedup_bloom_sec"] = bloom_sec
+    result["history_dedup_bloom_rows_per_sec"] = (
+        round(n_docs / bloom_sec, 1) if bloom_sec else 0.0
+    )
+
+    # all-new second drop (re-keyed, re-texted) appended to the SAME
+    # source dir, so each checkpointed job resumes onto exactly it
+    docs2 = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+        )
+    )
+    tmp2 = os.path.join(work_root, "doc_drop2_tmp")
+    docs2.select(
+        F.to_json(F.struct("doc_id", "text")).alias("value")
+    ).repartition(8).write.mode("overwrite").text(tmp2)
+    import shutil as _shutil
+
+    for f in os.listdir(tmp2):
+        if f.startswith("part-"):
+            _shutil.move(os.path.join(tmp2, f), os.path.join(doc_src, f))
+
+    def _resume(out_name: str, ckpt_name: str, bloom: bool) -> float:
+        # resume into CLONES: the measurement must not mutate the
+        # original lakes, whose row counts the smoke assertions pin
+        out2 = os.path.join(work_root, f"{out_name}_second")
+        ckpt2 = os.path.join(work_root, f"{ckpt_name}_second")
+        _shutil.copytree(os.path.join(work_root, out_name), out2)
+        _shutil.copytree(os.path.join(work_root, ckpt_name), ckpt2)
+        t0 = time.perf_counter()
+        s = spark.readStream.schema("doc_id bigint, text string").json(doc_src)
+        start_history_dedup_ingest(
+            spark, s, out2, ckpt2, bloom_prefilter=bloom
+        ).awaitTermination()
+        return round(time.perf_counter() - t0, 3)
+
+    result["history_dedup_second_scan_sec"] = _resume(
+        "out_histdedup", "ckpt_histdedup", False
+    )
+    result["history_dedup_second_bloom_sec"] = _resume(
+        "out_histdedup_bloom", "ckpt_histdedup_bloom", True
+    )
     return result
 
 

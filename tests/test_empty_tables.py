@@ -167,6 +167,10 @@ _NULL_PARITY_QUERIES = [
     "ids_stable_assign",
     "export_shuffled_shards",
     "dedup_bloom_gate_checked",
+    # round 8 (late): NULL-text docs route through the Bloom-prefiltered
+    # streaming ingest exactly like the plain path — NULL digests read
+    # definitively-new at the probe and elect per batch downstream
+    "histdedup_bloom_streaming_parity",
 ]
 
 

@@ -28,6 +28,10 @@ def test_streaming_throughput_end_to_end(spark, tmp_path):
     assert res["rows_docs"] > 0 and res["history_dedup_rows_per_sec"] > 0
     # the gated ingest (digest + df-capped band probe) has its own rate
     assert res["history_dedup_gated_rows_per_sec"] > 0
+    # bloom-prefiltered ingest + the second-drop scan/skip pair
+    assert res["history_dedup_bloom_rows_per_sec"] > 0
+    assert res["history_dedup_second_scan_sec"] > 0
+    assert res["history_dedup_second_bloom_sec"] > 0
     outs = _smoke_outputs(spark, str(tmp_path))
     # every behavior line is a page record and survives parse+ST1
     assert outs["out_baselog/dwd_traffic_corrected_log"] == res["rows_behavior"]
