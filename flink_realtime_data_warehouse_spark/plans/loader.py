@@ -29,6 +29,7 @@ def load_all() -> tuple[dict, dict]:
     import flink_realtime_data_warehouse_spark.operators.textops  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.timeseries  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.visitors  # noqa: F401
+    import flink_realtime_data_warehouse_spark.sources.ingest  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.ads  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.analytics  # noqa: F401
     import flink_realtime_data_warehouse_spark.plans.cep_queries  # noqa: F401

@@ -171,6 +171,10 @@ _NULL_PARITY_QUERIES = [
     # streaming ingest exactly like the plain path — NULL digests read
     # definitively-new at the probe and elect per batch downstream
     "histdedup_bloom_streaming_parity",
+    # round 8 (late): NULL text/lang/source must survive the CSV/ORC
+    # landing round trip distinct from '' (quoteAll + sentinel)
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
 ]
 
 
