@@ -137,6 +137,11 @@ HEADLINE = [
     "ids_stable_assign",
     "dedup_bloom_gate_checked",
     "export_shuffled_shards",
+    # round 8 (late): flat-file landing-zone round trips, bigram-LM
+    # perplexity-filter signal
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "text_bigram_logprob",
 ]
 
 

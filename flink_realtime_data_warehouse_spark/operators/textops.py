@@ -842,3 +842,122 @@ def text_collocation_lift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("rk")
         .orderBy("lang", F.col("lift_e2").desc(), "w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring (CCNet-style perplexity filtering, corpus-trained)
+# ---------------------------------------------------------------------------
+#
+# CCNet-family pipelines rank documents by language-model perplexity
+# and cut the worst tail. This is that signal with the LM trained ON
+# the corpus itself: an add-one-smoothed word-bigram model — P(w2|w1)
+# = (B(w1,w2)+1) / (U(w1)+V) — scored per document as total and
+# per-bigram negative log-likelihood. Gibberish and boilerplate-free
+# rare text score high (unfamiliar transitions); templated text scores
+# low. Float discipline follows search_bm25_topk: each occurrence's
+# ln() is quantized to an e6 BIGINT BEFORE summing, so the per-doc sum
+# is integer arithmetic — order-independent, hash-stable across
+# engines (a raw double sum would drift with partition order).
+#
+# Scale: two token-keyed aggregates (unigram/bigram counts — partial
+# map-side combine), one small broadcastable model relation at real
+# vocabulary sizes per language slice (or a plain shuffle join when
+# not), and one doc-keyed integer sum. Nothing quadratic; the words
+# array materializes once per doc exactly like word_shingles.
+
+_BIGRAM_LP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws
+  FROM documents WHERE text IS NOT NULL),
+uni AS (
+  SELECT w1, count(*)::DOUBLE AS u
+  FROM (SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
+v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, UNNEST(CASE WHEN len(ws) >= 2 THEN range(1, len(ws))
+                      ELSE [] END) AS t(i)),
+bcnt AS (
+  SELECT w1, w2, count(*)::DOUBLE AS b FROM bg GROUP BY w1, w2),
+contrib AS (
+  SELECT bg.doc_id,
+         CAST(round(-ln((bcnt.b + 1.0) / (uni.u + v.v)) * 1000000.0)
+              AS BIGINT) AS nll_e6
+  FROM bg JOIN bcnt USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams, sum(nll_e6) AS nll
+  FROM contrib GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.nll, 0) AS BIGINT) AS total_nll_e6,
+       CAST(CASE WHEN coalesce(per.n_bigrams, 0) = 0 THEN 0
+                 ELSE per.nll // per.n_bigrams END AS BIGINT) AS avg_nll_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.text IS NOT NULL
+ORDER BY d.doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_LP_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood (total and mean,
+    e6-quantized BIGINT) under the corpus-trained add-one model — the
+    perplexity-filter signal, self-trained so it is a pure
+    deterministic function of the data. Every in-corpus bigram has
+    model mass by construction; cross-corpus scoring would add an OOV
+    branch (score against (0+1)/(U+V)) — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    uni = (
+        w.select(F.explode("ws").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).cast("double").alias("u"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 2 THEN "
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS w1, ws[i+1] AS w2)) "
+                "ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    bcnt = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("b")
+    )
+    contrib = (
+        bg.join(bcnt, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log((F.col("b") + F.lit(1.0)) / (F.col("u") + F.col("v")))
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("nll_e6"),
+        )
+    )
+    per = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll_e6").alias("nll")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("nll", F.lit(0)).cast("bigint").alias("total_nll_e6"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0 "
+                "ELSE nll DIV n_bigrams END AS BIGINT)"
+            ).alias("avg_nll_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -175,6 +175,9 @@ _NULL_PARITY_QUERIES = [
     # landing round trip distinct from '' (quoteAll + sentinel)
     "source_csv_roundtrip",
     "source_orc_roundtrip",
+    # round 8 (late): NULL text filtered identically ahead of the
+    # bigram explode / LM joins on both engines
+    "text_bigram_logprob",
 ]
 
 
