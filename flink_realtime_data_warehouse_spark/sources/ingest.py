@@ -120,14 +120,27 @@ def write_csv_dir(
 
 
 def ingest_csv_dir(
-    spark: SparkSession, path: str, schema: str, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    multiline: bool = False,
+    staging: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Read a CSV landing dir under an explicit schema. Returns
     (good_rows, corrupt_rows) — corrupt rows carry the raw line in
     ``_corrupt_record`` for quarantine, good rows never silently
     absorb a malformed line (the PERMISSIVE-with-side-output posture;
     FAILFAST would abort a 100 TB job on one bad byte, DROPMALFORMED
-    would hide it)."""
+    would hide it).
+
+    The parse is STAGED to parquet (``staging`` dir, a temp dir by
+    default) and both returns scan the staged table. That is the
+    production bronze-layer shape — one CSV parse feeds every consumer
+    instead of re-tokenizing per downstream plan — and it is also what
+    makes the split legal: Spark refuses any plan over a raw CSV scan
+    whose referenced columns prune to only ``_corrupt_record``
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN — a bare ``bad.count()`` does
+    exactly that), prescribing cache-or-save; staging is the save."""
     df = (
         spark.read.options(**_CSV_READ_OPTS)
         .option("multiLine", str(multiline).lower())
@@ -136,12 +149,16 @@ def ingest_csv_dir(
         .schema(schema + ", _corrupt_record string")
         .csv(path)
     )
-    # the bad side keeps the full parsed row, not just the corrupt
-    # column: Spark disallows plans whose referenced columns are ONLY
-    # `_corrupt_record` (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and the
-    # quarantine consumer wants the partial parse anyway
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    staged = staging or tempfile.mkdtemp(prefix="frdw_csvstage_")
+    staged_path = os.path.join(staged, "parsed")
+    df.write.mode("overwrite").parquet(staged_path)
+    parsed = spark.read.schema(schema + ", _corrupt_record string").parquet(
+        staged_path
+    )
+    good = parsed.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    bad = parsed.filter(F.col("_corrupt_record").isNotNull())
     return good, bad
 
 
