@@ -142,6 +142,10 @@ HEADLINE = [
     "source_csv_roundtrip",
     "source_orc_roundtrip",
     "text_bigram_logprob",
+    # round 8 (late): near-dup decontamination (the triad's third
+    # face), surrogate-key continuation numbering
+    "decontam_neardup_overlap",
+    "ids_incremental_assign",
 ]
 
 

@@ -267,3 +267,159 @@ def decontam_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate decontamination — the third face of the gate: LSH
+# candidates against the eval holdout, EXACT Jaccard rescore to decide
+# ---------------------------------------------------------------------------
+#
+# The n-gram gate needs a verbatim 5-gram; the semantic gate needs
+# embedding proximity. Between them sits the boilerplate re-write: an
+# eval item lightly paraphrased at the token level (most shingles
+# shared, no long verbatim run, embedding possibly unavailable for the
+# text slice). This closes the triad with the production two-stage
+# shape: MinHash band collisions BOUND the candidates (never
+# |train|x|eval|), then an exact shingle-Jaccard rescore on candidates
+# decides — exactly the dedup family's LSH-then-verify discipline
+# pointed across the train/eval boundary.
+
+NEARDUP_DECONTAM_BP = 2000  #: jaccard >= 0.2 flags the training doc
+
+
+def _neardup_decontam_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _SIG_ORACLE_COLS,
+        _band_oracle_keys_from,
+    )
+
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), 1, 15))::BIGINT AS s
+  FROM w, UNNEST(CASE WHEN len(ws) >= 3 THEN range(1, len(ws) - 1) ELSE [] END) AS t(i)),
+sig AS (SELECT doc_id, {_SIG_ORACLE_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+{_band_oracle_keys_from("sig")}
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM bands t JOIN bands e ON t.band = e.band AND t.key = e.key
+  WHERE t.doc_id % {EVAL_MOD} != 0 AND e.doc_id % {EVAL_MOD} = 0),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id, c.eval_id, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id
+  JOIN sh b ON b.doc_id = c.eval_id AND b.s = a.s
+  GROUP BY 1, 2),
+scored AS (
+  SELECT inter.doc_id, inter.eval_id,
+         (inter.i * 10000) // (ca.n + cb.n - inter.i) AS bp
+  FROM inter
+  JOIN cnt ca ON ca.doc_id = inter.doc_id
+  JOIN cnt cb ON cb.doc_id = inter.eval_id),
+best AS (
+  SELECT doc_id, eval_id, bp,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY bp DESC, eval_id) AS rn
+  FROM scored)
+SELECT d.doc_id,
+       CAST(coalesce(b.eval_id, -1) AS BIGINT) AS matched_eval,
+       CAST(coalesce(b.bp, 0) AS BIGINT) AS jaccard_bp,
+       CAST(CASE WHEN coalesce(b.bp, 0) >= {NEARDUP_DECONTAM_BP}
+            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+WHERE d.doc_id % {EVAL_MOD} != 0
+ORDER BY d.doc_id
+"""
+
+
+@query("decontam_neardup_overlap", oracle=_neardup_decontam_oracle())
+def decontam_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate benchmark decontamination: every training doc's
+    best eval-holdout match among LSH band-collision candidates, scored
+    by EXACT shingle Jaccard (e4-quantized bp — integer division, so
+    the hash gate never rides a float boundary), flagged at
+    ``NEARDUP_DECONTAM_BP``. ``matched_eval`` is -1 for the (typical)
+    uncontaminated doc.
+
+    Scale shape: band join bounds candidates by bucket collisions
+    (never |train|×|eval|); the rescore joins only candidate pairs'
+    shingle rows on 8-byte keys; one window ranks per-doc matches.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        _exploded_shingle_hashes,
+        band_keys,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.pmod("doc_id", F.lit(EVAL_MOD)) == 0
+    bands = band_keys(docs)
+    t = bands.filter(F.pmod("doc_id", F.lit(EVAL_MOD)) != 0).alias("t")
+    e = bands.filter(F.pmod("doc_id", F.lit(EVAL_MOD)) == 0).alias("e")
+    cand = (
+        t.join(
+            e,
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.key") == F.col("e.key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("eval_id"),
+        )
+        .distinct()
+    )
+    sh = _exploded_shingle_hashes(docs).distinct()
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.alias("a"), "doc_id")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("eval_id"), F.col("s").alias("s2")
+            ),
+            ["eval_id"],
+        )
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    scored = (
+        inter.join(cnt.withColumnRenamed("n", "na"), "doc_id")
+        .join(
+            cnt.select(
+                F.col("doc_id").alias("eval_id"), F.col("n").alias("nb")
+            ),
+            "eval_id",
+        )
+        .select(
+            "doc_id",
+            "eval_id",
+            F.expr("(i * 10000) DIV (na + nb - i)").alias("bp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("bp").desc(), "eval_id")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        docs.filter(~is_eval)
+        .select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("eval_id", F.lit(-1)).cast("bigint").alias("matched_eval"),
+            F.coalesce("bp", F.lit(0)).cast("bigint").alias("jaccard_bp"),
+            F.when(
+                F.coalesce("bp", F.lit(0)) >= NEARDUP_DECONTAM_BP, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -485,6 +485,48 @@ def ids_stable_assign_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ids.select("doc_id", "stable_id").orderBy("doc_id")
 
 
+@query(
+    "ids_incremental_assign",
+    oracle="""
+    WITH hist AS (
+      SELECT count(*) AS c FROM documents
+      WHERE doc_id % 5 != 4 AND doc_id IS NOT NULL),
+    inc AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents WHERE doc_id % 5 = 4 AND doc_id IS NOT NULL)
+    SELECT doc_id, CAST(rn + c AS BIGINT) AS stable_id
+    FROM inc CROSS JOIN hist ORDER BY doc_id
+    """,
+)
+def ids_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surrogate-key continuation — the incremental face of
+    ``ids_stable_assign``: a new batch (doc_id % 5 == 4) is numbered
+    ``|history|, |history|+1, …`` after the already-ingested corpus,
+    the warehouse auto-increment the reference delegates to MySQL
+    (DimApp's dims carry DB-assigned ids) done engine-side: ONE count
+    of the history (at scale, a metadata read of the id table's row
+    count) plus the same bucket/prefix-sum numbering over only the
+    batch. No global coordination, no single-reducer sort, and replays
+    re-derive identical keys because the numbering is a pure function
+    of (history count, batch keys)."""
+    from flink_realtime_data_warehouse_spark.operators.scale import (
+        assign_stable_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    is_inc = F.pmod("doc_id", F.lit(5)) == 4
+    offset = docs.filter(~is_inc).count()
+    ids = assign_stable_ids(
+        docs.filter(is_inc).select("doc_id"), "doc_id", n_buckets=64
+    )
+    return ids.select(
+        "doc_id",
+        (F.col("stable_id") + F.lit(offset)).cast("bigint").alias("stable_id"),
+    ).orderBy("doc_id")
+
+
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str,
                     cols: list[str], n_buckets: int = 16) -> str:
     """Session-catalog bucketed copy of a base table, stamped by

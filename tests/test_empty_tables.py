@@ -178,6 +178,11 @@ _NULL_PARITY_QUERIES = [
     # round 8 (late): NULL text filtered identically ahead of the
     # bigram explode / LM joins on both engines
     "text_bigram_logprob",
+    # round 8 (late): NULL-text train docs carry no bands/shingles on
+    # either engine and surface as matched_eval = -1; NULL doc_id rows
+    # are excluded from incremental numbering on both engines
+    "decontam_neardup_overlap",
+    "ids_incremental_assign",
 ]
 
 
