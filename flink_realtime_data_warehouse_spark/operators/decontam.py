@@ -353,7 +353,7 @@ def decontam_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from flink_realtime_data_warehouse_spark.operators.dedup import (
-        _exploded_shingle_hashes,
+        _shingle_df,
         band_keys,
     )
 
@@ -374,7 +374,14 @@ def decontam_neardup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = _exploded_shingle_hashes(docs).distinct()
+    # the SESSION-CACHED distinct shingle relation, not a raw
+    # `.distinct()`: a plan-equivalent raw subtree would be rewritten
+    # by Spark's CacheManager to an InMemoryTableScan whenever any
+    # other query in the session has warmed the cache — making the
+    # plan histogram depend on session history (the full-suite run
+    # caught exactly that). Consuming the cache explicitly gives one
+    # shape everywhere AND shares the shuffle with the dedup family.
+    sh = _shingle_df(docs)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         cand.join(sh.alias("a"), "doc_id")
