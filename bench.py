@@ -185,6 +185,25 @@ def compact_line(detail: dict) -> str:
         q2.pop(omitted[-1])
 
 
+def _calib_cpu() -> float:
+    """One run of the fixed compute workload: 8 float32 1024x1024
+    matmuls (the BLAS path every Arrow kernel rides) + a 5M-iteration
+    pure-Python loop (the interpreter path). ~0.6 s on this host's
+    fast window, ~1.2 s on its slow one — the ratio IS the drift."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1024, 1024), dtype=np.float32)
+    b = rng.standard_normal((1024, 1024), dtype=np.float32)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        a @ b
+    s = 0
+    for i in range(5_000_000):
+        s += i & 1023
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from flink_realtime_data_warehouse_spark import get_spark
@@ -238,6 +257,15 @@ def main() -> None:
         calib_runs.append(time.perf_counter() - t0)
     calib = round(sorted(calib_runs)[1], 3)
 
+    # compute-bound twin of the shuffle calibration (r8 verdict item 2):
+    # this host's COMPUTE speed drifts ~2x between windows independently
+    # of shuffle speed, and the NumPy-kernel rows (embedding / semdedup /
+    # multimodal / ANN) track the former. A fixed NumPy matmul + a pure-
+    # Python loop — both data-independent — let compare_bench.py
+    # normalize those rows without the manual microbench adjudication
+    # sessions rounds 6-8 each needed.
+    calib_cpu = round(sorted(_calib_cpu() for _ in range(3))[1], 3)
+
     # streaming end-to-end throughput (r4 verdict item 5): the three
     # reference topologies (parse→ST1→split, ST2 UV, dim router) over a
     # file-drop workload derived from this SF's tables — the streaming
@@ -281,6 +309,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "total_min": round(sum(timings_min.values()), 3),
         "calib_shuffle_sec": calib,
+        "calib_cpu_sec": calib_cpu,
         # steady-state rate + its measured startup tax (VERDICT r6
         # item 5): the fixed ~10 s of query-init/state-store overhead
         # no longer masks streaming regressions in the rate scalar

@@ -557,37 +557,146 @@ def _train_centroids(
 LEVEL2_TASK_BUDGET_BYTES = 1 << 30
 
 
-def _check_level2_task_budget(
-    assigned1: DataFrame, budget_bytes: int | None = None
-) -> None:
-    """Raise if the LARGEST level-1 cell's estimated in-task bytes
-    (rows × (4·dim vector + ~24 B row overhead)) exceed the task
-    budget — a dominant cell (duplicated embeddings, a degenerate
-    corpus) would otherwise hand one Arrow task the whole pile. The
-    check is one map-combinable count over (cell1) — k₁ rows to the
-    driver — and changes nothing below the budget. ``budget_bytes``
-    defaults to the module's ``LEVEL2_TASK_BUDGET_BYTES`` at CALL time
-    (late-bound so a deployment can retune it once, globally)."""
-    if budget_bytes is None:
-        budget_bytes = LEVEL2_TASK_BUDGET_BYTES
+def _cell1_over_budget(
+    assigned1: DataFrame, budget_bytes: int
+) -> tuple[list[tuple[int, int, int]], int]:
+    """One map-combinable pass over (cell1): returns
+    ``([(cell1, rows, dim)] for cells whose estimated in-task bytes
+    (rows × (4·dim vector + ~24 B row overhead)) exceed the budget,
+    max_cell1_id)`` — k₁ rows to the driver, nothing else."""
     stats = assigned1.groupBy("cell1").agg(
         F.count(F.lit(1)).alias("rows"),
         F.max(F.size("v")).alias("dim"),
+    ).collect()
+    over = sorted(
+        (int(r["cell1"]), int(r["rows"]), int(r["dim"] or 0))
+        for r in stats
+        if r["dim"] is not None
+        and r["rows"] * (r["dim"] * 4 + 24) > budget_bytes
     )
-    worst = stats.select(
-        F.max(F.col("rows") * (F.col("dim") * 4 + 24)).alias("bytes"),
-        F.max("rows").alias("rows"),
-    ).collect()[0]
-    if worst["bytes"] is not None and worst["bytes"] > budget_bytes:
-        raise RuntimeError(
-            f"two-level quantizer: largest level-1 cell needs "
-            f"~{int(worst['bytes']) >> 20} MiB in one task "
-            f"({worst['rows']} vectors), over the "
-            f"{budget_bytes >> 20} MiB task budget — add a third "
-            f"quantizer level (split that cell's sub-clustering the "
-            f"same way level 2 split level 1) before building at this "
-            f"scale"
-        )
+    max_id = max((int(r["cell1"]) for r in stats), default=-1)
+    return over, max_id
+
+
+def _split_over_budget_cells(
+    spark: SparkSession,
+    assigned1: DataFrame,
+    cent1=None,
+    budget_bytes: int | None = None,
+    lloyd_iters: int = 2,
+    max_rounds: int = 4,
+):
+    """THIRD quantizer level, applied recursively to over-budget
+    level-1 cells ONLY (r8 verdict item 6 — this is the escalation the
+    old guard raised for). A dominant level-1 cell (duplicated
+    embeddings, a degenerate corpus) would hand one Arrow task the
+    whole pile; instead of refusing, split that one cell the same way
+    level 2 split level 1:
+
+    - train s = ⌈cell_bytes / budget⌉ + 1 child centroids over JUST
+      that cell's vectors with the distributed Lloyd loop (only the
+      s × dim child matrix reaches the driver — the √k bound is
+      unchanged: Σ extra centroids ≈ over_bytes / budget, data-bounded
+      and zero on a healthy corpus);
+    - child 0 inherits the parent's cell1 id (its centroid row is
+      overwritten), children 1..s-1 get fresh ids appended — so the
+      level-1 centroid list stays a dense id→row array and every
+      downstream consumer (probe argmax, sub-centroid partitioning,
+      packed cell ids) is unchanged;
+    - repeat up to ``max_rounds``: a child can still exceed the budget
+      and splits again. A pile k-means CANNOT separate (identical
+      vectors: every trained child collapses onto one) falls back, on
+      the last round, to a deterministic hash split
+      (``pmod(xxhash64(vec_id), s)``) — balanced by construction. The
+      trade is explicit: identical vectors then land in s sibling
+      cells with identical centroids, so a probe may reach only one
+      sibling (duplicates are interchangeable neighbors) and semdedup
+      retains ≤ s representatives of the pile instead of 1 — bounded,
+      and strictly better than the OOM-shaped task.
+
+    Returns ``(assigned1, cent1)`` with every cell1 group inside the
+    budget. ``budget_bytes`` defaults to the module's
+    ``LEVEL2_TASK_BUDGET_BYTES`` at CALL time (late-bound so a
+    deployment retunes it once, globally). Below the budget this is
+    one aggregate pass and zero plan changes."""
+    import numpy as np
+
+    if budget_bytes is None:
+        budget_bytes = LEVEL2_TASK_BUDGET_BYTES
+    cents = None if cent1 is None else [np.asarray(r) for r in cent1]
+    for rnd in range(max_rounds + 1):
+        over, max_id = _cell1_over_budget(assigned1, budget_bytes)
+        if not over:
+            break
+        if rnd == max_rounds:
+            worst = max(r * (d * 4 + 24) for _c, r, d in over)
+            raise RuntimeError(
+                f"two-level quantizer: a level-1 cell still needs "
+                f"~{worst >> 20} MiB in one task after {max_rounds} "
+                f"third-level split rounds (budget "
+                f"{budget_bytes >> 20} MiB) — the hash fallback "
+                f"should have bounded this; check the corpus"
+            )
+        next_id = len(cents) if cents is not None else max_id + 1
+        use_hash = rnd == max_rounds - 1
+        for c, rows, dim in over:
+            cell_bytes = rows * (dim * 4 + 24)
+            s = int(min(rows, max(2, -(-cell_bytes // budget_bytes) + 1)))
+            subset = assigned1.filter(F.col("cell1") == c).select(
+                "vec_id", "v"
+            )
+            trained = not use_hash
+            re = None
+            if trained:
+                child_cents = _train_centroids(
+                    spark, subset, s, lloyd_iters
+                )
+                re = subset.mapInPandas(
+                    _assign_to_centroids(spark, child_cents),
+                    schema="cell int, vec_id bigint, v array<float>",
+                )
+                counts = [
+                    int(r["c"])
+                    for r in re.groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                ]
+                if max(counts) == rows:  # k-means could not separate
+                    trained = False
+            if not trained:
+                # salt with the parent id: an unsalted re-hash of a
+                # hash-split child is CONSTANT whenever the two moduli
+                # share a factor (h%9==k ⇒ h%3==k%3) and the child
+                # would never split; parent ids are never reused, so
+                # the salt is deterministic and fresh per split event
+                re = subset.select(
+                    F.pmod(F.xxhash64("vec_id", F.lit(int(c))), F.lit(s))
+                    .cast("int")
+                    .alias("cell"),
+                    "vec_id",
+                    "v",
+                )
+                if cents is not None:
+                    # hash children share the parent's centroid: the
+                    # pile is directionless for k-means, so any copy
+                    # ranks the same for a probe
+                    child_cents = np.stack([cents[c]] * s)
+            remapped = re.select(
+                F.when(F.col("cell") == 0, F.lit(c))
+                .otherwise(F.col("cell") + F.lit(next_id - 1))
+                .cast("int")
+                .alias("cell1"),
+                "vec_id",
+                "v",
+            )
+            assigned1 = assigned1.filter(
+                F.col("cell1") != c
+            ).unionByName(remapped)
+            if cents is not None:
+                cents[c] = child_cents[0]
+                cents.extend(child_cents[1:])
+            next_id += s - 1
+    return assigned1, (np.stack(cents) if cents is not None else None)
 
 
 def two_level_cell_assignment(
@@ -637,7 +746,9 @@ def two_level_cell_assignment(
         _assign_to_centroids(spark, cent1),
         schema="cell int, vec_id bigint, v array<float>",
     ).withColumnRenamed("cell", "cell1")
-    _check_level2_task_budget(assigned1)
+    # third-level escalation: any over-budget level-1 cell is split
+    # recursively (assignment-only caller: no centroid bookkeeping)
+    assigned1, _ = _split_over_budget_cells(spark, assigned1)
 
     n_sub_iters = sub_iters
     k2_local = k2
@@ -752,11 +863,15 @@ def build_ann_ivf_index(
     )
     k2 = max(1, -(-n_list // k1))
     cent1 = _train_centroids(spark, emb, k1, lloyd_iters)
-    assigned1 = emb.mapInPandas(
+    assigned1_base = emb.mapInPandas(
         _assign_to_centroids(spark, cent1),
         schema="cell int, vec_id bigint, v array<float>",
     ).withColumnRenamed("cell", "cell1").persist(StorageLevel.MEMORY_AND_DISK)
-    _check_level2_task_budget(assigned1)
+    # third-level escalation: split any over-budget level-1 cell and
+    # extend the level-1 centroid array in lockstep (child 0 overwrites
+    # the parent's row, the rest append) — the persisted json stays a
+    # dense id→row array so probe/append read it unchanged
+    assigned1, cent1 = _split_over_budget_cells(spark, assigned1_base, cent1)
 
     k2_local = k2
     n_sub_iters = sub_iters
@@ -928,9 +1043,13 @@ def ivf_assign_delta(
             cents = pdf[is_c].sort_values("cell")
             news = pdf[~is_c]
             if not len(news) or not len(cents):
+                # "v" must be object-typed: an empty default-float64
+                # column is not Arrow-convertible to list<float>
+                # (latent until a cell1 group had sub-centroids but no
+                # newcomers — caught by the r9 escalation tests)
                 return pd.DataFrame(
                     {"cell": [], "vec_id": [], "v": []}
-                ).astype({"cell": "int32", "vec_id": "int64"})
+                ).astype({"cell": "int32", "vec_id": "int64", "v": "object"})
             cmat = np.stack(cents["v"].to_numpy()).astype(np.float64)
             block = np.stack(news["v"].to_numpy())
             norms = np.linalg.norm(block, axis=1, keepdims=True)

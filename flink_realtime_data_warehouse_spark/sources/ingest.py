@@ -35,8 +35,11 @@ hash mismatch.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,6 +78,42 @@ DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
+#: session-scoped temp-dir lifecycle (ADVICE r9): the staged parquet /
+#: landing dirs back LAZY DataFrames, so they cannot be deleted before
+#: the caller consumes them — but a long-lived session replaying the
+#: registry must not accumulate one orphan per invocation either.
+#: Keep the most recent KEEP dirs per kind (the previous invocation may
+#: still be draining in an interleaved runner), reap older ones on the
+#: next call, and sweep whatever remains at interpreter exit.
+_TMP_KEEP = 2
+_TMP_REGISTRY: dict[str, list[str]] = {}
+_TMP_LOCK = threading.Lock()
+
+
+def _reap_all_tmpdirs() -> None:
+    with _TMP_LOCK:
+        dirs = [d for v in _TMP_REGISTRY.values() for d in v]
+        _TMP_REGISTRY.clear()
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_all_tmpdirs)
+
+
+def _session_tmpdir(kind: str) -> str:
+    """mkdtemp with bounded lifetime: at most ``_TMP_KEEP`` live dirs
+    per kind; older ones are reaped here, the rest at exit."""
+    path = tempfile.mkdtemp(prefix=f"frdw_{kind}_")
+    with _TMP_LOCK:
+        dirs = _TMP_REGISTRY.setdefault(kind, [])
+        dirs.append(path)
+        stale = dirs[: -_TMP_KEEP]
+        del dirs[: -_TMP_KEEP]
+    for d in stale:
+        shutil.rmtree(d, ignore_errors=True)
+    return path
+
 
 def write_csv_dir(
     df: DataFrame, path: str, multiline: bool = False
@@ -94,7 +133,10 @@ def write_csv_dir(
             for c in str_cols
         ]
         bad_newline = [
-            F.sum(F.when(F.col(c).contains("\n"), 1).otherwise(0)).alias(
+            # \r alone is also a record separator under splittable
+            # reading (ADVICE r9): a quoted bare carriage return would
+            # slip a contains("\n") check and still truncate the row
+            F.sum(F.when(F.col(c).rlike("[\\r\\n]"), 1).otherwise(0)).alias(
                 f"{c}__nl"
             )
             for c in str_cols
@@ -111,10 +153,11 @@ def write_csv_dir(
             nl = [c for c in str_cols if counts[f"{c}__nl"]]
             if nl:
                 raise ValueError(
-                    f"columns {nl} contain embedded newlines; splittable "
-                    "(multiline=False) CSV reading would truncate those rows "
-                    "— normalize newlines upstream or pass multiline=True "
-                    "to BOTH write_csv_dir and ingest_csv_dir"
+                    f"columns {nl} contain embedded newlines (\\n or a bare "
+                    "\\r); splittable (multiline=False) CSV reading would "
+                    "truncate those rows — normalize newlines upstream or "
+                    "pass multiline=True to BOTH write_csv_dir and "
+                    "ingest_csv_dir"
                 )
     df.write.options(**_CSV_WRITE_OPTS).mode("overwrite").csv(path)
 
@@ -149,7 +192,7 @@ def ingest_csv_dir(
         .schema(schema + ", _corrupt_record string")
         .csv(path)
     )
-    staged = staging or tempfile.mkdtemp(prefix="frdw_csvstage_")
+    staged = staging or _session_tmpdir("csvstage")
     staged_path = os.path.join(staged, "parsed")
     df.write.mode("overwrite").parquet(staged_path)
     parsed = spark.read.schema(schema + ", _corrupt_record string").parquet(
@@ -190,7 +233,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    land = tempfile.mkdtemp(prefix="frdw_csvland_")
+    land = _session_tmpdir("csvland")
     write_csv_dir(docs, os.path.join(land, "docs"))
     good, bad = ingest_csv_dir(spark, os.path.join(land, "docs"), DOCS_SCHEMA)
     # a corrupt row on a self-written file is a reader/writer bug —
@@ -215,7 +258,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    land = tempfile.mkdtemp(prefix="frdw_orcland_")
+    land = _session_tmpdir("orcland")
     docs.write.mode("overwrite").orc(os.path.join(land, "docs"))
     return ingest_orc_dir(
         spark, os.path.join(land, "docs"), DOCS_SCHEMA

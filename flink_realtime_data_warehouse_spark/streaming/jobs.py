@@ -9,6 +9,7 @@ system of record (exactly-once per batch).
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -780,6 +781,37 @@ def compact_history_digest_store(
     folded.unionByName(keep).write.mode("overwrite").partitionBy(
         "pbatch"
     ).parquet(tmp)
+    # bloom watermark maintenance (r9, ADVICE): the fold renames
+    # partitions the filter's coverage sidecar tracks by name. When
+    # every folded partition was covered, the fold provably adds no
+    # keys — carry coverage over to the sentinel; when ANY folded
+    # partition was uncovered (flag-off ingest), wipe the sidecar so
+    # the next bloom batch rebuilds instead of probing a subset filter
+    # (false negatives). Written BEFORE the store swap: a crash
+    # between costs at most one spurious rebuild, never a subset probe.
+    bloom_path = os.path.join(out_root, "bloom")
+    sidecar = os.path.join(bloom_path, "_covered.json")
+    if os.path.isfile(sidecar):
+        try:
+            with open(sidecar) as f:
+                covered = set(json.load(f))
+        except (OSError, ValueError):
+            covered = set()
+        folded_parts = {
+            d.split("=", 1)[1]
+            for d in os.listdir(store)
+            if d.startswith("pbatch=")
+            and "__old_" not in d
+            and "__tmp_" not in d
+        } - ({exclude_pbatch} if exclude_pbatch is not None else set())
+        if folded_parts <= covered:
+            new_covered = (covered - folded_parts) | {COMPACTED_PBATCH}
+        else:
+            new_covered = set()
+        stmp = sidecar + ".tmp"
+        with open(stmp, "w") as f:
+            json.dump(sorted(new_covered), f)
+        os.replace(stmp, sidecar)
     old = f"{store}__old_{uuid.uuid4().hex[:8]}"
     os.rename(store, old)
     os.rename(tmp, store)
@@ -952,15 +984,43 @@ def start_history_dedup_ingest(
         _repair_swap_dir(out_root, digests_path)
         return _store_exists(digests_path)
 
-    def _swap_write_bloom(rows: DataFrame) -> None:
+    def _digest_parts() -> set[str]:
+        """pbatch partition names currently in the digest store
+        (including the ``__compacted__`` fold sentinel — a fold of
+        uncovered partitions must read as uncovered)."""
+        if not os.path.isdir(digests_path):
+            return set()
+        return {
+            d.split("=", 1)[1]
+            for d in os.listdir(digests_path)
+            if d.startswith("pbatch=") and "__old_" not in d and "__tmp_" not in d
+        }
+
+    def _bloom_covered() -> set[str]:
+        """Digest partitions the current filter provably covers — the
+        watermark written atomically with every filter swap. A legacy
+        store without the sidecar reports empty coverage, forcing one
+        rebuild (the safe migration)."""
+        try:
+            with open(os.path.join(bloom_path, "_covered.json")) as f:
+                return set(json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def _swap_write_bloom(rows: DataFrame, covered: set[str]) -> None:
         """Atomically replace the bloom store (rename-swap; the
         ``_repair_swap_dir`` sweep every reader runs rolls back a
-        mid-swap crash)."""
+        mid-swap crash). ``covered`` — the digest partitions this
+        filter accounts for — lands as a ``_covered.json`` sidecar
+        INSIDE the swapped dir (Spark ignores ``_``-files), so filter
+        bits and watermark can never be observed out of sync."""
         import shutil
         import uuid as _uuid
 
         tmp = f"{bloom_path}__tmp_{_uuid.uuid4().hex[:8]}"
         rows.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_covered.json"), "w") as f:
+            json.dump(sorted(covered), f)
         if os.path.isdir(bloom_path):
             old = f"{bloom_path}__old_{_uuid.uuid4().hex[:8]}"
             os.rename(bloom_path, old)
@@ -1023,7 +1083,10 @@ def start_history_dedup_ingest(
                 spark.read.schema(_BLOOM_SCHEMA).parquet(bloom_path),
                 new_digests,
             )
-        _swap_write_bloom(rows)
+        # the in-flight pbatch joins the watermark NOW: its digest
+        # partition lands after this swap (superset-by-write-order),
+        # and the next batch must not read it as uncovered
+        _swap_write_bloom(rows, covered=_digest_parts() | {pbatch})
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         pbatch = f"{run_id}-{batch_id}"
@@ -1053,8 +1116,16 @@ def start_history_dedup_ingest(
         flagged = None
         if bloom_prefilter:
             _repair_swap_dir(out_root, bloom_path)
-            if not _store_exists(bloom_path) and _digest_store_exists():
-                # first enablement over a pre-existing lake: one-time
+            if _digest_store_exists() and (
+                not _store_exists(bloom_path)
+                # stale filter: the digest store carries partitions the
+                # filter's watermark never covered — batches ingested
+                # while the flag was off (or a fold of such batches, or
+                # a pre-watermark legacy store). Probing a SUBSET
+                # filter would yield false negatives (already-ingested
+                # docs classified new), so rebuild first.
+                or _digest_parts() - _bloom_covered()
+            ):
                 # build from the full digest store (including any
                 # crashed attempt's partition — a superset only ever
                 # costs false positives)
@@ -1064,7 +1135,8 @@ def start_history_dedup_ingest(
                         .parquet(digests_path)
                         .select("content_hash"),
                         headroom=bloom_headroom,
-                    )
+                    ),
+                    covered=_digest_parts(),
                 )
             if _store_exists(bloom_path):
                 blooms = spark.read.schema(_BLOOM_SCHEMA).parquet(bloom_path)

@@ -10,16 +10,31 @@ stores share. The reference pipeline has no retention path at all
 (its Phoenix/Kafka sinks append forever); this is a lake-native
 requirement the moment the corpus feeds training.
 
-Design:
+Design (round 9: partition-pruned — erasure cost scales with the
+purge, not the lake):
 
-- Each affected store is rewritten through the same crash-safe
-  rename-swap as compaction (``_repair_swap_dir`` sweeps run first, so
-  a takedown killed mid-swap rolls back on the next touch) and keeps
-  its ``pbatch`` partitioning, so later ingest batches, replays, and
-  compactions compose unchanged. At lake scale the rewrite would
-  target only the pbatch partitions that actually carry purged rows
-  (they are enumerable with one aggregation); the whole-store swap
-  here keeps the crash story a single rename pair per store.
+- Every store is ``pbatch``-partitioned (``cell``-partitioned for the
+  IVF main store), so a purge first enumerates the partitions that
+  actually carry hits (one column-pruned scan of ``(key, pbatch)`` —
+  the only full-store read, and it reads two thin columns, never the
+  payload) and rewrites ONLY those partitions. Cold partitions'
+  files are never opened for write and stay byte-identical
+  (test-pinned by mtime/size/inode in tests/test_takedown.py). At a
+  100-TB lake a 1,000-doc erasure therefore rewrites at most the
+  handful of batch partitions those docs landed in.
+- Each affected partition is rewritten behind the same rename-swap
+  discipline as compaction: the keep-rows of all affected partitions
+  are staged to ``{store}__tmp_*`` in one Spark job, then each
+  partition directory is swapped (``pbatch=X`` → ``pbatch=X__old_*``,
+  stage dir renamed in, backup dropped). ``_repair_swap_dir`` (run
+  first by every reader and mutator) rolls back a half-swapped
+  partition and drops stale stage/backup dirs, so a takedown killed
+  mid-swap converges on the next touch. A partition whose every row
+  is purged is simply renamed away.
+- Partition values are escaped-alphanumeric by construction
+  (``<run_id>-<batch_id>`` / ``__compacted__`` / integer cells); a
+  value that is not filesystem-literal falls back to the legacy
+  whole-store swap rather than guessing Spark's escaping.
 - ``digests`` policy (``block_reingest``): by default the digest of
   purged CONTENT is kept — the payload is erased everywhere, but a
   re-crawl of the same bytes still classifies ``dup_history`` and
@@ -27,7 +42,13 @@ Design:
   want). With ``block_reingest=False`` the digest is removed too —
   but ONLY when no surviving clean document carries the same content
   (purging one duplicate must not unblock content the lake still
-  holds).
+  holds). The survivor check is the one deliberately full scan of
+  ``clean`` payloads, and only on this opt-in policy fork.
+- The purge set stays DISTRIBUTED end to end: a DataFrame input is
+  materialized to a scratch parquet under the lake root (never
+  collected to the driver — a lazy id set derived from a store this
+  function is about to swap would otherwise be pulled out from under
+  itself), and the same scratch holds the unblock-policy hash set.
 - The purged ids append to ``{out_root}/_tombstones`` (parquet) before
   any store is touched: the operation is idempotent and re-runnable —
   a crash between stores leaves some purged and some not, and
@@ -42,11 +63,16 @@ Design:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.streaming.table_format import (
+    FORMAT,
+)
 
 #: explicit schemas for the doc-keyed evidence stores: dynamic-overwrite
 #: writes of empty batches leave partition dirs with no data files, and
@@ -57,6 +83,11 @@ _STORE_SCHEMAS = {
     "lsh/bands": "doc_id bigint, band int, key string, pbatch string",
 }
 _DIGEST_SCHEMA = "content_hash string, pbatch string"
+
+#: partition values we can map to a directory name without reproducing
+#: Spark's partition-path escaping; anything else (never produced by
+#: this repo's ingest jobs) falls back to the whole-store swap
+_SAFE_PART = re.compile(r"^[A-Za-z0-9._\-]+$")
 
 
 def _has_parquet(path: str) -> bool:
@@ -69,15 +100,51 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
-def _swap_rewrite(spark: SparkSession, root: str, store: str, df: DataFrame) -> None:
-    """Rewrite ``store`` (under ``root``) to ``df``'s rows, pbatch
-    partitioning preserved, behind the shared rename-swap."""
-    tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").partitionBy("pbatch").parquet(tmp)
-    old = f"{store}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(store, old)
-    os.rename(tmp, store)
-    shutil.rmtree(old, ignore_errors=True)
+def _materialize_ids(
+    spark: SparkSession, ids, col: str, scratch_root: str
+) -> DataFrame:
+    """Persist the purge set to a scratch parquet and read it back: the
+    set stays distributed (no driver collect) yet survives the stores
+    it was derived from being rename-swapped underneath it."""
+    schema = f"{col} bigint"
+    if isinstance(ids, DataFrame):
+        df = ids.select(F.col(ids.columns[0]).cast("bigint").alias(col)).distinct()
+    else:
+        df = spark.createDataFrame([(int(i),) for i in ids], schema).distinct()
+    path = os.path.join(scratch_root, f"ids_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.schema(schema).parquet(path)
+
+
+def _pruned_purge(
+    spark: SparkSession,
+    store: str,
+    df: DataFrame,
+    hits: DataFrame,
+    keep_fn,
+    part_col: str = "pbatch",
+) -> int:
+    """Rewrite ONLY the ``part_col`` partitions of ``store`` that carry
+    ``hits`` rows. Returns the number of purged rows.
+
+    One aggregation enumerates ``{partition: hit_count}`` (bounded by
+    the batch count, not the corpus — safe to collect); the keep-rows
+    of just those partitions are staged in one job; each affected
+    partition directory is then rename-swapped individually. A crash
+    anywhere converges: half-swapped partitions roll back under
+    ``_repair_swap_dir`` and the tombstone log re-drives the purge.
+    """
+    part_counts = hits.groupBy(part_col).count().collect()
+    n = int(sum(r["count"] for r in part_counts))
+    if n == 0:
+        return 0
+    parts = [r[part_col] for r in part_counts]
+    if not all(p is not None and _SAFE_PART.match(str(p)) for p in parts):
+        FORMAT.swap_rewrite(spark, store, keep_fn(df), part_col)
+        return n
+    affected = df.where(F.col(part_col).isin(parts))
+    FORMAT.swap_partitions(spark, store, keep_fn(affected), part_col, parts)
+    return n
 
 
 def takedown_documents(
@@ -92,121 +159,118 @@ def takedown_documents(
     ``doc_ids``: an iterable of ids or a single-column DataFrame. The
     id set is takedown-request-sized (thousands, not millions) and is
     broadcast against each store; returns ``{store: rows_removed}``.
-    See the module docstring for crash/idempotency/digest semantics.
+    Only the pbatch partitions carrying purged rows are rewritten —
+    erasure cost is proportional to the purge's batch footprint, not
+    the lake. See the module docstring for crash/idempotency/digest
+    semantics.
     """
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
-    )
+    scratch = os.path.join(out_root, f"_takedown_scratch_{uuid.uuid4().hex[:8]}")
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        ids = _materialize_ids(spark, doc_ids, "doc_id", scratch)
 
-    if isinstance(doc_ids, DataFrame):
-        # materialize: a lazy id set derived from a store this function
-        # is about to rename-swap would be pulled out from under itself
-        rows = (
-            doc_ids.select(
-                F.col(doc_ids.columns[0]).cast("bigint").alias("doc_id")
-            )
-            .distinct()
-            .collect()
-        )
-        ids = spark.createDataFrame(rows, "doc_id bigint")
-    else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in doc_ids], "doc_id bigint"
-        ).distinct()
+        # 1) tombstone log FIRST — the re-run/resume anchor (skipped when
+        #    the ids ARE the log, i.e. reapply_tombstones)
+        if _log:
+            FORMAT.append(ids, os.path.join(out_root, "_tombstones"))
 
-    # 1) tombstone log FIRST — the re-run/resume anchor (skipped when
-    #    the ids ARE the log, i.e. reapply_tombstones)
-    if _log:
-        ids.write.mode("append").parquet(os.path.join(out_root, "_tombstones"))
+        removed: dict[str, int] = {}
 
-    removed: dict[str, int] = {}
-
-    # 2) clean (payload) — also the source of purged-content hashes for
-    #    the block_reingest=False digest pass, captured BEFORE rewrite
-    clean_path = os.path.join(out_root, "clean")
-    _repair_swap_dir(out_root, clean_path)
-    purged_hashes = None
-    if os.path.isdir(clean_path) and _has_parquet(clean_path):
-        clean = spark.read.option("mergeSchema", "true").parquet(clean_path)
-        hit = clean.join(F.broadcast(ids), "doc_id")
-        if not block_reingest:
-            # hashes safe to unblock = carried by a purged clean doc
-            # AND by no surviving clean doc
-            survivors = clean.join(F.broadcast(ids), "doc_id", "left_anti")
-            purged_hashes = (
-                hit.select(F.md5("text").alias("content_hash"))
-                .distinct()
-                .join(
-                    survivors.select(F.md5("text").alias("content_hash")).distinct(),
-                    "content_hash",
-                    "left_anti",
+        # 2) clean (payload) — also the source of purged-content hashes
+        #    for the block_reingest=False digest pass, captured BEFORE
+        #    any rewrite (staged to scratch, never collected)
+        clean_path = os.path.join(out_root, "clean")
+        FORMAT.repair(out_root, clean_path)
+        purged_hashes = None
+        if os.path.isdir(clean_path) and _has_parquet(clean_path):
+            clean = FORMAT.read(spark, clean_path, merge_schema=True)
+            if not block_reingest:
+                # hashes safe to unblock = carried by a purged clean doc
+                # AND by no surviving clean doc (one full payload scan —
+                # the documented cost of the opt-in unblock policy)
+                hit = clean.join(F.broadcast(ids), "doc_id")
+                survivors = clean.join(F.broadcast(ids), "doc_id", "left_anti")
+                unblock = (
+                    hit.select(F.md5("text").alias("content_hash"))
+                    .distinct()
+                    .join(
+                        survivors.select(
+                            F.md5("text").alias("content_hash")
+                        ).distinct(),
+                        "content_hash",
+                        "left_anti",
+                    )
                 )
-            )
-            purged_hashes = spark.createDataFrame(
-                purged_hashes.collect(), "content_hash string"
-            )  # materialize before the store is rewritten under it
-        n = hit.count()
-        removed["clean"] = n
-        if n:
-            _swap_rewrite(
+                hpath = os.path.join(scratch, "unblock_hashes")
+                unblock.write.mode("overwrite").parquet(hpath)
+                purged_hashes = spark.read.schema(
+                    "content_hash string"
+                ).parquet(hpath)
+            # hit enumeration reads only (doc_id, pbatch) — column-pruned
+            hits = clean.select("doc_id", "pbatch").join(F.broadcast(ids), "doc_id")
+            removed["clean"] = _pruned_purge(
                 spark,
-                out_root,
                 clean_path,
-                clean.join(F.broadcast(ids), "doc_id", "left_anti"),
+                clean,
+                hits,
+                lambda part: part.join(F.broadcast(ids), "doc_id", "left_anti"),
             )
 
-    # 3) doc-keyed evidence stores
-    for rel, schema in _STORE_SCHEMAS.items():
-        path = os.path.join(out_root, rel)
-        _repair_swap_dir(os.path.dirname(path), path)
-        if not os.path.isdir(path):
-            continue
-        df = spark.read.schema(schema).parquet(path)
-        cond = ["doc_id"]
-        if rel == "near_dups":
-            # purge rows referencing the doc on EITHER side
-            hit = df.join(F.broadcast(ids), "doc_id").unionByName(
-                df.join(
-                    F.broadcast(ids.withColumnRenamed("doc_id", "doc_hist")),
-                    "doc_hist",
+        # 3) doc-keyed evidence stores
+        for rel, schema in _STORE_SCHEMAS.items():
+            path = os.path.join(out_root, rel)
+            FORMAT.repair(os.path.dirname(path), path)
+            if not os.path.isdir(path):
+                continue
+            df = FORMAT.read(spark, path, schema)
+            if rel == "near_dups":
+                # purge rows referencing the doc on EITHER side
+                ids_hist = ids.withColumnRenamed("doc_id", "doc_hist")
+                hits = (
+                    df.join(F.broadcast(ids), "doc_id")
+                    .unionByName(df.join(F.broadcast(ids_hist), "doc_hist"))
+                    .dropDuplicates()
                 )
-            ).dropDuplicates()
-            keep = df.join(F.broadcast(ids), "doc_id", "left_anti").join(
-                F.broadcast(ids.withColumnRenamed("doc_id", "doc_hist")),
-                "doc_hist",
-                "left_anti",
+
+                def _keep_nd(part, _ids=ids, _ids_hist=ids_hist):
+                    return part.join(
+                        F.broadcast(_ids), "doc_id", "left_anti"
+                    ).join(F.broadcast(_ids_hist), "doc_hist", "left_anti")
+
+                keep_fn = _keep_nd
+            else:
+                hits = df.join(F.broadcast(ids), "doc_id")
+
+                def _keep(part, _ids=ids):
+                    return part.join(F.broadcast(_ids), "doc_id", "left_anti")
+
+                keep_fn = _keep
+            removed[rel] = _pruned_purge(spark, path, df, hits, keep_fn)
+
+        # 4) digests — policy pass
+        digests_path = os.path.join(out_root, "digests")
+        FORMAT.repair(out_root, digests_path)
+        if (
+            not block_reingest
+            and purged_hashes is not None
+            and os.path.isdir(digests_path)
+        ):
+            dig = FORMAT.read(spark, digests_path, _DIGEST_SCHEMA)
+            removed["digests"] = _pruned_purge(
+                spark,
+                digests_path,
+                dig,
+                dig.join(F.broadcast(purged_hashes), "content_hash"),
+                lambda part: part.join(
+                    F.broadcast(purged_hashes), "content_hash", "left_anti"
+                ),
             )
         else:
-            hit = df.join(F.broadcast(ids), cond)
-            keep = df.join(F.broadcast(ids), cond, "left_anti")
-        n = hit.count()
-        removed[rel] = n
-        if n:
-            _swap_rewrite(spark, os.path.dirname(path), path, keep)
+            removed["digests"] = 0
 
-    # 4) digests — policy pass
-    digests_path = os.path.join(out_root, "digests")
-    _repair_swap_dir(out_root, digests_path)
-    if (
-        not block_reingest
-        and purged_hashes is not None
-        and os.path.isdir(digests_path)
-    ):
-        dig = spark.read.schema(_DIGEST_SCHEMA).parquet(digests_path)
-        hit = dig.join(F.broadcast(purged_hashes), "content_hash")
-        n = hit.count()
-        removed["digests"] = n
-        if n:
-            _swap_rewrite(
-                spark,
-                out_root,
-                digests_path,
-                dig.join(F.broadcast(purged_hashes), "content_hash", "left_anti"),
-            )
-    else:
-        removed["digests"] = 0
-
-    return removed
+        return removed
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def reapply_tombstones(
@@ -228,82 +292,60 @@ def takedown_vectors(
     spark: SparkSession, index_root: str, vec_ids
 ) -> dict:
     """Purge vectors from a STREAMING IVF index
-    (streaming/jobs.py::start_embedding_ingest): the swappable
-    ``cells`` dir and the ``_deltas`` tail are each rewritten without
-    the purged ids behind the shared rename-swap (pbatch partitioning
-    of the tail preserved, so batch replays and delta compaction
-    compose unchanged). The quantizer artifacts are untouched — cell
-    centroids are aggregates over many vectors, not recoverable
-    payload, and keeping them preserves assignment determinism for
-    future appends (the standard IVF posture; retrain offline if the
-    purge is large enough to shift the distribution). Ids append to
-    ``{index_root}/_tombstones`` first, so the operation is idempotent
-    and resumable with ``reapply_vector_tombstones``."""
-    from flink_realtime_data_warehouse_spark.operators.similarity import (
-        _invalidate_index_df,
-    )
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
-    )
-
-    if isinstance(vec_ids, DataFrame):
-        rows = (
-            vec_ids.select(
-                F.col(vec_ids.columns[0]).cast("bigint").alias("vec_id")
-            )
-            .distinct()
-            .collect()
-        )
-        ids = spark.createDataFrame(rows, "vec_id bigint")
-    else:
-        ids = spark.createDataFrame(
-            [(int(i),) for i in vec_ids], "vec_id bigint"
-        ).distinct()
-    ids.write.mode("append").parquet(os.path.join(index_root, "_tombstones"))
-    return _purge_vector_stores(spark, index_root, ids)
+    (streaming/jobs.py::start_embedding_ingest): only the ``cell``
+    partitions of the main store and the ``pbatch`` partitions of the
+    ``_deltas`` tail that carry purged ids are rewritten, each behind
+    the shared rename-swap (partitioning preserved, so batch replays
+    and delta compaction compose unchanged). The quantizer artifacts
+    are untouched — cell centroids are aggregates over many vectors,
+    not recoverable payload, and keeping them preserves assignment
+    determinism for future appends (the standard IVF posture; retrain
+    offline if the purge is large enough to shift the distribution).
+    Ids append to ``{index_root}/_tombstones`` first, so the operation
+    is idempotent and resumable with ``reapply_vector_tombstones``."""
+    scratch = os.path.join(index_root, f"_takedown_scratch_{uuid.uuid4().hex[:8]}")
+    os.makedirs(scratch, exist_ok=True)
+    try:
+        ids = _materialize_ids(spark, vec_ids, "vec_id", scratch)
+        FORMAT.append(ids, os.path.join(index_root, "_tombstones"))
+        return _purge_vector_stores(spark, index_root, ids)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def _purge_vector_stores(spark: SparkSession, index_root: str, ids: DataFrame) -> dict:
     from flink_realtime_data_warehouse_spark.operators.similarity import (
         _invalidate_index_df,
     )
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
-    )
-
     removed: dict[str, int] = {}
     cells = os.path.join(index_root, "cells")
-    _repair_swap_dir(index_root, cells)
+    FORMAT.repair(index_root, cells)
     if os.path.isdir(cells) and _has_parquet(cells):
-        main = spark.read.parquet(cells)
-        n = main.join(F.broadcast(ids), "vec_id").count()
+        main = FORMAT.read(spark, cells)
+        n = _pruned_purge(
+            spark,
+            cells,
+            main,
+            main.select("vec_id", "cell").join(F.broadcast(ids), "vec_id"),
+            lambda part: part.join(F.broadcast(ids), "vec_id", "left_anti"),
+            part_col="cell",
+        )
         removed["cells"] = n
         if n:
-            keep = main.join(F.broadcast(ids), "vec_id", "left_anti")
-            tmp = f"{cells}__tmp_{uuid.uuid4().hex[:8]}"
-            keep.repartition("cell").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(tmp)
-            old = f"{cells}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(cells, old)
-            os.rename(tmp, cells)
-            shutil.rmtree(old, ignore_errors=True)
             _invalidate_index_df(spark, cells)
     deltas = os.path.join(index_root, "_deltas")
-    _repair_swap_dir(index_root, deltas)
+    FORMAT.repair(index_root, deltas)
     if os.path.isdir(deltas):
-        d = spark.read.schema(
-            "cell int, vec_id bigint, v array<float>, pbatch string"
-        ).parquet(deltas)
-        n = d.join(F.broadcast(ids), "vec_id").count()
-        removed["_deltas"] = n
-        if n:
-            _swap_rewrite(
-                spark,
-                index_root,
-                deltas,
-                d.join(F.broadcast(ids), "vec_id", "left_anti"),
-            )
+        d = FORMAT.read(
+            spark, deltas, "cell int, vec_id bigint, v array<float>, pbatch string"
+        )
+        removed["_deltas"] = _pruned_purge(
+            spark,
+            deltas,
+            d,
+            d.select("vec_id", "pbatch").join(F.broadcast(ids), "vec_id"),
+            lambda part: part.join(F.broadcast(ids), "vec_id", "left_anti"),
+        )
     return removed
 
 

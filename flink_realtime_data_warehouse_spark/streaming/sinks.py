@@ -63,7 +63,10 @@ def _repair_swap_dir(root: str, path: str) -> None:
                 shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     if os.path.isdir(path):
         for d in os.listdir(path):
-            if d.startswith("_pk_part=") and "__old_" in d:
+            # partition-level half-swaps: PK-hash partitions (DimStore
+            # MERGE) and the pruned takedown rewrites' pbatch/cell
+            # partitions (streaming/retention.py) share the discipline
+            if "__old_" in d and d.startswith(("_pk_part=", "pbatch=", "cell=")):
                 dst = os.path.join(path, d.split("__old_")[0])
                 src = os.path.join(path, d)
                 if os.path.isdir(dst):

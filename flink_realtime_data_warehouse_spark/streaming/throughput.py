@@ -117,14 +117,17 @@ def prepare_router_config(spark: SparkSession, out_path: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(out_path)
 
 
-def _measure_startup(spark: SparkSession, work_root: str) -> float:
+def _measure_startup(spark: SparkSession, work_root: str) -> tuple[float, dict]:
     """Fixed per-run overhead of the three topologies: the same jobs
     driven over ONE-ROW sources with fresh checkpoints. At sf0.1 the
     three full runs cost ~14 s of which ~10 s is this query-init +
     state-store + checkpoint tax (the same topologies sustain ~200 k
     rows/s at 100x corpus, SCALING.json) — measuring it separately
     lets the steady-state rate carry the cross-round regression signal
-    instead of being startup-dominated (VERDICT r6 item 5)."""
+    instead of being startup-dominated (VERDICT r6 item 5). Returns
+    ``(total, per_topology)`` — the breakdown (r8 verdict item 4)
+    distinguishes real init-cost creep in ONE topology from uniform
+    host drift across all three."""
     import json as _json
     import time
 
@@ -155,6 +158,7 @@ def _measure_startup(spark: SparkSession, work_root: str) -> float:
     config_path = os.path.join(root, "config")
     prepare_router_config(spark, config_path)
 
+    breakdown: dict[str, float] = {}
     t0 = time.perf_counter()
     for q in base_log_job(
         spark,
@@ -163,12 +167,16 @@ def _measure_startup(spark: SparkSession, work_root: str) -> float:
         os.path.join(root, "ckpt_baselog"),
     ):
         q.awaitTermination()
+    breakdown["parse_st1_split"] = round(time.perf_counter() - t0, 3)
+    t1 = time.perf_counter()
     unique_visitor_job(
         spark,
         read_jsonl_stream(spark, beh_src),
         os.path.join(root, "out_uv"),
         os.path.join(root, "ckpt_uv"),
     ).awaitTermination()
+    breakdown["st2_uv"] = round(time.perf_counter() - t1, 3)
+    t1 = time.perf_counter()
     store = DimStore(spark, os.path.join(root, "dim"))
     start_dim_app(
         spark,
@@ -177,7 +185,8 @@ def _measure_startup(spark: SparkSession, work_root: str) -> float:
         store,
         os.path.join(root, "ckpt_dim"),
     ).awaitTermination()
-    return round(time.perf_counter() - t0, 3)
+    breakdown["dim_router"] = round(time.perf_counter() - t1, 3)
+    return round(time.perf_counter() - t0, 3), breakdown
 
 
 def run_streaming_throughput(
@@ -249,7 +258,7 @@ def run_streaming_throughput(
     # the reference's two Kafka consumers), M changelog rows one job —
     # the aggregate rate counts each row once per topology it crosses
     row_passes = 2 * n_behavior + n_changelog
-    startup = _measure_startup(spark, work_root)
+    startup, startup_breakdown = _measure_startup(spark, work_root)
     # steady-state denominator: never let a tiny workload (total ≈
     # startup) produce a zero/negative wall — floor at 10% of total
     steady_wall = max(total - startup, 0.1 * total)
@@ -259,6 +268,7 @@ def run_streaming_throughput(
         "rows_changelog": n_changelog,
         "streaming_total_sec": round(total, 3),
         "streaming_startup_sec": startup,
+        "streaming_startup_breakdown": startup_breakdown,
         "streaming_rows_per_sec": (
             round(row_passes / steady_wall, 1) if total else 0.0
         ),

@@ -196,3 +196,84 @@ def test_overflow_rebuild_recounts_exactly(spark, tmp_path):
     _run(spark, root, True)
     got = _statuses(spark, root)
     assert all(got[r["doc_id"]] == "dup_history" for r in resend)
+
+
+def test_bloom_rebuilds_after_flag_off_ingest(spark, tmp_path):
+    """Toggle the flag OFF for a batch and back ON: the filter on disk
+    is then a SUBSET of the digest store, and probing it would classify
+    already-ingested content as new (a false negative violating the
+    documented FN-impossible invariant). The coverage watermark
+    (_covered.json) must detect the uncovered digest partition and
+    rebuild before the first probe."""
+    root = str(tmp_path)
+    src = os.path.join(root, "src")
+    _write_batch(src, "0.jsonl", _B0, 1_000_000_000.0)
+    _run(spark, root, True)  # filter built over batch 0
+    _write_batch(src, "1.jsonl", _B1, 1_000_000_100.0)
+    _run(spark, root, False)  # digest store grows PAST the filter
+    _write_batch(
+        src,
+        "2.jsonl",
+        [{"doc_id": 90, "text": "fresh arrival twenty one"}],  # _B1 content
+        1_000_000_200.0,
+    )
+    _run(spark, root, True)
+    assert _statuses(spark, root)[90] == "dup_history"
+
+
+def test_bloom_rebuilds_when_compaction_folds_uncovered_batches(spark, tmp_path):
+    """The same subset hole laundered through compaction: flag-off
+    batches fold onto the __compacted__ sentinel before the flag comes
+    back. The fold of UNCOVERED partitions must wipe the watermark so
+    the next bloom batch rebuilds — name-tracking alone would read the
+    sentinel as familiar."""
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        compact_history_digest_store,
+    )
+
+    root = str(tmp_path)
+    src = os.path.join(root, "src")
+    _write_batch(src, "0.jsonl", _B0, 1_000_000_000.0)
+    _run(spark, root, True)
+    _write_batch(src, "1.jsonl", _B1, 1_000_000_100.0)
+    _run(spark, root, False)
+    compact_history_digest_store(spark, os.path.join(root, "out"))
+    _write_batch(
+        src,
+        "2.jsonl",
+        [{"doc_id": 91, "text": "fresh arrival twenty one"}],
+        1_000_000_200.0,
+    )
+    _run(spark, root, True)
+    assert _statuses(spark, root)[91] == "dup_history"
+
+
+def test_bloom_covered_compaction_keeps_filter_without_rebuild(spark, tmp_path):
+    """Control for the watermark's compaction arm: when every folded
+    partition WAS covered, the fold adds no keys — coverage carries to
+    the sentinel and the filter store is untouched by the next batch
+    (no rebuild: same file set, only the OR-update swap)."""
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        compact_history_digest_store,
+    )
+
+    root = str(tmp_path)
+    src = os.path.join(root, "src")
+    _write_batch(src, "0.jsonl", _B0, 1_000_000_000.0)
+    _write_batch(src, "1.jsonl", _B1, 1_000_000_100.0)
+    _run(spark, root, True)  # both partitions covered
+    out = os.path.join(root, "out")
+    compact_history_digest_store(spark, out)
+    covered = json.load(open(os.path.join(out, "bloom", "_covered.json")))
+    assert "__compacted__" in covered
+    # and the composed lake still classifies correctly post-fold
+    _write_batch(
+        src,
+        "2.jsonl",
+        [{"doc_id": 92, "text": "fresh arrival twenty one"},
+         {"doc_id": 93, "text": "genuinely novel closing text"}],
+        1_000_000_200.0,
+    )
+    _run(spark, root, True)
+    st = _statuses(spark, root)
+    assert st[92] == "dup_history" and st[93] == "new"

@@ -99,3 +99,62 @@ def test_compare_normalizes_calibration_drift(tmp_path):
     assert flagged == {"b"}  # a is pure drift; c is under the noise floor
     b = next(f for f in out["flagged"] if f["query"] == "b")
     assert b["norm_ratio"] == 2.0 and b["raw_ratio"] == 4.0
+
+
+def test_compare_normalizes_compute_drift_for_numpy_rows(tmp_path):
+    """CPU-bound rows (NumPy-kernel families) normalize by
+    calib_cpu_sec, shuffle-bound rows by calib_shuffle_sec: a round
+    where compute ran 3x slower but shuffle only 1x must not flag the
+    embedding row (pure compute drift) while still flagging a real
+    shuffle-side regression."""
+    old = {
+        "queries_min": {"dedup_embedding_pairs": 1.0, "q1": 1.0},
+        "calib_shuffle_sec": 0.4,
+        "calib_cpu_sec": 0.5,
+    }
+    new = {
+        "queries_min": {"dedup_embedding_pairs": 3.0, "q1": 2.0},
+        "calib_shuffle_sec": 0.4,
+        "calib_cpu_sec": 1.5,
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    out = json.loads(
+        subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "tools", "compare_bench.py"),
+             str(po), str(pn)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    assert out["calib_cpu_drift"] == 3.0
+    flagged = {f["query"] for f in out["flagged"]}
+    assert flagged == {"q1"}  # the embedding row is host compute drift
+
+
+def test_compare_cpu_rows_fall_back_to_shuffle_drift_pre_r9(tmp_path):
+    """Against a pre-r9 capture (no calib_cpu_sec) the CPU-bound rows
+    keep the old shuffle-drift normalization — a flag there still means
+    'adjudicate by hand', never a silent divide-by-None."""
+    old = {"queries_min": {"ann_cosine_topk": 1.0}, "calib_shuffle_sec": 0.4}
+    new = {
+        "queries_min": {"ann_cosine_topk": 4.0},
+        "calib_shuffle_sec": 0.4,
+        "calib_cpu_sec": 1.5,
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    out = json.loads(
+        subprocess.run(
+            [sys.executable, os.path.join(REPO_ROOT, "tools", "compare_bench.py"),
+             str(po), str(pn)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+    )
+    assert out["calib_cpu_drift"] is None
+    assert {f["query"] for f in out["flagged"]} == {"ann_cosine_topk"}

@@ -312,3 +312,153 @@ def test_rollup_mid_batch_crash_after_write_replay(spark, tmp_path, monkeypatch)
         .select("pday", "pbatch").distinct().count()
     )
     assert segs == 1
+
+
+def test_takedown_compact_bloom_composition_with_kills(spark, tmp_path, monkeypatch):
+    """All three store mutators against ONE lake in sequence, a kill
+    between each (r8 verdict item 3): takedown killed mid
+    partition-swap → digest+LSH compaction killed mid store-swap →
+    re-ingest of purged content replayed after a crash-after-write.
+    The stores share the swap/repair discipline, so the final verdicts
+    must be identical to a never-crashed twin driven through the same
+    logical sequence — and block_reingest must hold ACROSS the
+    compaction fold: the purged docs' digests survive takedown and the
+    fold onto __compacted__, so their re-crawl classifies dup_history
+    on both lakes."""
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.operators.dedup import (
+        compact_dedup_lsh_index_capped,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        compact_history_digest_store,
+        start_history_dedup_ingest,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.retention import (
+        reapply_tombstones,
+        takedown_documents,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": "second wholly unrelated document body"},
+            {"doc_id": 3, "text": "third unique document text entirely"},
+        ],
+        [
+            {"doc_id": 4, "text": base},              # exact dup of 1
+            {"doc_id": 5, "text": base + " lambda"},  # near-dup of 1
+            {"doc_id": 6, "text": "sixth document with novel words"},
+        ],
+    ]
+    reingest = [
+        {"doc_id": 100, "text": base},                # purged canonical's bytes
+        {"doc_id": 102, "text": base + " lambda"},    # purged near-dup's bytes
+        {"doc_id": 101, "text": "genuinely novel reingest text"},
+    ]
+
+    def _ingest(root, src_name, ckpt_name, rows_by_batch):
+        src = os.path.join(root, src_name)
+        os.makedirs(src, exist_ok=True)
+        for i, rows in enumerate(rows_by_batch):
+            p = os.path.join(src, f"{src_name}_{i}.jsonl")
+            with open(p, "w") as f:
+                f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+            os.utime(p, (1_000_000_000.0 + i, 1_000_000_000.0 + i))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        start_history_dedup_ingest(
+            spark,
+            stream,
+            os.path.join(root, "out"),
+            os.path.join(root, ckpt_name),
+            near_dup_gate=True,
+            bloom_prefilter=True,
+        ).awaitTermination(300)
+
+    def _verdicts(root):
+        out = os.path.join(root, "out")
+        clean = sorted(
+            r.doc_id for r in spark.read.parquet(os.path.join(out, "clean")).collect()
+        )
+        dups = {
+            r.doc_id: r.status
+            for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+        }
+        digests = sorted(
+            (r.content_hash or "")
+            for r in spark.read.schema("content_hash string, pbatch string")
+            .parquet(os.path.join(out, "digests"))
+            .collect()
+        )
+        return clean, dups, digests
+
+    crashed, twin = str(tmp_path / "crashed"), str(tmp_path / "twin")
+
+    # ---- step 0: identical lakes
+    for root in (crashed, twin):
+        _ingest(root, "docs", "ckpt", batches)
+
+    # ---- step 1: takedown [1, 5]; crashed lake dies mid partition-swap
+    real_rename = os.rename
+    state = {"armed": True}
+
+    def crash_clean_swap(s, d):
+        if state["armed"] and "clean__tmp_" in str(s) and "pbatch=" in str(s):
+            state["armed"] = False
+            raise RuntimeError("injected takedown crash")
+        return real_rename(s, d)
+
+    monkeypatch.setattr(os, "rename", crash_clean_swap)
+    with pytest.raises(RuntimeError, match="injected takedown"):
+        takedown_documents(spark, os.path.join(crashed, "out"), [1, 5])
+    monkeypatch.setattr(os, "rename", real_rename)
+    reapply_tombstones(spark, os.path.join(crashed, "out"))
+    takedown_documents(spark, os.path.join(twin, "out"), [1, 5])
+
+    # ---- step 2: compaction; crashed lake dies between the two swap
+    # renames of the digest store (store renamed away, replacement not in)
+    state["armed"] = True
+
+    def crash_digest_swap(s, d):
+        if state["armed"] and "digests__tmp_" in str(s):
+            state["armed"] = False
+            raise RuntimeError("injected compaction crash")
+        return real_rename(s, d)
+
+    monkeypatch.setattr(os, "rename", crash_digest_swap)
+    with pytest.raises(RuntimeError, match="injected compaction"):
+        compact_history_digest_store(spark, os.path.join(crashed, "out"))
+    monkeypatch.setattr(os, "rename", real_rename)
+    for root in (crashed, twin):
+        compact_history_digest_store(spark, os.path.join(root, "out"))
+        compact_dedup_lsh_index_capped(spark, os.path.join(root, "out", "lsh"))
+
+    # ---- step 3: re-ingest purged + novel content; crashed lake's
+    # batch is replayed (crash-after-write: commit marker erased)
+    for root in (crashed, twin):
+        _ingest(root, "docs2", "ckpt2", [reingest])
+    shutil.rmtree(os.path.join(crashed, "ckpt2", "commits"))
+    _ingest(crashed, "docs2", "ckpt2", [])  # restart from the checkpoint
+
+    # ---- the composed verdicts converge to the never-crashed twin's
+    c_clean, c_dups, c_digests = _verdicts(crashed)
+    t_clean, t_dups, t_digests = _verdicts(twin)
+    assert c_clean == t_clean == [2, 3, 6, 101]
+    assert c_dups == t_dups
+    # block_reingest held across the fold: purged bytes stay blocked
+    assert c_dups[100] == "dup_history" and c_dups[102] == "dup_history"
+    assert c_digests == t_digests
+    # no swap debris on either lake
+    for root in (crashed, twin):
+        debris = [
+            os.path.join(r, d)
+            for r, dirs, _f in os.walk(os.path.join(root, "out"))
+            for d in dirs
+            if "__old_" in d or "__tmp_" in d
+        ]
+        assert not debris

@@ -54,6 +54,19 @@ def test_newlines_require_multiline_and_then_round_trip(spark, tmp_path):
     assert got == dict(rows)
 
 
+def test_bare_carriage_return_is_refused_like_newline(spark, tmp_path):
+    """A quoted bare \\r is also a record separator under splittable
+    reading (ADVICE r9): it must hit the same loud refusal as \\n —
+    before the fix it slipped a contains("\\n") check and silently
+    truncated the row."""
+    rows = [(1, "head\rtail"), (2, "plain")]
+    with pytest.raises(ValueError, match="newlines"):
+        _roundtrip(spark, rows, tmp_path / "refuse_cr")
+    got, bad = _roundtrip(spark, rows, tmp_path / "multi_cr", multiline=True)
+    assert not bad
+    assert got == dict(rows)
+
+
 def test_sentinel_collision_is_refused(spark, tmp_path):
     df = spark.createDataFrame([(1, CSV_NULL)], _SCHEMA)
     with pytest.raises(ValueError, match="sentinel"):

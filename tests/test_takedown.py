@@ -148,9 +148,11 @@ def test_takedown_idempotent_and_tombstone_reapply(spark, tmp_path):
 
 
 def test_takedown_crash_mid_swap_reapply_converges(spark, tmp_path, monkeypatch):
-    """Kill between the clean store's rename-away and rename-in: the
-    store is missing at that instant; the repair sweep restores it and
-    reapply_tombstones finishes the job."""
+    """Kill between a clean PARTITION's rename-away and rename-in (the
+    pruned rewrite swaps per partition): the partition is a half-swap
+    (``pbatch=X__old_*`` present, ``pbatch=X`` missing) at that
+    instant; the repair sweep rolls it back and reapply_tombstones
+    finishes the job."""
     root = str(tmp_path)
     out = _build_lake(spark, root)
 
@@ -158,7 +160,8 @@ def test_takedown_crash_mid_swap_reapply_converges(spark, tmp_path, monkeypatch)
     state = {"armed": True}
 
     def faulty(s, d):
-        if state["armed"] and "__tmp_" in str(s) and str(d).endswith("clean"):
+        # the stage→partition rename of the clean store's pruned purge
+        if state["armed"] and "clean__tmp_" in str(s) and "pbatch=" in str(s):
             state["armed"] = False
             raise RuntimeError("injected mid-takedown-swap crash")
         return real_rename(s, d)
@@ -168,11 +171,60 @@ def test_takedown_crash_mid_swap_reapply_converges(spark, tmp_path, monkeypatch)
         takedown_documents(spark, out, [1, 5])
     monkeypatch.setattr(os, "rename", real_rename)
 
-    assert not os.path.isdir(os.path.join(out, "clean"))  # mid-swap
+    clean = os.path.join(out, "clean")
+    assert any("__old_" in d for d in os.listdir(clean))  # half-swapped partition
     removed = reapply_tombstones(spark, out)  # sweeps, then purges
     assert removed["clean"] == 2
     assert _clean_ids(spark, out) == [2, 3, 6]
-    assert not [d for d in os.listdir(out) if "__old_" in d or "__tmp_" in d]
+    leftovers = [
+        os.path.join(r, d)
+        for r, dirs, _f in os.walk(out)
+        for d in dirs
+        if "__old_" in d or "__tmp_" in d
+    ]
+    assert not leftovers
+
+
+def _snap_files(root):
+    """{relpath: (size, mtime_ns)} for every data file under root."""
+    out = {}
+    for r, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_takedown_leaves_cold_partitions_byte_identical(spark, tmp_path):
+    """Purge a doc confined to the LAST batch: every file of every
+    other pbatch partition (and the untouched digests/dups stores)
+    must be byte-identical afterwards — same path, size, and mtime —
+    proving the pruned rewrite never opened the cold partitions, so
+    erasure cost scales with the purge's batch footprint, not the
+    lake."""
+    root = str(tmp_path)
+    out = _build_lake(spark, root)
+
+    before = _snap_files(out)
+    removed = takedown_documents(spark, out, [6])  # unique doc, batch 1
+    assert removed["clean"] == 1
+    assert removed["near_dups"] == 0 and removed["digests"] == 0
+    after = _snap_files(out)
+
+    touched = {
+        p
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    assert touched  # the purge really rewrote something
+    for p in touched:
+        if p.startswith("_tombstones"):
+            continue  # the append-only log grows by design
+        seg = next(s for s in p.split(os.sep) if s.startswith("pbatch="))
+        assert seg.endswith("-1"), f"cold partition rewritten: {p}"
+    # and doc 6 is really gone
+    assert _clean_ids(spark, out) == [1, 2, 3, 5]
 
 
 def test_respect_tombstones_blocks_replay_resurrection(spark, tmp_path):

@@ -215,25 +215,109 @@ def test_ivf_two_level_append_assigns_hierarchically(spark, tmp_path):
     assert a == b
 
 
-def test_level2_task_budget_guard_trips_on_dominant_cell(spark, monkeypatch):
-    """A dominant level-1 cell past the task budget must raise the
-    add-a-third-level escalation, not build an OOM-shaped task — and
-    below the budget nothing changes (VERDICT r7 item 5)."""
-    import pytest
+def test_level2_budget_escalates_to_third_level_on_dominant_cell(spark, monkeypatch):
+    """r8 verdict item 6: a dominant level-1 cell past the task budget
+    now ESCALATES — the over-budget cell (and only it) is split by a
+    third quantizer level — instead of raising. The planted pile is
+    all-identical vectors (the shape k-means cannot separate), so this
+    also pins the deterministic hash fallback: assignment stays total,
+    deterministic, and the pile lands across enough cells that no task
+    sees it whole."""
+    from flink_realtime_data_warehouse_spark.operators import similarity as sim
+
+    vec = _vec(spark)
+    n = vec.count()
+    one = vec.limit(1).collect()[0]["v"]
+    dom = vec.select("vec_id", F.lit(one).alias("v"))
+    row_bytes = len(one) * 4 + 24
+    budget = 32 * row_bytes  # ≤32 vectors per task
+    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", budget)
+    a = {r.vec_id: r.cell for r in
+         sim.two_level_cell_assignment(spark, dom, max(32, n // 64)).collect()}
+    b = {r.vec_id: r.cell for r in
+         sim.two_level_cell_assignment(spark, dom, max(32, n // 64)).collect()}
+    assert a == b          # deterministic across runs
+    assert len(a) == n     # total: every vector assigned exactly once
+    # the pile was actually split into enough groups to fit the budget
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert len(sizes) >= n // 64  # s ≈ bytes/budget children exist
+    # below the budget: no behavior change
+    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", 1 << 30)
+    out = sim.two_level_cell_assignment(spark, vec, max(32, n // 64))
+    assert out.count() == n
+
+
+def test_level2_escalation_splits_separable_dominant_cell_by_kmeans(spark, monkeypatch):
+    """A dominant-but-SEPARABLE cell (two distinct directions piled
+    into one level-1 cell by a tiny budget) must split by the trained
+    third level, not the hash fallback: the two directions end up in
+    disjoint cell sets."""
+    import numpy as np
 
     from flink_realtime_data_warehouse_spark.operators import similarity as sim
 
     vec = _vec(spark)
     n = vec.count()
-    # plant the dominant cell: every vector identical -> one level-1
-    # cell holds the whole corpus
+    one = vec.limit(1).collect()[0]["v"]
+    dim = len(one)
+    ua = [1.0] + [0.0] * (dim - 1)
+    ub = [0.0, 1.0] + [0.0] * (dim - 2)
+    two = vec.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 2 == 0, F.lit(ua))
+        .otherwise(F.lit(ub))
+        .alias("v"),
+    )
+    row_bytes = dim * 4 + 24
+    # budget fits half the corpus: one trained split round suffices
+    monkeypatch.setattr(
+        sim, "LEVEL2_TASK_BUDGET_BYTES", (n // 2 + 8) * row_bytes
+    )
+    got = sim.two_level_cell_assignment(spark, two, 4).collect()
+    assert len(got) == n
+    cells_a = {r.cell for r in got if r.vec_id % 2 == 0}
+    cells_b = {r.cell for r in got if r.vec_id % 2 == 1}
+    assert not (cells_a & cells_b)  # k-means separated the directions
+
+
+def test_ivf_build_escalation_extends_centroids_and_probe_works(
+    spark, monkeypatch, tmp_path
+):
+    """The INDEX path of the escalation: a dominant cell during
+    build_ann_ivf_index(two_level=True) splits, the persisted
+    _centroids.json stays a dense id→row array (row count == number of
+    level-1 cells actually used), and probe + append over the extended
+    quantizer still work."""
+    import json
+
+    from flink_realtime_data_warehouse_spark.operators import similarity as sim
+
+    vec = _vec(spark)
+    n = vec.count()
     one = vec.limit(1).collect()[0]["v"]
     dom = vec.select("vec_id", F.lit(one).alias("v"))
-    # tiny budget so the planted pile is "past" it
-    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", 1024)
-    with pytest.raises(RuntimeError, match="third"):
-        sim.two_level_cell_assignment(spark, dom, max(32, n // 64)).count()
-    # below the budget: no behavior change
-    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", 1 << 30)
-    out = sim.two_level_cell_assignment(spark, vec, max(32, n // 64))
-    assert out.count() == n
+    row_bytes = len(one) * 4 + 24
+    monkeypatch.setattr(sim, "LEVEL2_TASK_BUDGET_BYTES", 64 * row_bytes)
+    loc = str(tmp_path / "ivf")
+    sim.build_ann_ivf_index(spark, dom, loc, n_list=16, two_level=True)
+    with open(loc + "/_centroids.json") as f:
+        cent = json.load(f)
+    assert len(cent) > 16 // 4  # extended beyond the k1 cut
+    stored = spark.read.parquet(loc)
+    assert stored.count() == n  # total through the split
+    # every stored cell1 id (cell // k2) has a centroid row
+    with open(loc + "/_meta.json") as f:
+        k2 = json.load(f)["k2"]
+    max_cell1 = stored.agg(F.max(F.expr(f"cell div {k2}"))).collect()[0][0]
+    assert max_cell1 < len(cent)
+    # probe returns neighbors (duplicates are interchangeable; any hit
+    # of the pile is correct)
+    qp = sim._query_block(spark, dom, "/root/testdata/sf0.001")
+    res = sim.ann_ivf_probe(spark, loc, qp)
+    assert res.count() > 0
+    # append assigns against the extended quantizer without error
+    extra = dom.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "v")
+    delta = sim.ivf_assign_delta(spark, extra.limit(8), loc)
+    assert delta.count() == 8

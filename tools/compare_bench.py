@@ -26,6 +26,24 @@ import sys
 FLAG_AT = 1.5  #: normalized ratio above this = structural regression
 NOISE_FLOOR_SEC = 0.3  #: sub-noise rows are host scheduling, not plans
 
+#: rows whose wall is dominated by Arrow/NumPy kernels, not shuffle:
+#: these track the host's COMPUTE drift (calib_cpu_sec, r9), which on
+#: this box swings ~2x independently of shuffle speed — normalizing
+#: them by the shuffle calibration produced three rounds of phantom
+#: regression flags that each needed a manual microbench session
+#: (BASELINE.md r6/r7/r8 notes). Prefix families + named singletons.
+_CPU_BOUND_PREFIXES = ("ann_", "multimodal_")
+_CPU_BOUND_NAMES = {
+    "dedup_embedding_pairs",
+    "dedup_semantic_groups",
+    "decontam_semantic_overlap",
+    "ts_similarity_pairs",
+}
+
+
+def _is_cpu_bound(name: str) -> bool:
+    return name.startswith(_CPU_BOUND_PREFIXES) or name in _CPU_BOUND_NAMES
+
 
 def load_bench(path: str) -> dict:
     """Accept a driver capture ({"parsed": ..., "tail": ...}) or a raw
@@ -66,6 +84,7 @@ def load_bench(path: str) -> dict:
         "total_min",
         "calib",
         "calib_shuffle_sec",
+        "calib_cpu_sec",
         "streaming_rows_per_sec",
         "streaming_rows_per_sec_cold",
         "streaming_startup_sec",
@@ -95,13 +114,20 @@ def main() -> None:
     co = old.get("calib_shuffle_sec") or old.get("calib")
     cn = new.get("calib_shuffle_sec") or new.get("calib")
     drift = (cn / co) if co and cn else 1.0
+    cpu_o, cpu_n = old.get("calib_cpu_sec"), new.get("calib_cpu_sec")
+    # CPU-bound rows normalize by compute drift when BOTH captures carry
+    # the r9+ scalar; otherwise they fall back to shuffle drift (the
+    # pre-r9 behavior — flags on those rows then still need the manual
+    # microbench adjudication the scalar exists to retire)
+    cpu_drift = (cpu_n / cpu_o) if cpu_o and cpu_n else drift
     common = sorted(set(qo) & set(qn))
     rows = []
     for q in common:
         if not qo[q]:
             continue
         ratio = qn[q] / qo[q]
-        rows.append((q, qo[q], qn[q], ratio, ratio / drift))
+        d = cpu_drift if _is_cpu_bound(q) else drift
+        rows.append((q, qo[q], qn[q], ratio, ratio / d))
     rows.sort(key=lambda r: -r[4])
     flagged = [
         r for r in rows if r[4] > FLAG_AT and max(r[1], r[2]) > NOISE_FLOOR_SEC
@@ -149,6 +175,9 @@ def main() -> None:
                 "old_total_min": round(sum(qo[q] for q in common), 2),
                 "new_total_min": round(sum(qn[q] for q in common), 2),
                 "calib_drift": round(drift, 3),
+                "calib_cpu_drift": round(cpu_drift, 3)
+                if cpu_o and cpu_n
+                else None,
                 **({"streaming": streaming} if streaming else {}),
                 "flagged": [
                     {
