@@ -146,6 +146,9 @@ HEADLINE = [
     # face), surrogate-key continuation numbering
     "decontam_neardup_overlap",
     "ids_incremental_assign",
+    # round 9: PII scrub (map-only regex scan + redaction rewrite)
+    "dq_pii_scan",
+    "text_pii_redact",
 ]
 
 

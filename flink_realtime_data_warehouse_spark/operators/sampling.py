@@ -101,42 +101,10 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
-
-
-@query(
-    "text_pii_redact",
-    oracle=f"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               text || ' contact user' || doc_id || '@example.com tel 555-123-4567',
-               '{_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
-    FROM documents
-    ORDER BY doc_id
-    """,
-)
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing: email + phone patterns → typed placeholders.
-
-    Pure ``regexp_replace`` column expressions (RE2-compatible patterns
-    so Spark and DuckDB agree); the synthetic corpus carries no PII, so
-    the demo stamps a contact line per document and redacts it — the
-    oracle proves byte-identical redaction behavior.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    stamped = F.concat(
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@example.com tel 555-123-4567"),
-    )
-    redacted = F.regexp_replace(
-        F.regexp_replace(stamped, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
-    )
-    return docs.select("doc_id", redacted.alias("redacted")).orderBy("doc_id")
+# text_pii_redact moved to operators/pii.py (round 9): the PII family
+# is now first-class there — email + IPv4 + phone detection
+# (dq_pii_scan) and redaction with per-kind audit counters, selective
+# deterministic planting, and idempotence pins (tests/test_pii.py).
 
 
 # Language-rebalancing stratified sample: downsample the dominant

@@ -20,6 +20,7 @@ def load_all() -> tuple[dict, dict]:
     import flink_realtime_data_warehouse_spark.operators.export  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.graph  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.multimodal  # noqa: F401
+    import flink_realtime_data_warehouse_spark.operators.pii  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.pq  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.retrieval  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.semdedup  # noqa: F401

@@ -183,6 +183,11 @@ _NULL_PARITY_QUERIES = [
     # are excluded from incremental numbering on both engines
     "decontam_neardup_overlap",
     "ids_incremental_assign",
+    # round 9: NULL text must propagate NULL through the deterministic
+    # PII planting (concat null-propagation), match no pattern, and
+    # yield NULL redacted text + NULL char counters on both engines
+    "dq_pii_scan",
+    "text_pii_redact",
 ]
 
 
