@@ -146,9 +146,12 @@ HEADLINE = [
     # face), surrogate-key continuation numbering
     "decontam_neardup_overlap",
     "ids_incremental_assign",
-    # round 9: PII scrub (map-only regex scan + redaction rewrite)
+    # round 9: PII scrub (map-only regex scan + redaction rewrite) and
+    # the scrub composed into the streaming ingest (payload redacted,
+    # classification on original bytes)
     "dq_pii_scan",
     "text_pii_redact",
+    "lake_pii_scrubbed_ingest",
 ]
 
 

@@ -42,6 +42,35 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 IPV4_RE = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 PHONE_RE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
 
+def redact_text(col: F.Column) -> F.Column:
+    """The redaction expression — email, then IPv4, then phone spans
+    replaced by typed placeholders (fixed order: an email local part
+    may contain digits a later pattern would half-match). Shared by
+    the ``text_pii_redact`` query and the streaming ingest's
+    ``redact_pii`` flag (streaming/jobs.py) so batch and stream scrub
+    byte-identically. NULL propagates to NULL. Placeholders contain no
+    ``@`` and no digits, so the expression is idempotent."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+
+#: the identical redaction as SQL (DuckDB) over a text expression
+def redact_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+
+
 #: deterministic PII planting — the Spark side
 def _planted(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id")
@@ -144,10 +173,7 @@ def dq_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REDACT_ORACLE = f"""
 WITH planted AS ({_PLANT_SQL})
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-           '{EMAIL_RE}', '<EMAIL>', 'g'),
-           '{IPV4_RE}', '<IP>', 'g'),
-           '{PHONE_RE}', '<PHONE>', 'g')                          AS redacted,
+       {redact_sql('text')}                                       AS redacted,
        CAST((length(text) - length(regexp_replace(text,
             '{EMAIL_RE}', '', 'g'))) AS BIGINT)                   AS email_chars,
        CAST((length(text) - length(regexp_replace(text,
@@ -177,15 +203,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(text, EMAIL_RE, "<EMAIL>"),
-                IPV4_RE,
-                "<IP>",
-            ),
-            PHONE_RE,
-            "<PHONE>",
-        ).alias("redacted"),
+        redact_text(text).alias("redacted"),
         _chars(EMAIL_RE).alias("email_chars"),
         _chars(IPV4_RE).alias("ip_chars"),
         _chars(PHONE_RE).alias("phone_chars"),

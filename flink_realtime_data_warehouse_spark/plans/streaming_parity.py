@@ -826,6 +826,101 @@ def lake_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII-scrubbed ingest (round 9): the redact_pii flag composed with the
+# digest election — payload scrubbed, classification on original bytes
+# ---------------------------------------------------------------------------
+
+
+def _pii_scrub_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.pii import (
+        _PLANT_SQL,
+        redact_sql,
+    )
+
+    return f"""
+WITH planted AS ({_PLANT_SQL}),
+base AS (
+  SELECT doc_id, text, md5(text) AS d, (doc_id % 5) = 4 AS inc
+  FROM planted),
+elect AS (
+  SELECT doc_id, text,
+         row_number() OVER (
+           PARTITION BY d, CASE WHEN d IS NULL THEN CAST(inc AS INT) ELSE 0 END
+           ORDER BY inc, doc_id) AS rn
+  FROM base)
+SELECT doc_id, {redact_sql('text')} AS text
+FROM elect WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@query("lake_pii_scrubbed_ingest", oracle=_pii_scrub_oracle())
+def lake_pii_scrubbed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII-scrubbed lake: the planted-PII corpus (operators/pii.py
+    fixture — email/IPv4/phone spans on deterministic doc_id classes)
+    arrives as the usual two micro-batches (history slice then
+    incoming) through ``start_history_dedup_ingest(redact_pii=True)``,
+    and the clean store is read back. The oracle states the COMPOSED
+    semantics: the per-batch digest-first election runs on the
+    ORIGINAL planted bytes (md5 BEFORE redaction — so duplicates of
+    raw content are blocked even though the lake never stores raw
+    content), and the elected payload lands redacted. NULL-text docs
+    elect per batch (NULL digest) and stay NULL through the scrub.
+    Scale shape: the scrub adds three map-only ``regexp_replace``
+    expressions to the clean sink's project — zero new shuffles,
+    zero new scans."""
+    import shutil
+
+    from flink_realtime_data_warehouse_spark.operators.pii import _planted
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+
+    docs = _planted(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    is_inc = F.pmod("doc_id", F.lit(5)) == 4
+    root = tempfile.mkdtemp(prefix="frdw_piiscrub_")
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+
+    def _drop(df: DataFrame, name: str, mtime: float) -> None:
+        tmp = os.path.join(root, f"slice_{name}")
+        df.select(
+            F.to_json(F.struct("doc_id", "text")).alias("v")
+        ).coalesce(1).write.mode("overwrite").text(tmp)
+        dst = os.path.join(src, name)
+        parts = [f for f in os.listdir(tmp) if f.startswith("part-")]
+        if parts:
+            shutil.move(os.path.join(tmp, parts[0]), dst)
+        else:
+            open(dst, "w").close()
+        os.utime(dst, (mtime, mtime))
+
+    _drop(docs.filter(~is_inc), "0.jsonl", 1_000_000_000.0)
+    _drop(docs.filter(is_inc), "1.jsonl", 1_000_000_100.0)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    out = os.path.join(root, "out")
+    start_history_dedup_ingest(
+        spark, stream, out, os.path.join(root, "ckpt"), redact_pii=True
+    ).awaitTermination()
+
+    clean = spark.read.schema("doc_id bigint, text string, pbatch string")
+    try:
+        result = clean.parquet(os.path.join(out, "clean"))
+    except Exception:  # zero-row tier: no batch ever wrote the sink
+        result = spark.createDataFrame(
+            [], "doc_id bigint, text string, pbatch string"
+        )
+    return result.select("doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Bloom-prefiltered history dedup (round 8, late): the exact ingest
 # statuses driven through the partitioned-filter fast path
 # ---------------------------------------------------------------------------

@@ -828,10 +828,22 @@ def start_history_dedup_ingest(
     compact_every: int | None = None,
     respect_tombstones: bool = False,
     bloom_prefilter: bool = False,
+    redact_pii: bool = False,
 ):
     """Continuous ingest with GLOBAL dedup against everything ever
     ingested — the streaming face of
     ``operators/dedup.py::incremental_dedup``.
+
+    ``redact_pii=True`` scrubs the STORED payload with the shared
+    redaction expression (operators/pii.py::redact_text — email/IPv4/
+    phone spans → typed placeholders) so no PII ever lands in the
+    lake, while classification stays on the ORIGINAL bytes: digests,
+    the Bloom probe, and the near-dup gate's shingles all see
+    pre-redaction content, so a re-crawl of the raw document still
+    classifies ``dup_history`` even though the lake never stored its
+    raw form (pinned in tests/test_pii.py). Registry row
+    ``lake_pii_scrubbed_ingest`` states the composed election +
+    redaction semantics under one oracle.
 
     Each micro-batch is classified against a persistent digest store:
 
@@ -1196,10 +1208,20 @@ def start_history_dedup_ingest(
                     .distinct()
                 )
                 doc_rows = routed.join(F.broadcast(tomb), "doc_id", "left_anti")
-            _sink(
-                doc_rows.filter(is_new).drop("content_hash", "status"),
-                f"{out_root}/clean",
-            )
+            clean_rows = doc_rows.filter(is_new).drop("content_hash", "status")
+            if redact_pii:
+                # scrub the stored payload ONLY — every classification
+                # relation above/below (digest, bloom, gate shingles)
+                # reads the original bytes, so dedup semantics are
+                # unchanged by the rewrite
+                from flink_realtime_data_warehouse_spark.operators.pii import (
+                    redact_text,
+                )
+
+                clean_rows = clean_rows.withColumn(
+                    "text", redact_text(F.col("text"))
+                )
+            _sink(clean_rows, f"{out_root}/clean")
             _sink(
                 doc_rows.filter(~is_new).select("doc_id", "content_hash", "status"),
                 f"{out_root}/dups",

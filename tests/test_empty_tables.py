@@ -188,6 +188,9 @@ _NULL_PARITY_QUERIES = [
     # yield NULL redacted text + NULL char counters on both engines
     "dq_pii_scan",
     "text_pii_redact",
+    # round 9: NULL-text docs elect per batch through the scrubbed
+    # ingest (NULL digest) and stay NULL through the redaction
+    "lake_pii_scrubbed_ingest",
 ]
 
 

@@ -75,3 +75,68 @@ def test_scan_counts_match_redaction_audit(spark, redacted):
         1 for r in redacted if r.phone_chars and r.phone_chars > 0
     )
     assert sum(r["n_docs"] for r in scan) == len(redacted)
+
+
+def test_streaming_scrub_blocks_raw_recrawl(spark, tmp_path):
+    """redact_pii=True scrubs the STORED payload but classifies on the
+    ORIGINAL bytes: the lake never holds the raw document, yet a
+    re-crawl of exactly those raw bytes still classifies dup_history —
+    the digest was computed pre-redaction."""
+    import json as _json
+    import os
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+
+    root = str(tmp_path)
+    raw = "please reach admin@corp.example.com or 555-123-4567 at 10.1.0.2"
+
+    def _run(src_name, ckpt, rows):
+        src = os.path.join(root, src_name)
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        start_history_dedup_ingest(
+            spark,
+            stream,
+            os.path.join(root, "out"),
+            os.path.join(root, ckpt),
+            redact_pii=True,
+        ).awaitTermination(300)
+
+    _run("s0", "ckpt0", [{"doc_id": 1, "text": raw},
+                         {"doc_id": 2, "text": "no pii here at all"}])
+    clean = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(os.path.join(root, "out", "clean")).collect()
+    }
+    assert clean[1] == "please reach <EMAIL> or <PHONE> at <IP>"
+    assert clean[2] == "no pii here at all"
+    # the raw bytes never landed anywhere in the lake
+    for rel in ("clean",):
+        blob = ""
+        store = os.path.join(root, "out", rel)
+        for dirpath, _d, files in os.walk(store):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    with open(os.path.join(dirpath, fn), "rb") as f:
+                        blob += f.read().decode("latin-1")
+        assert "admin@corp.example.com" not in blob
+
+    # re-crawl of the RAW document under a fresh checkpoint: blocked
+    _run("s1", "ckpt1", [{"doc_id": 100, "text": raw}])
+    dups = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(os.path.join(root, "out", "dups")).collect()
+    }
+    assert dups[100] == "dup_history"
+    assert 100 not in {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(root, "out", "clean")).collect()
+    }
