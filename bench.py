@@ -152,6 +152,9 @@ HEADLINE = [
     "dq_pii_scan",
     "text_pii_redact",
     "lake_pii_scrubbed_ingest",
+    # round 9: hypertable retention (drop_chunks) over the real
+    # continuous-aggregate store — expiry is rename-only, scan-free
+    "rollup_retention_audit",
 ]
 
 

@@ -341,6 +341,78 @@ def rollup_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rollup_retention_audit",
+    oracle="""
+    WITH b AS (
+      SELECT (epoch_us(ts) // 60000000) * 60000 AS bucket_ms, value
+      FROM events WHERE ts IS NOT NULL),
+    cut AS (
+      SELECT min(day) AS cutoff FROM (
+        SELECT DISTINCT bucket_ms // 86400000 AS day FROM b
+        ORDER BY day DESC LIMIT 7))
+    SELECT bucket_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM b, cut
+    WHERE bucket_ms // 86400000 >= cutoff
+    GROUP BY bucket_ms ORDER BY bucket_ms
+    """,
+)
+def rollup_retention_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over the REAL continuous-aggregate store: the
+    events stream builds the minute-partial store
+    (``continuous_minute_rollup_job``), ``expire_rollup_chunks``
+    drops every pday chunk outside the newest 7 PRESENT day-partitions
+    (the data-defined ``keep_days`` form — no wall clock, so the
+    oracle can state the cutoff), and the serving read must equal the
+    batch aggregation restricted to those days. The cutoff is pure
+    UTC-day integer arithmetic on ``bucket_ms`` — the tz-free pday
+    derivation (see ``make_rollup_merger``) is what makes day-grain
+    retention oracle-expressible at all. Expiry opens NO data file:
+    chunks drop by directory rename from the partition name alone
+    (the hypertable drop_chunks contract — 23 of 30 day-chunks drop
+    at every SF, surviving bytes untouched)."""
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        continuous_minute_rollup_job,
+        expire_rollup_chunks,
+        read_minute_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.timestamp_diff("MICROSECOND", F.expr(_EPOCH_NTZ), F.col("ts"))
+    flat = ev.select(
+        F.timestamp_millis((ts_us / F.lit(1000)).cast("bigint")).alias(
+            "event_time"
+        ),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="frdw_rollup_retention_")
+    src = os.path.join(root, "src")
+    flat.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_time timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = os.path.join(root, "store")
+    continuous_minute_rollup_job(
+        stream, store, os.path.join(root, "ckpt")
+    ).awaitTermination()
+    expire_rollup_chunks(spark, store, keep_days=7)
+    return (
+        read_minute_rollup(spark, store)
+        .select(
+            "bucket_ms",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            F.round("max_value", 2).alias("max_value"),
+        )
+        .orderBy("bucket_ms")
+    )
+
+
+@query(
     "win_session_streaming_parity",
     oracle="""
     WITH marked AS (

@@ -73,8 +73,20 @@ def make_rollup_merger(store_dir: str, time_col: str = "event_time", value_col: 
                 F.sum(value_col).alias("sv"),
                 F.max(value_col).alias("mx"),
             )
+            # pday via pure DATE arithmetic on the UTC day index — NOT
+            # date_format(timestamp, ...), which renders in the SESSION
+            # timezone: partition values must be a pure function of the
+            # row, or a checkpoint resumed under a different session tz
+            # would land the replayed batch on a DIFFERENT (pday,
+            # pbatch) partition and dynamic overwrite would duplicate
+            # instead of replacing (r9 fix; also what makes day-grain
+            # retention oracle-expressible)
             .withColumn(
-                "pday", F.date_format(F.timestamp_millis(F.col("bucket_ms")), "yyyy-MM-dd")
+                "pday",
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.floor(F.col("bucket_ms") / F.lit(86_400_000)).cast("int"),
+                ).cast("string"),
             )
             .withColumn("pbatch", F.lit(batch_id).cast("bigint"))
         )
@@ -169,6 +181,71 @@ def compact_minute_rollup(spark: SparkSession, store_dir: str) -> None:
     os.rename(store_dir, old_dir)
     os.rename(tmp, store_dir)
     shutil.rmtree(old_dir, ignore_errors=True)
+
+
+def expire_rollup_chunks(
+    spark: SparkSession,
+    store_dir: str,
+    older_than_ms: int | None = None,
+    keep_days: int | None = None,
+) -> list[str]:
+    """Retention policy for the continuous-aggregate store — the
+    ``drop_chunks`` of this hypertable: DROP whole ``pday`` partitions
+    that lie ENTIRELY before the cutoff. A partition straddling the
+    cutoff survives until wholly expired (exactly the chunk-grain
+    contract time-series warehouses ship, and what keeps the operation
+    scan-free).
+
+    Because ``pday`` is pure UTC-day arithmetic over ``bucket_ms``
+    (see ``make_rollup_merger``), expiry decides from the partition
+    NAME alone — no data file is ever opened, surviving partitions are
+    untouched bytes, and cost is one directory rename per expired day.
+    Visibility flips atomically per partition: the dir is renamed to an
+    ``_expired_*`` sibling (underscore prefix — invisible to Spark
+    reads) and then deleted; a crash between the two leaves an
+    invisible husk this function sweeps on its next run.
+
+    Cutoff: ``older_than_ms`` (epoch-ms, exclusive) or ``keep_days``
+    (the newest N day-partitions PRESENT survive — data-defined, no
+    wall clock, so replays and oracles can state it). Returns the
+    dropped pday values. Quiescence contract as for takedown: run with
+    no in-flight micro-batch; a batch replayed afterwards regenerates
+    its partitions from source — re-apply the policy once caught up.
+    """
+    import datetime
+
+    if (older_than_ms is None) == (keep_days is None):
+        raise ValueError("pass exactly one of older_than_ms / keep_days")
+    if not os.path.isdir(store_dir):
+        return []
+    # sweep husks from a prior crashed expiry
+    for d in os.listdir(store_dir):
+        if d.startswith("_expired_"):
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(store_dir)
+        if d.startswith("pday=") and "__" not in d
+    )
+    if not days:
+        return []
+    if keep_days is not None:
+        cutoff = days[-keep_days] if keep_days <= len(days) else days[0]
+    else:
+        cutoff = str(
+            datetime.date(1970, 1, 1)
+            + datetime.timedelta(days=older_than_ms // 86_400_000)
+        )
+    dropped = []
+    for day in days:
+        if day >= cutoff:
+            continue
+        pdir = os.path.join(store_dir, f"pday={day}")
+        husk = os.path.join(store_dir, f"_expired_{uuid.uuid4().hex[:8]}")
+        os.rename(pdir, husk)
+        shutil.rmtree(husk, ignore_errors=True)
+        dropped.append(day)
+    return dropped
 
 
 def read_minute_rollup_gapfilled(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -258,7 +258,18 @@ def run_streaming_throughput(
     # the reference's two Kafka consumers), M changelog rows one job —
     # the aggregate rate counts each row once per topology it crosses
     row_passes = 2 * n_behavior + n_changelog
+    # min-of-2: the startup scalar estimates a FIXED cost, and under
+    # host contention a single run varies >2x back-to-back (measured
+    # 8.7-19.3 s in one r9 window) — min is the right estimator for a
+    # floor, and the ~10-40 s second run de-noises the one scalar that
+    # has needed manual adjudication two rounds running
     startup, startup_breakdown = _measure_startup(spark, work_root)
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(work_root, "startup_probe"), ignore_errors=True)
+    startup2, breakdown2 = _measure_startup(spark, work_root)
+    if startup2 < startup:
+        startup, startup_breakdown = startup2, breakdown2
     # steady-state denominator: never let a tiny workload (total ≈
     # startup) produce a zero/negative wall — floor at 10% of total
     steady_wall = max(total - startup, 0.1 * total)

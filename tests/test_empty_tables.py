@@ -191,6 +191,9 @@ _NULL_PARITY_QUERIES = [
     # round 9: NULL-text docs elect per batch through the scrubbed
     # ingest (NULL digest) and stay NULL through the redaction
     "lake_pii_scrubbed_ingest",
+    # round 9: NULL-ts events are filtered ahead of the rollup store on
+    # both engines; the retention cutoff derives from surviving days
+    "rollup_retention_audit",
 ]
 
 

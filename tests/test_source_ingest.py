@@ -112,3 +112,20 @@ def test_registry_roundtrips_match_oracle(spark, sf_dir):
         compare_query_to_oracle(
             em.queries()[name](spark, sf_dir), em.oracle_sql()[name], sf_dir
         )
+
+
+def test_session_tmpdirs_are_reaped(tmp_path, monkeypatch):
+    """ADVICE r9: repeated ingest invocations must not accumulate
+    unbounded temp dirs — only the _TMP_KEEP most recent per kind
+    stay alive (the previous invocation's lazy DataFrames may still
+    be draining), older ones are reaped on the next call."""
+    import os
+
+    from flink_realtime_data_warehouse_spark.sources import ingest as ing
+
+    monkeypatch.setattr(ing, "_TMP_REGISTRY", {})
+    made = [ing._session_tmpdir("reaptest") for _ in range(5)]
+    alive = [d for d in made if os.path.isdir(d)]
+    assert alive == made[-ing._TMP_KEEP:]
+    ing._reap_all_tmpdirs()
+    assert not any(os.path.isdir(d) for d in made)

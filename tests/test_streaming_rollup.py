@@ -178,3 +178,135 @@ def test_gapfilled_read_does_not_mix_null_value_observations(spark, tmp_path):
     assert rows[m1]["filled"] == 0 and rows[m1]["n_events"] == 1
     assert rows[m1]["total_value"] is None and rows[m1]["max_value"] is None
     assert rows[m0]["total_value"] == 5.0
+
+
+def _mk_store(spark, store, days, batch_id=0):
+    """Write minute partials for the given UTC day indexes directly
+    through the production merger."""
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        make_rollup_merger,
+    )
+
+    rows = [
+        (d * 86_400_000 + m * 60_000, float(d * 10 + m))
+        for d in days
+        for m in (0, 1)
+    ]
+    batch = spark.createDataFrame(rows, "ms bigint, value double").select(
+        F.timestamp_millis("ms").alias("event_time"), "value"
+    )
+    make_rollup_merger(store)(batch, batch_id)
+
+
+def _snap_files(root):
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_expire_drops_whole_chunks_only_and_is_scan_free(spark, tmp_path):
+    """keep_days drops exactly the old day-partitions, by rename alone:
+    surviving partitions' files are byte-identical (same size+mtime),
+    and a second run is a no-op."""
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        expire_rollup_chunks,
+        read_minute_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store, days=[100, 101, 102, 103])
+    keep_before = {
+        k: v for k, v in _snap_files(store).items() if "pday=1970-04-1" in k
+    }
+    dropped = expire_rollup_chunks(spark, store, keep_days=2)
+    assert dropped == ["1970-04-11", "1970-04-12"]  # days 100, 101
+    survivors = sorted(
+        r.bucket_ms // 86_400_000
+        for r in read_minute_rollup(spark, store).collect()
+    )
+    assert sorted(set(survivors)) == [102, 103]
+    after = {
+        k: v for k, v in _snap_files(store).items() if "pday=1970-04-1" in k
+    }
+    kept = {k: v for k, v in keep_before.items() if "1970-04-13" in k or "1970-04-14" in k}
+    assert {k: v for k, v in after.items()} == kept
+    assert expire_rollup_chunks(spark, store, keep_days=2) == []
+
+
+def test_expire_older_than_keeps_straddling_chunk(spark, tmp_path):
+    """An explicit epoch cutoff mid-day: the straddling day survives
+    whole (chunk-grain contract), strictly-older days drop."""
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        expire_rollup_chunks,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store, days=[100, 101, 102])
+    mid_day_101 = 101 * 86_400_000 + 12 * 3_600_000
+    dropped = expire_rollup_chunks(spark, store, older_than_ms=mid_day_101)
+    assert dropped == ["1970-04-11"]  # only day 100 lies wholly before
+    assert os.path.isdir(os.path.join(store, "pday=1970-04-12"))
+
+
+def test_expire_crash_leaves_invisible_husk_then_sweeps(spark, tmp_path, monkeypatch):
+    """Kill between the rename and the delete: the husk is invisible to
+    reads (underscore prefix) so serving never sees a half-deleted
+    chunk; the next expiry sweeps it."""
+    import shutil as _sh
+
+    import pytest
+
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        expire_rollup_chunks,
+        read_minute_rollup,
+    )
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store, days=[100, 101, 102])
+    real = _sh.rmtree
+    state = {"armed": True}
+
+    def faulty(path, **kw):
+        if state["armed"] and "_expired_" in str(path):
+            state["armed"] = False
+            raise RuntimeError("injected mid-expiry crash")
+        return real(path, **kw)
+
+    monkeypatch.setattr(_sh, "rmtree", faulty)
+    import flink_realtime_data_warehouse_spark.streaming.rollup as rl
+
+    monkeypatch.setattr(rl.shutil, "rmtree", faulty)
+    with pytest.raises(RuntimeError, match="injected"):
+        expire_rollup_chunks(spark, store, keep_days=1)
+    monkeypatch.setattr(rl.shutil, "rmtree", real)
+
+    husks = [d for d in os.listdir(store) if d.startswith("_expired_")]
+    assert husks  # the crash window
+    days_served = {
+        r.bucket_ms // 86_400_000
+        for r in read_minute_rollup(spark, store).collect()
+    }
+    assert 100 not in days_served  # the renamed-away chunk is invisible
+    dropped = expire_rollup_chunks(spark, store, keep_days=1)
+    assert dropped == ["1970-04-12"]  # finishes the job, sweeps the husk
+    assert not [d for d in os.listdir(store) if d.startswith("_expired_")]
+
+
+def test_expire_keep_days_exceeding_present_is_noop(spark, tmp_path):
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        expire_rollup_chunks,
+    )
+
+    import pytest
+
+    store = str(tmp_path / "store")
+    _mk_store(spark, store, days=[100, 101])
+    assert expire_rollup_chunks(spark, store, keep_days=5) == []
+    with pytest.raises(ValueError):
+        expire_rollup_chunks(spark, store, keep_days=1, older_than_ms=0)
+    with pytest.raises(ValueError):
+        expire_rollup_chunks(spark, store)
