@@ -1504,7 +1504,7 @@ def append_dedup_lsh_index_capped(
     (streaming/jobs.py::start_history_dedup_ingest)."""
     from pyspark import StorageLevel
 
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
         _repair_swap_dir,
     )
 
@@ -1584,27 +1584,25 @@ def compact_dedup_lsh_index_capped(
     gate reads) runs the shared ``_repair_swap_dir`` sweep first, so a
     compaction killed between the two renames rolls back on the next
     touch instead of leaving the store missing."""
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
     )
 
     import os
-    import shutil
-    import uuid
 
     for sub, rewrite in (
         ("df", lambda d: d.groupBy("s").agg(F.sum("df").alias("df"))),
         ("bands", lambda d: d.repartition("band")),
     ):
         store = os.path.join(path, sub)
-        _repair_swap_dir(path, store)
+        FORMAT.repair(path, store)
         if not any(
             f.endswith(".parquet")
             for _r, _d, files in os.walk(store)
             for f in files
         ):
             continue  # zero-row store: nothing to fold, inference would fail
-        tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
+        tmp = FORMAT.stage_path(store)
         if _is_pbatch_layout(store):
             # explicit schema: a zero-row dynamic-overwrite batch leaves
             # partition dirs with no data files, which breaks inference
@@ -1635,10 +1633,7 @@ def compact_dedup_lsh_index_capped(
             if sub == "bands":
                 w = w.partitionBy("band")
             w.parquet(tmp)
-        old = f"{store}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(store, old)
-        os.rename(tmp, store)
-        shutil.rmtree(old, ignore_errors=True)
+        FORMAT.commit_swap(store, tmp)
 
 
 def probe_dedup_lsh_index_capped(
@@ -1651,7 +1646,7 @@ def probe_dedup_lsh_index_capped(
     never read, and under boilerplate the hot-shingle anti-join keeps
     the probe's collision volume bounded where the uncapped probe
     drifts superlinear (SKEW.json)."""
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
         _repair_swap_dir,
     )
 

@@ -50,8 +50,10 @@ def compact_parquet_dir(
     """
     import math
     import os
-    import shutil
-    import uuid
+
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
+    )
 
     def _count_files(p):
         return sum(
@@ -61,16 +63,12 @@ def compact_parquet_dir(
             if f.endswith(".parquet")
         )
 
+    FORMAT.repair(os.path.dirname(path) or ".", path)
     before = _count_files(path)
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    FORMAT.swap_rewrite(spark, path, df.repartition(n_files))
     return before, _count_files(path)
 
 

@@ -664,13 +664,18 @@ def _split_over_budget_cells(
                 if max(counts) == rows:  # k-means could not separate
                     trained = False
             if not trained:
-                # salt with the parent id: an unsalted re-hash of a
-                # hash-split child is CONSTANT whenever the two moduli
-                # share a factor (h%9==k ⇒ h%3==k%3) and the child
-                # would never split; parent ids are never reused, so
-                # the salt is deterministic and fresh per split event
+                # salt with the running next_id — a NONCE no earlier
+                # split event can have used: an unsalted (or re-used-
+                # salt) re-hash of a hash-split child is CONSTANT
+                # whenever the two moduli share a factor (h%9==k ⇒
+                # h%3==k%3) and the child would never make progress.
+                # The parent id c is NOT a safe salt here: child 0
+                # inherits c, so its eventual re-split would re-hash
+                # with the SAME salt (ADVICE r9). next_id is still
+                # deterministic (pure function of the sorted over-cell
+                # sequence), so replayed builds stay byte-identical.
                 re = subset.select(
-                    F.pmod(F.xxhash64("vec_id", F.lit(int(c))), F.lit(s))
+                    F.pmod(F.xxhash64("vec_id", F.lit(int(next_id))), F.lit(s))
                     .cast("int")
                     .alias("cell"),
                     "vec_id",
@@ -1174,7 +1179,7 @@ def ann_ivf_probe(
     if os.path.isdir(cells_path) or any(
         d.startswith("cells__") for d in os.listdir(index_path)
     ):
-        from flink_realtime_data_warehouse_spark.streaming.sinks import (
+        from flink_realtime_data_warehouse_spark.streaming.table_format import (
             _repair_swap_dir,
         )
 

@@ -85,7 +85,14 @@ DOCS_SCHEMA = (
 #: Keep the most recent KEEP dirs per kind (the previous invocation may
 #: still be draining in an interleaved runner), reap older ones on the
 #: next call, and sweep whatever remains at interpreter exit.
-_TMP_KEEP = 2
+#: ASSUMPTION (ADVICE r9): the default of 2 is sized for the
+#: sequential runners this repo ships (pytest, replay_registry,
+#: bench) — one in-flight consumer plus one still-draining
+#: predecessor. A harness that interleaves ≥_TMP_KEEP+1 concurrent
+#: invocations of the SAME kind would reap a staged dir backing a
+#: still-unconsumed lazy DataFrame; such a runner must raise
+#: FRDW_TMP_KEEP (env, read once at import) to its concurrency level.
+_TMP_KEEP = max(1, int(os.environ.get("FRDW_TMP_KEEP", "2")))
 _TMP_REGISTRY: dict[str, list[str]] = {}
 _TMP_LOCK = threading.Lock()
 

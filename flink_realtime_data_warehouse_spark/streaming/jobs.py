@@ -558,20 +558,18 @@ def compact_ann_ivf_deltas(
     cells the tail actually touches; the whole-store rewrite here
     keeps the crash story one rename-swap."""
     import os
-    import shutil
-    import uuid
 
     from flink_realtime_data_warehouse_spark.operators.similarity import (
         _invalidate_index_df,
     )
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
     )
 
     cells = os.path.join(index_root, "cells")
     deltas = os.path.join(index_root, "_deltas")
-    _repair_swap_dir(index_root, cells)
-    _repair_swap_dir(index_root, deltas)
+    FORMAT.repair(index_root, cells)
+    FORMAT.repair(index_root, deltas)
     if not os.path.isdir(deltas) or not os.path.isdir(cells):
         return
     d = spark.read.schema(
@@ -594,24 +592,12 @@ def compact_ann_ivf_deltas(
         main.unionByName(fold.select("cell", "vec_id", "v"))
         .dropDuplicates(["vec_id"])
     )
-    tmp = f"{cells}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.repartition("cell").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(tmp)
-    old = f"{cells}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(cells, old)
-    os.rename(tmp, cells)
-    shutil.rmtree(old, ignore_errors=True)
+    FORMAT.swap_rewrite(spark, cells, merged.repartition("cell"), "cell")
     # now shrink the delta store to the kept (in-flight) partition; a
     # crash between the two swaps leaves folded rows in BOTH stores —
     # the probe's vec_id dedup keeps answers correct and the next fold
     # re-converges
-    tmp = f"{deltas}__tmp_{uuid.uuid4().hex[:8]}"
-    keep.write.mode("overwrite").partitionBy("pbatch").parquet(tmp)
-    old = f"{deltas}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(deltas, old)
-    os.rename(tmp, deltas)
-    shutil.rmtree(old, ignore_errors=True)
+    FORMAT.swap_rewrite(spark, deltas, keep, "pbatch")
     _invalidate_index_df(spark, cells)
 
 
@@ -663,8 +649,8 @@ def start_embedding_ingest(
         build_ann_ivf_index,
         ivf_assign_delta,
     )
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
     )
 
     nl = n_list if n_list is not None else IVF_NLIST
@@ -676,8 +662,8 @@ def start_embedding_ingest(
     def _process(batch: DataFrame, batch_id: int) -> None:
         pbatch = f"{run_id}-{batch_id}"
         vecs = batch.select("vec_id", "v").dropDuplicates(["vec_id"])
-        _repair_swap_dir(index_root, cells)
-        _repair_swap_dir(index_root, deltas)
+        FORMAT.repair(index_root, cells)
+        FORMAT.repair(index_root, deltas)
         if os.path.exists(marker):
             with open(marker, encoding="utf-8") as f:
                 built_by = f.read().strip()
@@ -747,18 +733,16 @@ def compact_history_digest_store(
     ``_repair_swap_dir`` sweep, which the ingest's digest reads also
     run before their existence probes."""
     import os
-    import shutil
-    import uuid
 
     from flink_realtime_data_warehouse_spark.operators.dedup import (
         COMPACTED_PBATCH,
     )
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
     )
 
     store = os.path.join(out_root, "digests")
-    _repair_swap_dir(out_root, store)
+    FORMAT.repair(out_root, store)
     if not os.path.isdir(store):
         return
     src = spark.read.schema("content_hash string, pbatch string").parquet(store)
@@ -777,7 +761,7 @@ def compact_history_digest_store(
         .distinct()
         .withColumn("pbatch", F.lit(COMPACTED_PBATCH))
     )
-    tmp = f"{store}__tmp_{uuid.uuid4().hex[:8]}"
+    tmp = FORMAT.stage_path(store)
     folded.unionByName(keep).write.mode("overwrite").partitionBy(
         "pbatch"
     ).parquet(tmp)
@@ -797,13 +781,9 @@ def compact_history_digest_store(
                 covered = set(json.load(f))
         except (OSError, ValueError):
             covered = set()
-        folded_parts = {
-            d.split("=", 1)[1]
-            for d in os.listdir(store)
-            if d.startswith("pbatch=")
-            and "__old_" not in d
-            and "__tmp_" not in d
-        } - ({exclude_pbatch} if exclude_pbatch is not None else set())
+        folded_parts = set(FORMAT.list_partitions(store, "pbatch")) - (
+            {exclude_pbatch} if exclude_pbatch is not None else set()
+        )
         if folded_parts <= covered:
             new_covered = (covered - folded_parts) | {COMPACTED_PBATCH}
         else:
@@ -812,10 +792,7 @@ def compact_history_digest_store(
         with open(stmp, "w") as f:
             json.dump(sorted(new_covered), f)
         os.replace(stmp, sidecar)
-    old = f"{store}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(store, old)
-    os.rename(tmp, store)
-    shutil.rmtree(old, ignore_errors=True)
+    FORMAT.commit_swap(store, tmp)
 
 
 def start_history_dedup_ingest(
@@ -969,8 +946,8 @@ def start_history_dedup_ingest(
         or_bloom_membership,
         probe_bloom_membership,
     )
-    from flink_realtime_data_warehouse_spark.streaming.sinks import (
-        _repair_swap_dir,
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
     )
 
     digests_path = f"{out_root}/digests"
@@ -993,20 +970,14 @@ def start_history_dedup_ingest(
         # existence probe — a store renamed away between the two swap
         # renames must restore, never read as an empty cold start
         # (an empty history would classify known duplicates as new)
-        _repair_swap_dir(out_root, digests_path)
+        FORMAT.repair(out_root, digests_path)
         return _store_exists(digests_path)
 
     def _digest_parts() -> set[str]:
         """pbatch partition names currently in the digest store
         (including the ``__compacted__`` fold sentinel — a fold of
         uncovered partitions must read as uncovered)."""
-        if not os.path.isdir(digests_path):
-            return set()
-        return {
-            d.split("=", 1)[1]
-            for d in os.listdir(digests_path)
-            if d.startswith("pbatch=") and "__old_" not in d and "__tmp_" not in d
-        }
+        return set(FORMAT.list_partitions(digests_path, "pbatch"))
 
     def _bloom_covered() -> set[str]:
         """Digest partitions the current filter provably covers — the
@@ -1026,20 +997,11 @@ def start_history_dedup_ingest(
         filter accounts for — lands as a ``_covered.json`` sidecar
         INSIDE the swapped dir (Spark ignores ``_``-files), so filter
         bits and watermark can never be observed out of sync."""
-        import shutil
-        import uuid as _uuid
-
-        tmp = f"{bloom_path}__tmp_{_uuid.uuid4().hex[:8]}"
+        tmp = FORMAT.stage_path(bloom_path)
         rows.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_covered.json"), "w") as f:
             json.dump(sorted(covered), f)
-        if os.path.isdir(bloom_path):
-            old = f"{bloom_path}__old_{_uuid.uuid4().hex[:8]}"
-            os.rename(bloom_path, old)
-            os.rename(tmp, bloom_path)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, bloom_path)
+        FORMAT.commit_swap(bloom_path, tmp)
 
     def _update_bloom(new_digests: DataFrame, pbatch: str) -> None:
         """Fold the batch's new digests into the filter BEFORE the
@@ -1127,7 +1089,7 @@ def start_history_dedup_ingest(
         no_history = spark.createDataFrame([], "content_hash string")
         flagged = None
         if bloom_prefilter:
-            _repair_swap_dir(out_root, bloom_path)
+            FORMAT.repair(out_root, bloom_path)
             if _digest_store_exists() and (
                 not _store_exists(bloom_path)
                 # stale filter: the digest store carries partitions the
@@ -1208,12 +1170,18 @@ def start_history_dedup_ingest(
                     .distinct()
                 )
                 doc_rows = routed.join(F.broadcast(tomb), "doc_id", "left_anti")
-            clean_rows = doc_rows.filter(is_new).drop("content_hash", "status")
+            clean_rows = doc_rows.filter(is_new).drop("status")
             if redact_pii:
                 # scrub the stored payload ONLY — every classification
                 # relation above/below (digest, bloom, gate shingles)
                 # reads the original bytes, so dedup semantics are
-                # unchanged by the rewrite
+                # unchanged by the rewrite. The PRE-redaction digest is
+                # persisted beside the redacted payload: md5 of a
+                # scrubbed text no longer matches the digest store, so
+                # without this column takedown's opt-in unblock policy
+                # (block_reingest=False) could never match a purged
+                # payload back to its digest (ADVICE r9) — the hex
+                # digest itself carries no PII
                 from flink_realtime_data_warehouse_spark.operators.pii import (
                     redact_text,
                 )
@@ -1221,6 +1189,8 @@ def start_history_dedup_ingest(
                 clean_rows = clean_rows.withColumn(
                     "text", redact_text(F.col("text"))
                 )
+            else:
+                clean_rows = clean_rows.drop("content_hash")
             _sink(clean_rows, f"{out_root}/clean")
             _sink(
                 doc_rows.filter(~is_new).select("doc_id", "content_hash", "status"),
@@ -1242,7 +1212,7 @@ def start_history_dedup_ingest(
                 # two swap renames must be restored, never treated as
                 # an empty cold start
                 for p in (lsh_df_path, lsh_bands_path):
-                    _repair_swap_dir(f"{out_root}/lsh", p)
+                    FORMAT.repair(f"{out_root}/lsh", p)
                 # tombstoned docs contribute no bands/df on a replay
                 # (erasure wins over cap bookkeeping — documented)
                 new_docs = doc_rows.filter(is_new).select("doc_id", "text")

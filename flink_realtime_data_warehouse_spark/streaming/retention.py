@@ -187,15 +187,26 @@ def takedown_documents(
             if not block_reingest:
                 # hashes safe to unblock = carried by a purged clean doc
                 # AND by no surviving clean doc (one full payload scan —
-                # the documented cost of the opt-in unblock policy)
+                # the documented cost of the opt-in unblock policy).
+                # A PII-scrubbed lake (redact_pii=True ingest) stores the
+                # REDACTED payload, whose md5 can never match the digest
+                # store's pre-redaction hashes — such lakes persist the
+                # original content_hash beside the payload, and it takes
+                # precedence per row (ADVICE r9; coalesce covers a lake
+                # migrated mid-life, where old partitions lack the column)
+                hash_expr = (
+                    F.coalesce(F.col("content_hash"), F.md5("text"))
+                    if "content_hash" in clean.columns
+                    else F.md5("text")
+                )
                 hit = clean.join(F.broadcast(ids), "doc_id")
                 survivors = clean.join(F.broadcast(ids), "doc_id", "left_anti")
                 unblock = (
-                    hit.select(F.md5("text").alias("content_hash"))
+                    hit.select(hash_expr.alias("content_hash"))
                     .distinct()
                     .join(
                         survivors.select(
-                            F.md5("text").alias("content_hash")
+                            hash_expr.alias("content_hash")
                         ).distinct(),
                         "content_hash",
                         "left_anti",

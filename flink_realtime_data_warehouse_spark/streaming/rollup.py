@@ -33,11 +33,13 @@ exist to feed.
 from __future__ import annotations
 
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.streaming.table_format import (
+    FORMAT,
+)
 
 MINUTE_MS = 60_000
 
@@ -80,7 +82,19 @@ def make_rollup_merger(store_dir: str, time_col: str = "event_time", value_col: 
             # would land the replayed batch on a DIFFERENT (pday,
             # pbatch) partition and dynamic overwrite would duplicate
             # instead of replacing (r9 fix; also what makes day-grain
-            # retention oracle-expressible)
+            # retention oracle-expressible).
+            # MIGRATION (r9→r10, ADVICE): a store written BEFORE the
+            # r9 fix under a non-UTC session tz holds tz-rendered pday
+            # values; resuming its checkpoint after the upgrade would
+            # replay a batch onto the new UTC pday while the old
+            # partition stays on disk — double-counting that batch.
+            # Both formats render as YYYY-MM-DD, so the mix is not
+            # detectable from partition names: rebuild or compact such
+            # a store (compact_minute_rollup folds every non-newest
+            # batch, erasing the stale layout) BEFORE resuming its
+            # checkpoint. Stores written under UTC sessions — and
+            # everything this repo's tests/registry produce — need no
+            # action.
             .withColumn(
                 "pday",
                 F.date_add(
@@ -127,12 +141,16 @@ def read_minute_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
     uses (count→sum, sum→sum, max→max); with compaction keeping
     segments-per-day bounded, the scan is O(|minutes|), not O(|events|).
     """
+    # roll back a compaction crashed between its two renames — without
+    # this, a killed compact leaves the store renamed away and the
+    # serving read would silently report an EMPTY rollup
+    FORMAT.repair(os.path.dirname(store_dir) or ".", store_dir)
     if not os.path.isdir(store_dir):
         # zero batches ever committed (cold start / empty day)
         return spark.createDataFrame([], _SERVING_SCHEMA)
     # explicit schema: a store whose only committed batches were empty
     # has no data files to infer from, but is still a valid empty store
-    store = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+    store = FORMAT.read(spark, store_dir, _STORE_SCHEMA)
     return store.groupBy("bucket_ms").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("sv").alias("total_value"),
@@ -147,13 +165,14 @@ def compact_minute_rollup(spark: SparkSession, store_dir: str) -> None:
     checkpoint can replay, and replay must keep overwriting exactly the
     partition it wrote first time.
 
-    The swap is the DimStore pattern: write the consolidated tree
-    aside, then swap directories. On a transactional table format this
-    whole function is REPLACE WHERE.
+    The swap is the table-format seam's whole-store rewrite
+    (``FORMAT.swap_rewrite`` — stage, rename-swap, repair-covered). On
+    a transactional table format this whole function is REPLACE WHERE.
     """
+    FORMAT.repair(os.path.dirname(store_dir) or ".", store_dir)
     if not os.path.isdir(store_dir):
         return
-    store = spark.read.schema(_STORE_SCHEMA).parquet(store_dir)
+    store = FORMAT.read(spark, store_dir, _STORE_SCHEMA)
     row = store.agg(F.max("pbatch").alias("mb")).first()
     if row is None or row["mb"] is None:
         return
@@ -169,18 +188,12 @@ def compact_minute_rollup(spark: SparkSession, store_dir: str) -> None:
         )
         .withColumn("pbatch", F.lit(-1).cast("bigint"))
     )
-    tmp = f"{store_dir}.compact-{uuid.uuid4().hex[:8]}"
-    (
-        consolidated.select(*_STORE_COLS)
-        .unionByName(keep.select(*_STORE_COLS))
-        .write.mode("overwrite")
-        .partitionBy("pday", "pbatch")
-        .parquet(tmp)
+    FORMAT.swap_rewrite(
+        spark,
+        store_dir,
+        consolidated.select(*_STORE_COLS).unionByName(keep.select(*_STORE_COLS)),
+        ["pday", "pbatch"],
     )
-    old_dir = f"{store_dir}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(store_dir, old_dir)
-    os.rename(tmp, store_dir)
-    shutil.rmtree(old_dir, ignore_errors=True)
 
 
 def expire_rollup_chunks(
@@ -216,17 +229,17 @@ def expire_rollup_chunks(
 
     if (older_than_ms is None) == (keep_days is None):
         raise ValueError("pass exactly one of older_than_ms / keep_days")
+    if keep_days is not None and keep_days < 1:
+        # keep_days=0 would read days[-0] == days[0] and silently keep
+        # EVERYTHING — the opposite of "keep nothing" (ADVICE r9);
+        # dropping every chunk is spelled older_than_ms explicitly
+        raise ValueError("keep_days must be >= 1")
+    FORMAT.repair(os.path.dirname(store_dir) or ".", store_dir)
     if not os.path.isdir(store_dir):
         return []
     # sweep husks from a prior crashed expiry
-    for d in os.listdir(store_dir):
-        if d.startswith("_expired_"):
-            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
-    days = sorted(
-        d.split("=", 1)[1]
-        for d in os.listdir(store_dir)
-        if d.startswith("pday=") and "__" not in d
-    )
+    FORMAT.sweep_husks(store_dir)
+    days = FORMAT.list_partitions(store_dir, "pday")
     if not days:
         return []
     if keep_days is not None:
@@ -240,10 +253,7 @@ def expire_rollup_chunks(
     for day in days:
         if day >= cutoff:
             continue
-        pdir = os.path.join(store_dir, f"pday={day}")
-        husk = os.path.join(store_dir, f"_expired_{uuid.uuid4().hex[:8]}")
-        os.rename(pdir, husk)
-        shutil.rmtree(husk, ignore_errors=True)
+        FORMAT.drop_partition(store_dir, f"pday={day}")
         dropped.append(day)
     return dropped
 

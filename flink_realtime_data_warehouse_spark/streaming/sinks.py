@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from flink_realtime_data_warehouse_spark.streaming.table_format import (
+    FORMAT,
+    _repair_swap_dir,
+)
 
 
 def _parse_extend(extend: str | None) -> dict[str, str]:
@@ -42,37 +45,6 @@ def _parse_extend(extend: str | None) -> dict[str, str]:
             k, v = part.split("=", 1)
             out[k.strip().upper()] = v.strip()
     return out
-
-
-def _repair_swap_dir(root: str, path: str) -> None:
-    """Shared crash-recovery sweep for the rename-swap table stores
-    (DimStore / DimHistoryStore): roll back half-finished partition
-    swaps, restore a renamed-away table dir, drop stale staging and
-    backup dirs. See ``DimStore._repair`` for the failure taxonomy."""
-    base = os.path.basename(path)
-    if not os.path.isdir(path) and os.path.isdir(root):
-        # whole-table swap interrupted between rename-away and
-        # rename-in (legacy unpartitioned rewrite): restore the backup
-        for d in sorted(os.listdir(root)):
-            if d.startswith(f"{base}__old_"):
-                os.rename(os.path.join(root, d), path)
-                break
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            if d.startswith(f"{base}__tmp_") or d.startswith(f"{base}__old_"):
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-    if os.path.isdir(path):
-        for d in os.listdir(path):
-            # partition-level half-swaps: PK-hash partitions (DimStore
-            # MERGE) and the pruned takedown rewrites' pbatch/cell
-            # partitions (streaming/retention.py) share the discipline
-            if "__old_" in d and d.startswith(("_pk_part=", "pbatch=", "cell=")):
-                dst = os.path.join(path, d.split("__old_")[0])
-                src = os.path.join(path, d)
-                if os.path.isdir(dst):
-                    shutil.rmtree(src, ignore_errors=True)  # swap completed
-                else:
-                    os.rename(src, dst)  # roll back the half-swap
 
 
 class DimStore:
@@ -197,30 +169,15 @@ class DimStore:
             .drop("_rn", "_seq")
             .withColumn("_pk_part", part_expr)
         )
-        # parquet has no txn log: write touched partitions to a temp dir,
-        # then swap each partition directory atomically
-        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        # parquet has no txn log: stage touched partitions, then commit
+        # through the table-format seam (per-partition atomic swap for
+        # a partitioned MERGE; whole-table create-or-replace otherwise)
+        tmp = FORMAT.stage_path(path)
         deduped.write.mode("overwrite").partitionBy("_pk_part").parquet(tmp)
         if partitioned_merge:
-            for d in os.listdir(tmp):
-                if not d.startswith("_pk_part="):
-                    continue
-                src, dst = os.path.join(tmp, d), os.path.join(path, d)
-                if os.path.isdir(dst):
-                    old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
-                    os.rename(dst, old)
-                    os.rename(src, dst)
-                    shutil.rmtree(old, ignore_errors=True)
-                else:
-                    os.rename(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
-        elif exists:
-            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
+            FORMAT.merge_staged_partitions(path, tmp, "_pk_part")
         else:
-            os.rename(tmp, path)
+            FORMAT.commit_swap(path, tmp)
         if meta is None:
             with open(self._meta_path(table), "w") as f:
                 json.dump(
@@ -264,21 +221,9 @@ class DimStore:
         before = current.count()
         kept = current.join(F.broadcast(key_df), pk, "left_anti")
         after = kept.count()
-        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        kept.write.mode("overwrite").partitionBy("_pk_part").parquet(tmp)
-        for p in touched:
-            d = f"_pk_part={p}"
-            src, dst = os.path.join(tmp, d), os.path.join(path, d)
-            if os.path.isdir(dst):
-                old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
-                os.rename(dst, old)
-                # a partition whose every row was deleted has no src dir
-                if os.path.isdir(src):
-                    os.rename(src, dst)
-                shutil.rmtree(old, ignore_errors=True)
-            elif os.path.isdir(src):
-                os.rename(src, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # a partition whose every row was deleted has no stage dir and
+        # is dropped by the seam (replace-named-partitions semantics)
+        FORMAT.swap_partitions(self.spark, path, kept, "_pk_part", touched)
         return before - after
 
     def tables(self) -> list[str]:
@@ -487,23 +432,12 @@ class DimHistoryStore:
         out = merged.withColumn("is_current", F.col("valid_to").isNull()).withColumn(
             "_pk_part", part_expr
         )
-        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+        tmp = FORMAT.stage_path(path)
         out.write.mode("overwrite").partitionBy("_pk_part").parquet(tmp)
         if exists:
-            for d in os.listdir(tmp):
-                if not d.startswith("_pk_part="):
-                    continue
-                src, dst = os.path.join(tmp, d), os.path.join(path, d)
-                if os.path.isdir(dst):
-                    old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
-                    os.rename(dst, old)
-                    os.rename(src, dst)
-                    shutil.rmtree(old, ignore_errors=True)
-                else:
-                    os.rename(src, dst)
-            shutil.rmtree(tmp, ignore_errors=True)
+            FORMAT.merge_staged_partitions(path, tmp, "_pk_part")
         else:
-            os.rename(tmp, path)
+            FORMAT.commit_swap(path, tmp)
         if meta is None:
             with open(self._meta_path(table), "w") as f:
                 json.dump({"n_partitions": n_parts, "pk": pk, "ts_col": ts_col}, f)

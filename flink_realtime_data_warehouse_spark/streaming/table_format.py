@@ -1,43 +1,66 @@
-"""Table-format seam (r8 verdict item 5): the transactional store
-operations this repo's parquet rename-swap layer provides, behind ONE
-interface a real table format could implement — so swapping in Delta
-Lake or Iceberg becomes a backend choice, not a rewrite.
+"""Table-format seam (r8 verdict item 5, adopted repo-wide in r10):
+the transactional store operations this repo's parquet rename-swap
+layer provides, behind ONE interface a real table format could
+implement — so swapping in Delta Lake or Iceberg becomes a backend
+choice, not a rewrite.
 
 Why the seam exists: the reference's Phoenix upsert sink
 (DimSinkFunction.java:23-32) maps, in a lakehouse, to a table format's
-MERGE; this repo substitutes parquet stores plus ~500 lines of
-hand-rolled rename-swap/repair transaction machinery
-(streaming/sinks.py, streaming/retention.py) because no table-format
+MERGE; this repo substitutes parquet stores plus hand-rolled
+rename-swap/repair transaction machinery because no table-format
 runtime ships in this container. The machinery is fault-injection
 tested, but a production team would replace it — and every store
-mutator that needs replacing funnels through the five operations
-below.
+mutator that needs replacing funnels through the operations below.
+As of r10 this module is the ONLY place in the package that spells
+the ``__tmp_``/``__old_`` staging discipline: DimStore/DimHistoryStore
+(streaming/sinks.py), the digest/LSH/bloom compaction folds
+(streaming/jobs.py, operators/dedup.py), the rollup store
+(streaming/rollup.py), file compaction (operators/scale.py), and the
+takedown rewrites (streaming/retention.py) all route through
+``FORMAT``.
 
 Contract for a future ``DeltaTableFormat`` (each method documents its
 Delta mapping):
 
-=====================  =============================================
- operation              Delta Lake equivalent
-=====================  =============================================
- ``repair``             no-op — the transaction log IS the recovery
- ``read``               ``spark.read.format("delta").load(path)``
- ``overwrite_partitions``  writer with
-                        ``partitionOverwriteMode=dynamic`` (or
-                        ``replaceWhere`` on the partition predicate)
- ``swap_rewrite``       ``mode("overwrite")`` — one atomic commit
- ``swap_partitions``    ``replaceWhere`` limited to the named
-                        partitions — one atomic commit, cold
-                        partitions' files untouched (Delta gives the
-                        same pruned-rewrite guarantee the parquet
-                        backend implements by per-partition rename)
- ``append``             ``mode("append")`` — one atomic commit
-=====================  =============================================
+=======================  =============================================
+ operation                Delta Lake equivalent
+=======================  =============================================
+ ``repair``               no-op — the transaction log IS the recovery
+ ``read``                 ``spark.read.format("delta").load(path)``
+ ``overwrite_partitions`` writer with
+                          ``partitionOverwriteMode=dynamic`` (or
+                          ``replaceWhere`` on the partition predicate)
+ ``append``               ``mode("append")`` — one atomic commit
+ ``swap_rewrite``         ``mode("overwrite")`` — one atomic commit
+ ``swap_partitions``      ``replaceWhere`` limited to the named
+                          partitions — one atomic commit, cold
+                          partitions' files untouched
+ ``stage_path`` +         the two halves of ``swap_rewrite`` for
+ ``commit_swap``          callers that must write sidecar artifacts
+                          into the staged tree before the commit
+                          point (the bloom filter's coverage
+                          watermark). Delta: stage into the commit's
+                          own transaction (write + txn metadata).
+ ``merge_staged_partitions``  commit ONLY the partitions present in a
+                          staged tree, leaving all others untouched —
+                          the keyed MERGE's write half. Delta:
+                          ``MERGE INTO`` / dynamic overwrite.
+ ``replace_staged_partitions``  commit the NAMED partitions from a
+                          staged tree; a named partition absent from
+                          the stage is dropped (all its rows deleted).
+                          Delta: ``replaceWhere "<col> IN (...)"``.
+ ``drop_partition`` /     metadata delete of whole partitions (the
+ ``sweep_husks``          hypertable ``drop_chunks``). Delta:
+                          ``DELETE WHERE <partition predicate>`` — a
+                          log entry; no husk sweep needed.
+ ``list_partitions``      ``SHOW PARTITIONS`` / the log's partition
+                          listing.
+=======================  =============================================
 
 The keyed MERGE (DimStore's PK-hash-partitioned upsert) stays on its
 own class — it is the reference-K3 component with its own salt-bucket
-layout contract — but its swap/repair primitives are these same ones
-(``streaming/sinks.py::_repair_swap_dir``); a Delta DimStore would be
-``MERGE INTO`` plus this module's ``read``.
+layout contract — but its swap/repair primitives are these same ones;
+a Delta DimStore would be ``MERGE INTO`` plus this module's ``read``.
 
 Crash semantics of the parquet backend (what a swap means here): every
 rewrite stages to a ``__tmp_`` sibling, then renames; a kill between
@@ -55,9 +78,48 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_realtime_data_warehouse_spark.streaming.sinks import (
-    _repair_swap_dir,
-)
+
+def _repair_swap_dir(root: str, path: str) -> None:
+    """Shared crash-recovery sweep for the rename-swap table stores:
+    roll back half-finished partition swaps, restore a renamed-away
+    table dir, drop stale staging and backup dirs. The failure
+    taxonomy: a process killed inside a mutator can leave (a) a
+    partition renamed away to ``<part>=N__old_x`` with no replacement
+    in place — without repair the next read would silently miss that
+    partition (real data loss) and Spark would parse the leftover dir
+    as a bogus partition value; (b) a completed swap whose backup dir
+    survived; (c) staging ``__tmp`` / whole-table ``__old`` siblings.
+    Repair rolls (a) back (the batch never committed — the checkpoint
+    replays it in full), deletes (b)'s backup, restores a missing
+    table dir from (c)'s whole-table backup, and drops stale staging
+    dirs. Verified end-to-end by tests/test_fault_injection.py."""
+    base = os.path.basename(path)
+    if not os.path.isdir(path) and os.path.isdir(root):
+        # whole-table swap interrupted between rename-away and
+        # rename-in: restore the backup
+        for d in sorted(os.listdir(root)):
+            if d.startswith(f"{base}__old_"):
+                os.rename(os.path.join(root, d), path)
+                break
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith(f"{base}__tmp_") or d.startswith(f"{base}__old_"):
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    if os.path.isdir(path):
+        for d in os.listdir(path):
+            # partition-level half-swaps: PK-hash partitions (DimStore
+            # MERGE), the pruned takedown rewrites' pbatch/cell
+            # partitions (streaming/retention.py), and the rollup
+            # store's pday chunks share the discipline
+            if "__old_" in d and d.startswith(
+                ("_pk_part=", "pbatch=", "cell=", "pday=")
+            ):
+                dst = os.path.join(path, d.split("__old_")[0])
+                src = os.path.join(path, d)
+                if os.path.isdir(dst):
+                    shutil.rmtree(src, ignore_errors=True)  # swap completed
+                else:
+                    os.rename(src, dst)  # roll back the half-swap
 
 
 class ParquetSwapFormat:
@@ -105,43 +167,59 @@ class ParquetSwapFormat:
         Delta: ``mode("append")``."""
         df.write.mode("append").parquet(path)
 
-    def swap_rewrite(
-        self,
-        spark: SparkSession,
-        path: str,
-        df: DataFrame,
-        part_col: str = "pbatch",
-    ) -> None:
-        """Replace the WHOLE store with ``df`` atomically (compaction
-        folds, the exotic-partition-value fallback). Parquet: stage to
-        a ``__tmp_`` sibling, rename-away + rename-in. Delta: plain
-        ``mode("overwrite")`` — one commit."""
-        tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").partitionBy(part_col).parquet(tmp)
-        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+    # -- staging primitives -------------------------------------------------
 
-    def swap_partitions(
-        self,
-        spark: SparkSession,
-        path: str,
-        df: DataFrame,
-        part_col: str,
-        parts: list,
+    def stage_path(self, path: str) -> str:
+        """Mint the staging sibling for a swap of ``path``. The name
+        carries the ``__tmp_`` marker ``repair`` recognizes, so a
+        crash that abandons the stage is swept on the next touch.
+        Delta: no analogue — writes stage inside the commit itself."""
+        return f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+
+    def commit_swap(self, path: str, stage: str) -> None:
+        """Atomically make a fully-written ``stage`` tree become
+        ``path`` (create-or-replace). Parquet: rename-away + rename-in
+        (a kill between the two leaves a ``__old_`` backup ``repair``
+        restores). Delta: the ``mode("overwrite")`` commit."""
+        if os.path.isdir(path):
+            old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+            os.rename(path, old)
+            os.rename(stage, path)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(stage, path)
+
+    def merge_staged_partitions(
+        self, path: str, stage: str, part_col: str
     ) -> None:
-        """Replace ONLY the named partitions with ``df``'s rows (the
-        pruned takedown rewrite): every other partition's files are
-        never opened. ``df`` must contain rows solely for ``parts``.
-        Parquet: one staging write, then a rename-swap per partition
-        directory (a partition absent from ``df`` is deleted —
-        all-rows-purged). A kill mid-loop leaves some partitions
-        swapped and some not; ``repair`` rolls back the half-swapped
-        one and an idempotent re-drive converges the rest. Delta:
-        ``replaceWhere "<part_col> IN (...)"`` — one atomic commit."""
-        stage = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        """Commit every ``part_col=`` partition present in ``stage``
+        into ``path``, leaving partitions absent from the stage
+        untouched — the write half of the keyed MERGE (DimStore) and
+        SCD-2 apply. Each partition flips atomically at its rename; a
+        kill mid-loop leaves some swapped and some half-swapped, and
+        ``repair`` + checkpoint replay converge. Delta: ``MERGE INTO``
+        (one atomic commit — the mid-loop window vanishes)."""
+        prefix = f"{part_col}="
+        for d in os.listdir(stage):
+            if not d.startswith(prefix):
+                continue
+            src, dst = os.path.join(stage, d), os.path.join(path, d)
+            if os.path.isdir(dst):
+                old = f"{dst}__old_{uuid.uuid4().hex[:8]}"
+                os.rename(dst, old)
+                os.rename(src, dst)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(src, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def replace_staged_partitions(
+        self, path: str, stage: str, part_col: str, parts: list
+    ) -> None:
+        """Commit the NAMED partitions from ``stage`` into ``path``; a
+        named partition with no stage dir is dropped (its every row
+        was deleted). The partition-pruned DELETE/takedown write half.
+        Delta: ``replaceWhere "<part_col> IN (...)"`` — one commit."""
         for p in parts:
             pdir = os.path.join(path, f"{part_col}={p}")
             sdir = os.path.join(stage, f"{part_col}={p}")
@@ -153,8 +231,82 @@ class ParquetSwapFormat:
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
 
+    def swap_rewrite(
+        self,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        part_col=None,
+    ) -> None:
+        """Replace the WHOLE store with ``df`` atomically (compaction
+        folds, the exotic-partition-value fallback). ``part_col``:
+        None (unpartitioned), a column name, or a list of names.
+        Delta: plain ``mode("overwrite")`` — one commit."""
+        stage = self.stage_path(path)
+        w = df.write.mode("overwrite")
+        if part_col:
+            cols = [part_col] if isinstance(part_col, str) else list(part_col)
+            w = w.partitionBy(*cols)
+        w.parquet(stage)
+        self.commit_swap(path, stage)
+
+    def swap_partitions(
+        self,
+        spark: SparkSession,
+        path: str,
+        df: DataFrame,
+        part_col: str,
+        parts: list,
+    ) -> None:
+        """Replace ONLY the named partitions with ``df``'s rows (the
+        pruned takedown rewrite): every other partition's files are
+        never opened. ``df`` must contain rows solely for ``parts``
+        (a partition absent from ``df`` is deleted — all-rows-purged).
+        Delta: ``replaceWhere "<part_col> IN (...)"``."""
+        stage = self.stage_path(path)
+        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        self.replace_staged_partitions(path, stage, part_col, parts)
+
+    # -- partition metadata operations --------------------------------------
+
+    def drop_partition(
+        self, path: str, part_dir: str, husk_prefix: str = "_expired_"
+    ) -> None:
+        """Drop one whole partition by metadata alone — no data file
+        opened (the hypertable ``drop_chunks`` unit). Visibility flips
+        atomically at the rename to an underscore-prefixed husk
+        (invisible to Spark reads); a crash before the delete leaves a
+        husk ``sweep_husks`` reaps. Delta: ``DELETE WHERE`` on the
+        partition predicate — a log entry."""
+        husk = os.path.join(path, f"{husk_prefix}{uuid.uuid4().hex[:8]}")
+        os.rename(os.path.join(path, part_dir), husk)
+        shutil.rmtree(husk, ignore_errors=True)
+
+    def sweep_husks(self, path: str, husk_prefix: str = "_expired_") -> None:
+        """Reap husks left by a ``drop_partition`` crashed between its
+        rename and delete. Delta: no-op (VACUUM handles data files)."""
+        if not os.path.isdir(path):
+            return
+        for d in os.listdir(path):
+            if d.startswith(husk_prefix):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    def list_partitions(self, path: str, part_col: str) -> list[str]:
+        """Committed partition VALUES of ``part_col`` under ``path`` —
+        excludes in-flight staging/backup dirs, so callers never
+        enumerate a half-swapped partition. Delta: the log's partition
+        listing / ``SHOW PARTITIONS``."""
+        if not os.path.isdir(path):
+            return []
+        prefix = f"{part_col}="
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(path)
+            if d.startswith(prefix) and "__old_" not in d and "__tmp_" not in d
+        )
+
 
 #: the process-wide backend. A Delta deployment would assign its
-#: implementation here (or inject per-store); every retention mutator
+#: implementation here (or inject per-store); every store mutator
 #: and the conformance tier (tests/test_table_format.py) go through it.
 FORMAT = ParquetSwapFormat()

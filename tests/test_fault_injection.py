@@ -11,7 +11,9 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from flink_realtime_data_warehouse_spark.streaming import sinks as sinks_mod
+from flink_realtime_data_warehouse_spark.streaming import (
+    table_format as format_mod,
+)
 from flink_realtime_data_warehouse_spark.streaming.sinks import DimStore
 
 
@@ -80,10 +82,12 @@ def test_dimstore_mid_swap_crash_then_repair_converges(spark, tmp_path, monkeypa
     batch2 = spark.createDataFrame(
         [(i, f"NEW{i}") for i in upd_ids], ["id", "name"]
     )
-    monkeypatch.setattr(sinks_mod, "os", _FaultyOS(os, fail_on_swap=2))
+    # the swap renames live in the table-format seam since r10 — the
+    # injection point moved with them
+    monkeypatch.setattr(format_mod, "os", _FaultyOS(os, fail_on_swap=2))
     with pytest.raises(Exception, match="injected"):
         store.upsert("t", batch2)
-    monkeypatch.setattr(sinks_mod, "os", os)
+    monkeypatch.setattr(format_mod, "os", os)
 
     # the crash left a half-swap: one updated partition missing, its
     # backup stranded — exactly the data-loss window repair closes
@@ -172,10 +176,10 @@ def test_dim_router_streaming_mid_swap_crash_replay(spark, tmp_path, monkeypatch
 
     with open(os.path.join(src, "b2.jsonl"), "w") as f:
         f.write("\n".join(cdc_line(i, f"NEW{i}") for i in upd_ids))
-    monkeypatch.setattr(sinks_mod, "os", _FaultyOS(os, fail_on_swap=2))
+    monkeypatch.setattr(format_mod, "os", _FaultyOS(os, fail_on_swap=2))
     with pytest.raises(Exception):
         run()
-    monkeypatch.setattr(sinks_mod, "os", os)
+    monkeypatch.setattr(format_mod, "os", os)
     assert [d for d in os.listdir(table_dir) if "__old_" in d]
 
     run()  # restart: same checkpoint redelivers the crashed batch

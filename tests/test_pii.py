@@ -140,3 +140,74 @@ def test_streaming_scrub_blocks_raw_recrawl(spark, tmp_path):
         r.doc_id
         for r in spark.read.parquet(os.path.join(root, "out", "clean")).collect()
     }
+
+
+def test_scrubbed_lake_unblock_policy(spark, tmp_path):
+    """redact_pii=True composed with takedown(block_reingest=False)
+    (ADVICE r9): the clean store holds REDACTED payloads, so the
+    unblock pass must derive purged-content hashes from the persisted
+    pre-redaction ``content_hash`` column, not md5(text) — without it
+    the digest anti-join can never match and ``removed['digests']`` is
+    silently always 0. Pins: (a) purging the only copy of scrubbed
+    content with block_reingest=False removes its digest and a
+    re-crawl of the RAW bytes re-ingests as new; (b) content with a
+    surviving duplicate keeps its digest blocked."""
+    import json as _json
+    import os
+
+    from flink_realtime_data_warehouse_spark.streaming.jobs import (
+        start_history_dedup_ingest,
+    )
+    from flink_realtime_data_warehouse_spark.streaming.retention import (
+        takedown_documents,
+    )
+
+    root = str(tmp_path)
+    out = os.path.join(root, "out")
+    raw_a = "mail admin@corp.example.com from 10.1.0.2 please"
+    raw_b = "call 555-123-4567 twice"
+
+    def _run(src_name, ckpt, rows):
+        src = os.path.join(root, src_name)
+        os.makedirs(src, exist_ok=True)
+        with open(os.path.join(src, "b.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        start_history_dedup_ingest(
+            spark, stream, out, os.path.join(root, ckpt), redact_pii=True
+        ).awaitTermination(300)
+
+    # doc 1: sole copy of raw_a; docs 2+3: two copies of raw_b (the
+    # election lands doc 2 in clean, doc 3 in dups as evidence)
+    _run("s0", "ckpt0", [{"doc_id": 1, "text": raw_a},
+                         {"doc_id": 2, "text": raw_b},
+                         {"doc_id": 3, "text": raw_b}])
+
+    # purge doc 1 (clean, only copy of raw_a → its digest unblocks) and
+    # doc 3 (dups-only evidence; raw_b's CLEAN copy doc 2 survives, so
+    # raw_b's digest must stay blocked)
+    removed = takedown_documents(spark, out, [1, 3], block_reingest=False)
+    # the regression this pins: with md5(redacted text) the match is
+    # empty and this reads 0
+    assert removed["digests"] == 1
+
+    # re-crawl the RAW bytes under a fresh checkpoint: raw_a content is
+    # unblocked (digest removed) → lands in clean, redacted; raw_b is
+    # still held by doc 3 → stays blocked as dup_history
+    _run("s1", "ckpt1", [{"doc_id": 100, "text": raw_a},
+                         {"doc_id": 101, "text": raw_b}])
+    clean_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "clean")).collect()
+    }
+    dup_status = {
+        r.doc_id: r.status
+        for r in spark.read.parquet(os.path.join(out, "dups")).collect()
+    }
+    assert 100 in clean_ids
+    assert dup_status[101] == "dup_history"
+    assert 101 not in clean_ids

@@ -276,13 +276,13 @@ def test_expire_crash_leaves_invisible_husk_then_sweeps(spark, tmp_path, monkeyp
             raise RuntimeError("injected mid-expiry crash")
         return real(path, **kw)
 
-    monkeypatch.setattr(_sh, "rmtree", faulty)
-    import flink_realtime_data_warehouse_spark.streaming.rollup as rl
+    # the husk rename+delete lives in the table-format seam since r10
+    import flink_realtime_data_warehouse_spark.streaming.table_format as tf
 
-    monkeypatch.setattr(rl.shutil, "rmtree", faulty)
+    monkeypatch.setattr(tf.shutil, "rmtree", faulty)
     with pytest.raises(RuntimeError, match="injected"):
         expire_rollup_chunks(spark, store, keep_days=1)
-    monkeypatch.setattr(rl.shutil, "rmtree", real)
+    monkeypatch.setattr(tf.shutil, "rmtree", real)
 
     husks = [d for d in os.listdir(store) if d.startswith("_expired_")]
     assert husks  # the crash window
@@ -310,3 +310,111 @@ def test_expire_keep_days_exceeding_present_is_noop(spark, tmp_path):
         expire_rollup_chunks(spark, store, keep_days=1, older_than_ms=0)
     with pytest.raises(ValueError):
         expire_rollup_chunks(spark, store)
+
+
+def test_rollup_composed_kills_converge_to_twin(spark, tmp_path, monkeypatch):
+    """The r10 composed fault-injection scenario for the ROLLUP store
+    family (r9 verdict item 4): the same streaming store driven
+    through build → expire (killed between the husk rename and its
+    delete) → compact (killed between the swap's two renames) →
+    checkpoint replay of a new batch, with serving reads compared to a
+    never-crashed twin after EVERY step. The rollup mutators route
+    through the table-format seam since r10, so this also pins that a
+    compact killed mid-swap — which before r10 used repair-invisible
+    ``.compact-``/``.old-`` names and would have served an EMPTY
+    rollup — rolls back on the next touch."""
+    import shutil as _sh
+
+    import pytest
+
+    from flink_realtime_data_warehouse_spark.streaming.rollup import (
+        expire_rollup_chunks,
+    )
+    import flink_realtime_data_warehouse_spark.streaming.table_format as tf
+
+    roots = {n: str(tmp_path / n) for n in ("crashed", "twin")}
+    days = [100, 101, 102, 103]
+
+    def _drive(root, batch_id, days_):
+        _mk_store(spark, os.path.join(root, "store"), days_, batch_id)
+
+    for root in roots.values():
+        _drive(root, 0, days)
+
+    # ---- step 1: expire, crashed store killed between rename & delete
+    real_rmtree = _sh.rmtree
+    state = {"armed": True}
+
+    def crash_husk_delete(path, **kw):
+        if state["armed"] and "_expired_" in str(path):
+            state["armed"] = False
+            raise RuntimeError("injected expiry crash")
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr(tf.shutil, "rmtree", crash_husk_delete)
+    with pytest.raises(RuntimeError, match="injected expiry"):
+        expire_rollup_chunks(
+            spark, os.path.join(roots["crashed"], "store"), keep_days=2
+        )
+    monkeypatch.setattr(tf.shutil, "rmtree", real_rmtree)
+    # re-drive the policy (idempotent), twin runs it once cleanly
+    expire_rollup_chunks(
+        spark, os.path.join(roots["crashed"], "store"), keep_days=2
+    )
+    expire_rollup_chunks(
+        spark, os.path.join(roots["twin"], "store"), keep_days=2
+    )
+    assert _serving(spark, os.path.join(roots["crashed"], "store")) == _serving(
+        spark, os.path.join(roots["twin"], "store")
+    )
+
+    # ---- step 2: a second batch lands (late data for day 102), then
+    # compaction; crashed store killed between the swap's two renames
+    for root in roots.values():
+        _drive(root, 1, [102])
+    real_rename = os.rename
+    state["armed"] = True
+
+    def crash_store_swap(s, d):
+        if state["armed"] and "store__tmp_" in str(s):
+            state["armed"] = False
+            raise RuntimeError("injected compaction crash")
+        return real_rename(s, d)
+
+    monkeypatch.setattr(os, "rename", crash_store_swap)
+    with pytest.raises(RuntimeError, match="injected compaction"):
+        compact_minute_rollup(spark, os.path.join(roots["crashed"], "store"))
+    monkeypatch.setattr(os, "rename", real_rename)
+    # the kill landed AFTER rename-away, BEFORE rename-in: the store
+    # dir is gone and only repair can bring it back — the serving read
+    # must NOT report an empty rollup
+    crashed_store = os.path.join(roots["crashed"], "store")
+    assert not os.path.isdir(crashed_store)
+    assert _serving(spark, crashed_store) == _serving(
+        spark, os.path.join(roots["twin"], "store")
+    )
+
+    # re-drive compaction on both
+    compact_minute_rollup(spark, crashed_store)
+    compact_minute_rollup(spark, os.path.join(roots["twin"], "store"))
+    assert _serving(spark, crashed_store) == _serving(
+        spark, os.path.join(roots["twin"], "store")
+    )
+
+    # ---- step 3: replay (same batch_id overwrites its own partition)
+    for root in roots.values():
+        _drive(root, 1, [102])
+    s_c = _serving(spark, crashed_store)
+    s_t = _serving(spark, os.path.join(roots["twin"], "store"))
+    assert s_c == s_t
+    # expired days stay expired, surviving days intact
+    served_days = {b // 86_400_000 for b in s_c}
+    assert served_days == {102, 103}
+    # no swap debris on either store
+    for root in roots.values():
+        debris = [
+            d
+            for d in os.listdir(os.path.join(root, "store"))
+            if "__old_" in d or "__tmp_" in d or d.startswith("_expired_")
+        ]
+        assert not debris

@@ -38,6 +38,13 @@ def main() -> int:
     ap.add_argument(
         "--only", default=None, help="comma-separated query names to replay"
     )
+    ap.add_argument(
+        "--out-tag",
+        default="",
+        help="suffix for the artifact name (e.g. _sf0.1 writes "
+        "REPLAY_r{N}_sf0.1.json) so a non-gate-scale sweep never "
+        "overwrites the standing sf0.01 artifact",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -92,7 +99,7 @@ def main() -> int:
     }
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        f"REPLAY_r{args.round:02d}.json",
+        f"REPLAY_r{args.round:02d}{args.out_tag}.json",
     )
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
