@@ -155,6 +155,11 @@ HEADLINE = [
     # round 9: hypertable retention (drop_chunks) over the real
     # continuous-aggregate store — expiry is rename-only, scan-free
     "rollup_retention_audit",
+    # round 10: corpus-trained BPE token accounting (train = two
+    # aggregations + K-row collect; apply = map-only replace chain)
+    # and the token budget priced in the unit training actually spends
+    "text_bpe_token_count",
+    "sample_token_budget_bpe",
 ]
 
 

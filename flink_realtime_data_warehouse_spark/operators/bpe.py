@@ -1,0 +1,258 @@
+"""Corpus-trained BPE-style token accounting (round-10 verdict item 3).
+
+``sample_token_budget`` and ``pack_training_sequences`` price documents
+in whitespace/regex tokens; real pipelines budget in BPE tokens, and
+the mispricing is systematic (~1.3-1.5x on English). This module
+trains a deterministic merges table ON THE CORPUS ITSELF — the
+``text_bigram_logprob`` discipline: on-corpus model, integer-exact
+scoring, so a DuckDB oracle can state the SAME merge sequence and the
+driver's value-hash compare is meaningful.
+
+The model (deliberately oracle-expressible):
+
+- **Pre-tokenization**: ``[a-z0-9]+`` runs over ``lower(text)`` (the
+  GPT-2-style regex split reduced to its alnum core — whitespace and
+  punctuation carry no token mass here).
+- **Training** (one-shot pair statistics): adjacent character pairs
+  are counted ONCE over the word vocabulary, weighted by word
+  frequency, and the top ``BPE_MERGES`` pairs (count DESC, pair ASC —
+  total deterministic order) become the merge table, ranked. This is
+  the first round of Sennrich-style BPE generalized to K merges
+  without re-counting between merges — the re-count is what makes
+  true BPE training inherently sequential (each merge changes the
+  pair distribution), and a K-round sequential scan over a 100-TB
+  corpus is exactly the kind of driver-side loop this repo bans. The
+  one-shot variant keeps training to TWO map-combinable aggregations
+  (vocab, pair counts) plus a K-row collect, at the cost of merges
+  that cannot reference earlier merges' output symbols. The trade is
+  documented, deterministic, and oracle-stateable.
+- **Application** (map-only): each document's words are joined with a
+  single space (never part of any merge pair), then each ranked merge
+  is applied as a plain ``replace(s, pair, chr(0xE000 + rank))`` —
+  all non-overlapping occurrences, left to right. Spark's ``replace``
+  and DuckDB's ``replace`` share these semantics exactly, and the
+  private-use substitution characters (U+E000..) can never occur in
+  the corpus or collide with each other, so application order is the
+  only order that matters — and both engines apply rank 1..K
+  identically. Token count = ``length(merged) - (n_words - 1)``
+  (subtracting the separators); every merged pair occurrence saves
+  exactly one token.
+
+Scale shape: training is two shuffles keyed by word/pair (partial
+aggregation applies) and a K-row driver collect — the centroid
+pattern, not a corpus collect. Application is one chained-expression
+projection: zero joins, zero shuffles, whole-stage codegen, identical
+at 100 TB. K is a constant (48), so the expression depth is fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+#: trained merge-table size (fixed expression depth of the apply step)
+BPE_MERGES = 48
+#: pre-tokenization: the alnum core of a GPT-2-style regex split
+BPE_WORD_RE = "[a-z0-9]+"
+#: substitution alphabet base — Unicode private-use area, guaranteed
+#: absent from the corpus (ASCII by construction) and from every pair
+BPE_SUB_BASE = 0xE000
+
+
+def _words(text_col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text_col), F.lit(BPE_WORD_RE), F.lit(0))
+
+
+def train_bpe_merges(
+    docs: DataFrame, text_col: str = "text", k: int = BPE_MERGES
+) -> list[str]:
+    """Train the ranked merge table: top-``k`` adjacent character
+    pairs over the word vocabulary, weighted by word frequency,
+    deterministic total order (count DESC, pair ASC). Returns the
+    pairs in rank order (rank 1 first). Two aggregations + a k-row
+    collect — nothing corpus-sized reaches the driver."""
+    vocab = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = (
+        vocab.select(
+            "w", "c",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(F.col("w").substr(F.col("i"), F.lit(2)).alias("p"), "c")
+        .groupBy("p")
+        .agg(F.sum("c").alias("cnt"))
+    )
+    rows = pairs.orderBy(F.col("cnt").desc(), F.col("p")).limit(k).collect()
+    return [r["p"] for r in rows]
+
+
+def bpe_token_count(text_col: Column, merges: list[str]) -> Column:
+    """Map-only BPE token count under a trained merge table: join the
+    words on a single space, apply each ranked merge as a global
+    left-to-right ``replace`` onto its private-use symbol, and count
+    ``length - separators``. NULL text counts NULL (a missing payload
+    has no token mass, and 0 would silently admit it into a token
+    budget)."""
+    words = _words(text_col)
+    s = F.array_join(words, " ")
+    for rank, p in enumerate(merges, start=1):
+        s = F.replace(s, F.lit(p), F.lit(chr(BPE_SUB_BASE + rank)))
+    nw = F.size(words)
+    cnt = (F.length(s) - F.greatest(nw - F.lit(1), F.lit(0))).cast("bigint")
+    return F.when(text_col.isNull(), F.lit(None).cast("bigint")).otherwise(cnt)
+
+
+def ws_token_count(text_col: Column) -> Column:
+    """The whitespace-ish pre-token count under the SAME pre-tokenizer
+    (word count) — the divergence baseline the registry row exposes
+    beside the BPE count."""
+    return F.when(
+        text_col.isNull(), F.lit(None).cast("bigint")
+    ).otherwise(F.size(_words(text_col)).cast("bigint"))
+
+
+def bpe_oracle_cte(k: int = BPE_MERGES, table: str = "documents") -> str:
+    """The DuckDB statement of the SAME model, as named CTEs ending in
+    ``bpe_counts(doc_id, n_bpe_tokens, n_ws_tokens)``. Callers embed it
+    under ``WITH RECURSIVE``. The recursion applies merge rank r+1 to
+    every document row at rank r — O(rows x K) intermediate rows, fine
+    at oracle scale; ``coalesce(array_to_string(..), '')`` papers over
+    DuckDB returning NULL (not '') for an empty list join."""
+    return f"""
+bpe_words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS w
+  FROM {table} WHERE text IS NOT NULL),
+bpe_vocab AS (
+  SELECT w, count(*) AS c FROM bpe_words GROUP BY w HAVING length(w) >= 2),
+bpe_idx AS (
+  SELECT w, c, unnest(range(1, length(w))) AS i FROM bpe_vocab),
+bpe_pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS p, sum(c) AS cnt
+  FROM bpe_idx GROUP BY 1),
+bpe_merges AS (
+  SELECT p, CAST(row_number() OVER (ORDER BY cnt DESC, p) AS INT) AS r
+  FROM (SELECT * FROM bpe_pairs ORDER BY cnt DESC, p LIMIT {k})),
+bpe_nm AS (SELECT count(*) AS n FROM bpe_merges),
+bpe_base AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE coalesce(array_to_string(
+                     regexp_extract_all(lower(text), '{BPE_WORD_RE}'), ' '), '')
+         END AS s,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(regexp_extract_all(lower(text), '{BPE_WORD_RE}'))
+         END AS nw
+  FROM {table}),
+bpe_appl AS (
+  SELECT doc_id, s, nw, 0 AS r FROM bpe_base
+  UNION ALL
+  SELECT a.doc_id, replace(a.s, m.p, chr({BPE_SUB_BASE} + m.r)) AS s,
+         a.nw, a.r + 1 AS r
+  FROM bpe_appl a JOIN bpe_merges m ON m.r = a.r + 1),
+bpe_counts AS (
+  SELECT doc_id,
+         CAST(length(s) - greatest(nw - 1, 0) AS BIGINT) AS n_bpe_tokens,
+         CAST(nw AS BIGINT) AS n_ws_tokens
+  FROM bpe_appl WHERE r = (SELECT n FROM bpe_nm))"""
+
+
+# ---------------------------------------------------------------------------
+# registry rows
+# ---------------------------------------------------------------------------
+
+def _bpe_count_oracle() -> str:
+    return f"""
+WITH RECURSIVE {bpe_oracle_cte()}
+SELECT doc_id, n_bpe_tokens, n_ws_tokens
+FROM bpe_counts ORDER BY doc_id
+"""
+
+
+@query("text_bpe_token_count", oracle=_bpe_count_oracle())
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful token accounting: per-document BPE token
+    count under the corpus-trained merge table, beside the
+    whitespace-ish pre-token count it corrects (module docstring has
+    the model + scale shape; tests pin that the two diverge on this
+    corpus — the ~1.3-1.5x systematic mispricing the row exists to
+    fix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs)
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), merges).alias("n_bpe_tokens"),
+        ws_token_count(F.col("text")).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+def _bpe_budget_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        BPE_TOKEN_BUDGET,
+    )
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        _TIER_SCORED_CTE,
+    )
+
+    return f"""
+WITH RECURSIVE {_TIER_SCORED_CTE},
+{bpe_oracle_cte()},
+sized AS (
+  SELECT s.doc_id, s.q, b.n_bpe_tokens AS nt
+  FROM scored s JOIN bpe_counts b USING (doc_id)
+  WHERE b.n_bpe_tokens IS NOT NULL),
+ordered AS (
+  SELECT doc_id, q, nt,
+         sum(nt) OVER (ORDER BY q DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nt AS cum_before
+  FROM sized)
+SELECT doc_id, CAST(q AS BIGINT) AS score_e4, nt AS n_bpe_tokens
+FROM ordered WHERE cum_before < {BPE_TOKEN_BUDGET}
+ORDER BY q DESC, doc_id
+"""
+
+
+@query("sample_token_budget_bpe", oracle=_bpe_budget_oracle())
+def sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sample_token_budget`` priced in trained-BPE tokens instead of
+    whitespace tokens — the budget a real pretraining run actually
+    spends. Same greedy quality-order admission (``cum_before <
+    budget``), same histogram-cut selection machinery
+    (``token_budget_select`` — no corpus sort); only the pricing
+    column changes, so a selection driven by the wrong token unit is
+    directly comparable row-for-row (the parity test pins that the
+    two budgets admit DIFFERENT document sets on this corpus).
+    NULL-text documents carry NULL token mass and are excluded — a
+    budget must never admit unpriceable rows for free."""
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        BPE_TOKEN_BUDGET,
+        token_budget_select,
+    )
+    from flink_realtime_data_warehouse_spark.operators.textops import (
+        quality_score_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs)
+    sized = docs.select(
+        "doc_id",
+        F.expr(quality_score_sql()).alias("q"),
+        bpe_token_count(F.col("text"), merges).alias("nw"),
+    ).filter(F.col("nw").isNotNull())
+    return (
+        token_budget_select(sized, BPE_TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            F.col("q").cast("bigint").alias("score_e4"),
+            F.col("nw").alias("n_bpe_tokens"),
+        )
+        .orderBy(F.col("score_e4").desc(), "doc_id")
+    )

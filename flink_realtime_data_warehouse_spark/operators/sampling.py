@@ -487,6 +487,10 @@ def quota_survivors(scored: DataFrame, quota: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TOKEN_BUDGET = 20_000  #: total training-token budget for the selection
+#: budget for the BPE-priced face (operators/bpe.py): BPE tokens run
+#: ~3x the word count on this corpus, so 60k admits a comparably-sized
+#: — but measurably DIFFERENT — document set than the 20k word budget
+BPE_TOKEN_BUDGET = 60_000
 
 
 def _token_budget_oracle() -> str:

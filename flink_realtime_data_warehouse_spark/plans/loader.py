@@ -12,6 +12,7 @@ from __future__ import annotations
 
 def load_all() -> tuple[dict, dict]:
     """Import all registering modules; return (QUERIES, ORACLES)."""
+    import flink_realtime_data_warehouse_spark.operators.bpe  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.curation  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.decontam  # noqa: F401
     import flink_realtime_data_warehouse_spark.operators.dedup  # noqa: F401

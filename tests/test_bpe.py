@@ -1,0 +1,137 @@
+"""Corpus-trained BPE token accounting (operators/bpe.py): merge
+training determinism, replace-chain application semantics, NULL/empty
+corners, and the non-vacuous divergence pin between whitespace and
+BPE token budgets (the mispricing the rows exist to fix)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_realtime_data_warehouse_spark.operators.bpe import (
+    BPE_MERGES,
+    BPE_SUB_BASE,
+    bpe_token_count,
+    train_bpe_merges,
+    ws_token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_training_counts_and_tiebreak(spark):
+    # "abab" contributes ab x2, ba x1 per occurrence; two docs double it;
+    # "zz" ties nothing. Expected order: ab(4) > ba(2) = zz(2) with the
+    # tie broken lexicographically (ba before zz).
+    docs = _docs(spark, [(1, "abab zz"), (2, "abab zz")])
+    assert train_bpe_merges(docs, k=3) == ["ab", "ba", "zz"]
+
+
+def test_training_is_frequency_weighted_over_occurrences(spark):
+    # the same WORD repeated weighs its pairs once per occurrence, not
+    # once per vocab entry
+    docs = _docs(spark, [(1, "xy xy xy qq")])
+    assert train_bpe_merges(docs, k=2) == ["xy", "qq"]
+
+
+def test_apply_counts_nonoverlapping_left_to_right(spark):
+    # merge "aa" over "aaa": one merge (left to right, no overlap)
+    # => tokens = 3 chars - 1 merge = 2; "aaaa" => 2 merges => 2 tokens
+    df = _docs(spark, [(1, "aaa"), (2, "aaaa"), (3, "aba")])
+    got = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", bpe_token_count(F.col("text"), ["aa"]).alias("n")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 3}
+
+
+def test_apply_rank_order_changes_the_count(spark):
+    # "abab": rank-1 "ab" fires twice (2 tokens); but "ba" ranked first
+    # consumes the middle chars and leaves 3 — application order is
+    # part of the model, and both engines must state the same one
+    df = _docs(spark, [(1, "abab")])
+    n_ab = df.select(bpe_token_count(F.col("text"), ["ab", "ba"]).alias("n")).first()["n"]
+    n_ba = df.select(bpe_token_count(F.col("text"), ["ba", "ab"]).alias("n")).first()["n"]
+    assert n_ab == 2
+    assert n_ba == 3
+    # substitution chars live outside the corpus alphabet
+    assert 0xE000 == BPE_SUB_BASE
+
+
+def test_space_separator_never_merges_across_words(spark):
+    # pair "ab" must not fire across the boundary of "...a b..."
+    df = _docs(spark, [(1, "xa bx")])
+    n = df.select(bpe_token_count(F.col("text"), ["ab"]).alias("n")).first()["n"]
+    assert n == 4  # x a b x, no merge
+
+
+def test_null_and_empty_semantics(spark):
+    df = _docs(spark, [(1, None), (2, ""), (3, "   "), (4, "ok")])
+    got = {
+        r.doc_id: (r.nb, r.nw)
+        for r in df.select(
+            "doc_id",
+            bpe_token_count(F.col("text"), ["ok"]).alias("nb"),
+            ws_token_count(F.col("text")).alias("nw"),
+        ).collect()
+    }
+    assert got[1] == (None, None)  # NULL text prices NULL, never 0
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (1, 1)  # merged to one symbol
+
+
+def test_merge_table_is_deterministic_and_bounded(spark):
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    m1 = train_bpe_merges(docs)
+    m2 = train_bpe_merges(docs)
+    assert m1 == m2
+    assert len(m1) <= BPE_MERGES
+    assert all(len(p) == 2 for p in m1)
+
+
+def test_budget_units_diverge_on_the_corpus(spark):
+    """The reason the BPE face exists: the whitespace-priced and
+    BPE-priced budget selections admit DIFFERENT document sets on the
+    fixture corpus (if they coincided the new row would be vacuous),
+    while both stay within one document of their budgets."""
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    Q, _ = load_all()
+    ws = {r.doc_id for r in Q["sample_token_budget"](spark, SF).collect()}
+    bp = {r.doc_id for r in Q["sample_token_budget_bpe"](spark, SF).collect()}
+    assert ws != bp
+    assert len(ws ^ bp) >= 5  # a real unit change, not a boundary doc
+
+
+def test_bpe_counts_exceed_word_counts(spark):
+    """BPE tokens (sub-word) strictly exceed word counts on multi-word
+    prose — the direction of the systematic mispricing."""
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    Q, _ = load_all()
+    rows = Q["text_bpe_token_count"](spark, SF).collect()
+    multi = [r for r in rows if (r.n_ws_tokens or 0) > 1]
+    assert multi
+    assert all(r.n_bpe_tokens > r.n_ws_tokens for r in multi)
+    # and the merges actually compress: fewer BPE tokens than raw chars
+    from flink_realtime_data_warehouse_spark.operators.bpe import _words
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    chars = {
+        r.doc_id: r.nc
+        for r in docs.select(
+            "doc_id",
+            F.length(F.array_join(_words(F.col("text")), "")).alias("nc"),
+        ).collect()
+    }
+    assert any(r.n_bpe_tokens < chars[r.doc_id] for r in rows)

@@ -194,6 +194,11 @@ _NULL_PARITY_QUERIES = [
     # round 9: NULL-ts events are filtered ahead of the rollup store on
     # both engines; the retention cutoff derives from surviving days
     "rollup_retention_audit",
+    # round 10: NULL text prices NULL BPE tokens (never 0) and is
+    # excluded from both training pair counts and the budget selection
+    # identically on both engines
+    "text_bpe_token_count",
+    "sample_token_budget_bpe",
 ]
 
 

@@ -81,6 +81,8 @@ _BOUNDED_WINDOWS = {
     # token_budget_select: cumulative mass + verdict windows over the
     # same <= 10001-row score histogram
     "sample_token_budget": (2, 10001, "score-quantized histogram"),
+    # the BPE-priced face routes through the SAME token_budget_select
+    "sample_token_budget_bpe": (2, 10001, "score-quantized histogram"),
     # banded_global_rank band-offset windows (<= n_bands+1 = 1025 rows;
     # the tot subtree appears 4x in the self-join plan) plus the final
     # rank window over the <= TS_TOPK-row post-limit relation
