@@ -270,17 +270,30 @@ class ParquetSwapFormat:
     # -- partition metadata operations --------------------------------------
 
     def drop_partition(
-        self, path: str, part_dir: str, husk_prefix: str = "_expired_"
-    ) -> None:
+        self,
+        path: str,
+        part_dir: str,
+        husk_prefix: str = "_expired_",
+        defer_delete: bool = False,
+    ) -> str | None:
         """Drop one whole partition by metadata alone — no data file
         opened (the hypertable ``drop_chunks`` unit). Visibility flips
         atomically at the rename to an underscore-prefixed husk
         (invisible to Spark reads); a crash before the delete leaves a
-        husk ``sweep_husks`` reaps. Delta: ``DELETE WHERE`` on the
-        partition predicate — a log entry."""
+        husk ``sweep_husks`` reaps. With ``defer_delete`` the husk is
+        left for the caller (returned), so a multi-chunk policy can
+        flip EVERY chunk invisible in O(renames) before paying any
+        per-file unlink cost — measured: deletion grows with the file
+        count (3.5 s over 23 chunks x 120 segments) while the rename
+        phase stays milliseconds. Delta: ``DELETE WHERE`` on the
+        partition predicate — a log entry; VACUUM is the deferred
+        delete."""
         husk = os.path.join(path, f"{husk_prefix}{uuid.uuid4().hex[:8]}")
         os.rename(os.path.join(path, part_dir), husk)
+        if defer_delete:
+            return husk
         shutil.rmtree(husk, ignore_errors=True)
+        return None
 
     def sweep_husks(self, path: str, husk_prefix: str = "_expired_") -> None:
         """Reap husks left by a ``drop_partition`` crashed between its

@@ -290,9 +290,11 @@ def test_expire_crash_leaves_invisible_husk_then_sweeps(spark, tmp_path, monkeyp
         r.bucket_ms // 86_400_000
         for r in read_minute_rollup(spark, store).collect()
     }
-    assert 100 not in days_served  # the renamed-away chunk is invisible
+    # the policy was FULLY applied before any delete ran (r10: renames
+    # first, husk deletion second) — both expired chunks are invisible
+    assert days_served == {102}
     dropped = expire_rollup_chunks(spark, store, keep_days=1)
-    assert dropped == ["1970-04-12"]  # finishes the job, sweeps the husk
+    assert dropped == []  # nothing left to expire — only husks to sweep
     assert not [d for d in os.listdir(store) if d.startswith("_expired_")]
 
 

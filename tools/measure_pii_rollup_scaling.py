@@ -79,16 +79,21 @@ def measure(spark, sf_dir: str) -> dict:
     out["pii_redact_sec"] = round(time.perf_counter() - t0, 3)
 
     # ---- rollup chunk expiry over a growing store -------------------------
-    # 30 day-chunks, partial mass per chunk grows with the corpus: the
-    # events table supplies real (ts, value) pairs re-bucketed onto a
-    # synthetic 30-day axis so each scale point's store is the same
-    # chunk count at ~mult x the bytes
+    # 30 day-chunks; the store grows the way this store actually grows
+    # in production: in pbatch SEGMENTS (minute partials per day
+    # saturate at 1440 rows, so event mass alone cannot grow the
+    # store). Batch count scales with the corpus (one segment per
+    # ~25k events), so chunk count stays fixed while bytes and file
+    # count grow ~mult x — and expiry must stay flat because it only
+    # renames the 23 pday directories, never opening a file.
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_col = "event_time" if "event_time" in events.columns else events.columns[0]
+    n_events = events.count()
+    n_batches = max(1, n_events // 25_000)
     store = tempfile.mkdtemp(prefix="frdw_expiry_store_")
     shutil.rmtree(store, ignore_errors=True)
     try:
-        batch = events.select(
+        base = events.select(
             F.timestamp_millis(
                 (
                     F.pmod(F.xxhash64(F.col(ts_col).cast("string")), F.lit(30 * 1440))
@@ -96,15 +101,43 @@ def measure(spark, sf_dir: str) -> dict:
                 ).cast("bigint")
             ).alias("event_time"),
             F.lit(1.0).alias("value"),
+            F.pmod(F.xxhash64(F.col(ts_col).cast("string"), F.lit(7)), F.lit(n_batches))
+            .cast("int")
+            .alias("_b"),
         )
-        make_rollup_merger(store)(batch, 0)
+        merger = make_rollup_merger(store)
+        for b in range(n_batches):
+            merger(base.filter(F.col("_b") == b).drop("_b"), b)
+        out["rollup_batches"] = n_batches
         out["rollup_store_bytes"] = _store_bytes(store)
         out["rollup_chunks"] = len(
             [d for d in os.listdir(store) if d.startswith("pday=")]
         )
-        t0 = time.perf_counter()
-        dropped = expire_rollup_chunks(spark, store, keep_days=7)
-        out["rollup_expire_sec"] = round(time.perf_counter() - t0, 3)
+        # split the two expiry phases: time-to-policy-visible (pure
+        # renames — the flat claim) vs total incl. husk deletion
+        # (grows with file count — inherent unlink cost, deferred by
+        # design so it never serializes visibility)
+        import flink_realtime_data_warehouse_spark.streaming.rollup as _rl
+
+        marks: dict = {}
+        real_rmtree = _rl.shutil.rmtree
+
+        def _timed(path, **kw):
+            if "_expired_" in str(path):
+                marks.setdefault("first_delete", time.perf_counter())
+            return real_rmtree(path, **kw)
+
+        _rl.shutil.rmtree = _timed
+        try:
+            t0 = time.perf_counter()
+            dropped = expire_rollup_chunks(spark, store, keep_days=7)
+            t1 = time.perf_counter()
+        finally:
+            _rl.shutil.rmtree = real_rmtree
+        out["rollup_expire_visible_sec"] = round(
+            marks.get("first_delete", t1) - t0, 4
+        )
+        out["rollup_expire_sec"] = round(t1 - t0, 3)
         out["rollup_chunks_dropped"] = len(dropped)
         # serving read still healthy after the drop
         out["rollup_minutes_served"] = read_minute_rollup(spark, store).count()
