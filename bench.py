@@ -160,6 +160,7 @@ HEADLINE = [
     # and the token budget priced in the unit training actually spends
     "text_bpe_token_count",
     "sample_token_budget_bpe",
+    "pack_training_sequences_bpe",
 ]
 
 

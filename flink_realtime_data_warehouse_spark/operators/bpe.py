@@ -256,3 +256,80 @@ def sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score_e4").desc(), "doc_id")
     )
+
+
+PACK_SEQ_LEN_BPE = 2048  #: BPE tokens per packed sequence (~3x the
+#: whitespace count on this corpus, so packs stay comparable in real
+#: content to the 512-word face while the units are training-faithful)
+
+
+def _bpe_pack_oracle() -> str:
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        _BUCKET_SQL,
+        PACK_N_BUCKETS,
+    )
+
+    bucket = _BUCKET_SQL.replace("% 100", f"% {PACK_N_BUCKETS}")
+    return f"""
+WITH RECURSIVE {bpe_oracle_cte()},
+toks AS (
+  SELECT doc_id, {bucket} AS bucket, n_bpe_tokens AS n_tokens
+  FROM bpe_counts WHERE n_bpe_tokens IS NOT NULL),
+pos AS (
+  SELECT doc_id, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS tok_start
+  FROM toks)
+SELECT doc_id, bucket, n_tokens,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_start // {PACK_SEQ_LEN_BPE} AS BIGINT) AS pack_first,
+       CAST((tok_start + n_tokens - 1) // {PACK_SEQ_LEN_BPE} AS BIGINT) AS pack_last
+FROM pos ORDER BY bucket, doc_id
+"""
+
+
+@query("pack_training_sequences_bpe", oracle=_bpe_pack_oracle())
+def pack_training_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pack_training_sequences`` priced in trained-BPE tokens — the
+    concat-then-cut packing a real pretraining run performs, with
+    sequence boundaries falling at BPE-token offsets instead of
+    whitespace-token offsets (the other half of the unit mispricing
+    the BPE family fixes; ``sample_token_budget_bpe`` is the selection
+    half). Same shape as the whitespace face: one window prefix-sum
+    per content-derived hash bucket (the unit of parallelism AND of
+    determinism), no collect, no Python in the plan. NULL-text docs
+    carry NULL token mass and are excluded — a pack must never admit
+    unpriceable rows at offset arithmetic."""
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.operators.sampling import (
+        PACK_N_BUCKETS,
+        hash_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs)
+    toks = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), PACK_N_BUCKETS).alias("bucket"),
+        bpe_token_count(F.col("text"), merges).alias("n_tokens"),
+    ).filter(F.col("n_tokens").isNotNull())
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = toks.withColumn(
+        "tok_start", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return pos.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "tok_start",
+        F.floor(F.col("tok_start") / PACK_SEQ_LEN_BPE).alias("pack_first"),
+        F.floor(
+            (F.col("tok_start") + F.col("n_tokens") - 1) / PACK_SEQ_LEN_BPE
+        ).alias("pack_last"),
+    ).orderBy("bucket", "doc_id")

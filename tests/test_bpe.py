@@ -135,3 +135,35 @@ def test_bpe_counts_exceed_word_counts(spark):
         ).collect()
     }
     assert any(r.n_bpe_tokens < chars[r.doc_id] for r in rows)
+
+
+def test_pack_units_diverge_on_the_corpus(spark):
+    """The packing face of the unit fix: BPE-priced pack spans differ
+    from whitespace-priced spans for a large share of documents (348
+    of 500 on the fixture when this pin was written) — boundaries fall
+    where the training tokenizer puts them, not where spaces do."""
+    from flink_realtime_data_warehouse_spark.plans.loader import load_all
+
+    Q, _ = load_all()
+    ws = {
+        r.doc_id: (r.pack_first, r.pack_last)
+        for r in Q["pack_training_sequences"](spark, SF).collect()
+    }
+    bp = {
+        r.doc_id: (r.pack_first, r.pack_last)
+        for r in Q["pack_training_sequences_bpe"](spark, SF).collect()
+    }
+    diff = sum(1 for k in ws if k in bp and ws[k] != bp[k])
+    assert diff >= len(ws) // 4
+    # and the packing invariants hold in the BPE unit: offsets are
+    # dense per bucket (next tok_start = prev tok_start + n_tokens)
+    rows = sorted(
+        Q["pack_training_sequences_bpe"](spark, SF).collect(),
+        key=lambda r: (r.bucket, r.doc_id),
+    )
+    by_bucket = {}
+    for r in rows:
+        prev = by_bucket.get(r.bucket)
+        if prev is not None:
+            assert r.tok_start == prev
+        by_bucket[r.bucket] = r.tok_start + r.n_tokens

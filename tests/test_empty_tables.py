@@ -199,6 +199,7 @@ _NULL_PARITY_QUERIES = [
     # identically on both engines
     "text_bpe_token_count",
     "sample_token_budget_bpe",
+    "pack_training_sequences_bpe",
 ]
 
 
