@@ -161,6 +161,9 @@ HEADLINE = [
     "text_bpe_token_count",
     "sample_token_budget_bpe",
     "pack_training_sequences_bpe",
+    # round 10: stats through the REAL zlib PNG encode->decode round
+    # trip, all five scanline filters exercised per image
+    "multimodal_png_channel_stats",
 ]
 
 

@@ -200,6 +200,9 @@ _NULL_PARITY_QUERIES = [
     "text_bpe_token_count",
     "sample_token_budget_bpe",
     "pack_training_sequences_bpe",
+    # round 10: NULL text filtered identically ahead of the PNG
+    # encode->decode kernel on both engines (the BMP row's discipline)
+    "multimodal_png_channel_stats",
 ]
 
 
