@@ -762,7 +762,13 @@ def _make_png_codec():
             raise ValueError("not a PNG payload")
         pos, ihdr, idat = 8, None, bytearray()
         while pos < len(payload):
+            if pos + 8 > len(payload):
+                raise ValueError("truncated PNG stream (chunk header)")
             (ln,) = struct.unpack_from(">I", payload, pos)
+            if pos + 12 + ln > len(payload):
+                # chunk body/CRC past end of buffer: malformed, not a
+                # struct.error (ADVICE r10 — docstring promises ValueError)
+                raise ValueError("truncated PNG stream (chunk body)")
             tag = payload[pos + 4 : pos + 8]
             body = payload[pos + 8 : pos + 8 + ln]
             (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
@@ -775,6 +781,9 @@ def _make_png_codec():
             elif tag == b"IEND":
                 break
             pos += 12 + ln
+        else:
+            # ran off the end without IEND: stream cut between chunks
+            raise ValueError("truncated PNG stream (no IEND)")
         if ihdr is None:
             raise ValueError("PNG without IHDR")
         w, h, depth, ctype, comp, fmeth, interlace = ihdr
@@ -784,7 +793,10 @@ def _make_png_codec():
             )
         bpp = 3
         stride = w * bpp
-        data = zlib.decompress(bytes(idat))
+        try:
+            data = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise ValueError(f"corrupt PNG IDAT deflate stream: {e}") from e
         if len(data) != h * (stride + 1):
             raise ValueError("PNG scanline payload size mismatch")
         img = np.zeros((h, stride), dtype=np.uint8)

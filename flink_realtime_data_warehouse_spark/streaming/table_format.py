@@ -241,6 +241,12 @@ class ParquetSwapFormat:
         """Replace the WHOLE store with ``df`` atomically (compaction
         folds, the exotic-partition-value fallback). ``part_col``:
         None (unpartitioned), a column name, or a list of names.
+        NOTE (r10 change, pinned r11): the default was ``"pbatch"``
+        through r9 and is now ``None`` — a caller that relied on the
+        old default must pass ``part_col="pbatch"`` explicitly or its
+        store is rewritten unpartitioned (every in-repo caller passes
+        it; tests/test_table_format.py exercises the unpartitioned
+        default against a store created partitioned).
         Delta: plain ``mode("overwrite")`` — one commit."""
         stage = self.stage_path(path)
         w = df.write.mode("overwrite")

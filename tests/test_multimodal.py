@@ -269,6 +269,32 @@ def test_png_crc_corruption_raises():
         decode_png(bytes(b))
 
 
+def test_png_truncation_raises_valueerror():
+    """A payload cut mid-chunk must raise ValueError (the docstring's
+    promise), not struct.error from unpack_from running past the end
+    (ADVICE r10). Every truncation point — inside the header read,
+    inside the body, inside the trailing CRC — takes the same path."""
+    import numpy as np
+    import pytest
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    full = encode_png(rng.integers(0, 256, (4, 7, 3), dtype=np.uint8))
+    for cut in (10, 14, 33, len(full) - 2):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(full[:cut])
+    # a length field pointing past the end of the buffer (claims a
+    # giant body) is the exact corner ADVICE flagged
+    forged = bytearray(full)
+    forged[8:12] = (2**24).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bytes(forged))
+
+
 def test_decode_image_dispatches_png_natively():
     """The generic decode path must take the native PNG branch — no
     pillow in this container, so a broken dispatch would raise

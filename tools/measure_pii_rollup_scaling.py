@@ -71,8 +71,9 @@ def measure(spark, sf_dir: str) -> dict:
     dq_pii_scan(spark, sf_dir).collect()
     out["pii_scan_sec"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    # count() drains the full redaction projection without shipping
-    # every redacted payload to the driver (the wall is the scan+map)
+    # a noop-format write drains the full redaction projection without
+    # shipping every redacted payload to the driver (the wall is the
+    # scan+map, not a collect)
     text_pii_redact(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
