@@ -72,11 +72,25 @@ composition; single-store visibility is atomic at the rename.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    """Single-file atomic publish (tmp + ``os.replace``) — the one
+    rename discipline that is identical under every backend, used for
+    markers and sidecars that live BESIDE stores (the IVF
+    ``_built_pbatch`` marker, checkpoint incarnation ids). Store-
+    internal sidecars go through ``write_sidecar`` instead so the
+    backend can keep them transactional with the snapshot."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(text)
+    os.replace(tmp, path)
 
 
 def _repair_swap_dir(root: str, path: str) -> None:
@@ -324,8 +338,549 @@ class ParquetSwapFormat:
             if d.startswith(prefix) and "__old_" not in d and "__tmp_" not in d
         )
 
+    # -- existence / sidecars / artifact publish ----------------------------
 
-#: the process-wide backend. A Delta deployment would assign its
-#: implementation here (or inject per-store); every store mutator
-#: and the conformance tier (tests/test_table_format.py) go through it.
-FORMAT = ParquetSwapFormat()
+    def exists(self, path: str) -> bool:
+        """True when the store has ever been committed. Parquet: the
+        directory exists (staging is always a sibling, so a crashed
+        first write never half-creates the store). Delta: the
+        transaction log has at least one commit."""
+        return os.path.isdir(path)
+
+    def has_data(self, path: str) -> bool:
+        """True when the store holds at least one data file — a lake
+        whose every batch was empty has partition dirs with no
+        footers, and a mergeSchema read on it would fail inference.
+        Delta: the log's file listing is non-empty."""
+        for r, dirs, files in os.walk(path):
+            dirs[:] = [
+                d for d in dirs if "__tmp_" not in d and "__old_" not in d
+            ]
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read_sidecar(self, path: str, name: str) -> str | None:
+        """Text of the snapshot-scoped sidecar artifact ``name`` (the
+        bloom filter's ``_covered.json`` coverage watermark), or None
+        when the store carries none. Sidecars enter the store inside a
+        staged tree (any top-level ``_``/``.``-prefixed file — Spark
+        ignores those when reading data) and commit WITH the snapshot,
+        so data and sidecar can never be observed out of sync. Delta:
+        commit metadata / a txn-tracked object."""
+        p = os.path.join(path, name)
+        if not os.path.isfile(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return f.read()
+
+    def write_sidecar(self, path: str, name: str, text: str) -> None:
+        """Replace sidecar ``name`` on an already-committed store
+        without rewriting data (the compaction's coverage-watermark
+        carry-over). Atomic at a single-file replace; the caller
+        orders it against data commits for its own crash window (the
+        digest compaction writes the watermark BEFORE the store swap —
+        a crash between costs one spurious rebuild, never a subset
+        probe). Delta: a metadata-only commit."""
+        atomic_write_text(os.path.join(path, name), text)
+
+    def publish_staged_artifact(self, dest: str, staged_src: str) -> None:
+        """Move one fully-written artifact (file or dir) from a staged
+        build into place, create-or-replace — the cold-build publish
+        unit (IVF quantizer artifacts, the cells tree). NOT atomic
+        across multiple artifacts: a multi-artifact publish is crash-
+        covered by the caller's marker protocol (no marker ⇒ clear and
+        rebuild deterministically), which is the right recovery for a
+        rebuildable artifact set. Delta/Iceberg: registering index
+        files in the table's metadata."""
+        if os.path.isdir(dest):
+            shutil.rmtree(dest, ignore_errors=True)
+        elif os.path.exists(dest):
+            os.remove(dest)
+        os.rename(staged_src, dest)
+
+
+class LogManifestFormat:
+    """Second backend (r10 verdict item 1): an append-log + manifest
+    store — the Iceberg/Delta SHAPE, expressed with stdlib files so
+    the seam's "backend choice" claim is a demonstrated property, not
+    a documented mapping.
+
+    Layout of a store at ``path``::
+
+        path/
+          _log/v000000000007.json   # numbered manifests; commit point
+                                    # is ONE atomic os.replace of the
+                                    # next manifest — never a data
+                                    # rename
+          seg-<uuid>/               # immutable data segments (plain
+                                    # parquet trees, partition dirs
+                                    # inside when partitioned)
+          side-<uuid>/<name>        # sidecar-only commits
+
+    The latest manifest IS the table: it maps each committed leaf
+    partition (nested ``k=v`` components joined by ``/``) to the
+    segment dir holding its files, lists unpartitioned segments, and
+    names the snapshot's sidecar artifacts. Everything on disk that
+    the latest manifest does not reference is invisible to readers
+    and reclaimed by ``sweep_husks`` (the VACUUM analogue); a crash
+    at ANY point before the manifest replace leaves the previous
+    snapshot fully intact — there is no torn-swap window at all, so
+    ``repair`` only sweeps debris, never rolls data back or forward.
+
+    Semantic deltas vs the parquet rename-swap backend (recorded in
+    BASELINE.md):
+
+    - ``merge_staged_partitions`` / ``replace_staged_partitions``
+      commit ALL partitions in one manifest replace — the parquet
+      backend's partition-at-a-time crash window (half-swapped store
+      repaired + replayed) does not exist here.
+    - ``drop_partition`` is a pure log entry; it returns ``None``
+      (there is no husk for the caller to delete — data files are
+      reclaimed by ``sweep_husks``). Callers treat a ``None`` husk as
+      "nothing to unlink".
+    - Superseded segments accumulate until ``sweep_husks`` runs
+      (Delta's VACUUM trade: O(1) commits, deferred reclamation).
+    - Reads plan one scan per segment of partitioned leaves and union
+      them; a production table format collapses this to one
+      file-list scan. Bounded by segments-per-store, which compaction
+      (``swap_rewrite`` folds) resets to 1.
+
+    Single-writer-per-store discipline, exactly like the parquet
+    backend (the streaming checkpoint serializes mutators); manifest
+    sequence numbers are not a lock.
+    """
+
+    _SEG_PREFIX = "seg-"
+    _SIDE_PREFIX = "side-"
+    _STAGE_MARK = "__stage_"
+
+    # -- log primitives -----------------------------------------------------
+
+    def _log_dir(self, path: str) -> str:
+        return os.path.join(path, "_log")
+
+    def _manifest_names(self, path: str) -> list[str]:
+        ld = self._log_dir(path)
+        if not os.path.isdir(ld):
+            return []
+        return sorted(
+            n for n in os.listdir(ld)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _latest(self, path: str) -> dict | None:
+        names = self._manifest_names(path)
+        if not names:
+            return None
+        with open(os.path.join(self._log_dir(path), names[-1]),
+                  encoding="utf-8") as f:
+            return json.load(f)
+
+    def _next(self, path: str) -> dict:
+        m = self._latest(path)
+        if m is None:
+            return {"seq": 0, "part_cols": None, "partitions": {},
+                    "segments": [], "sidecars": {}}
+        m = json.loads(json.dumps(m))  # deep copy
+        m["seq"] += 1
+        return m
+
+    def _commit(self, path: str, m: dict) -> None:
+        """THE commit point: one atomic single-file replace."""
+        ld = self._log_dir(path)
+        os.makedirs(ld, exist_ok=True)
+        atomic_write_text(
+            os.path.join(ld, f"v{m['seq']:012d}.json"),
+            json.dumps(m, sort_keys=True),
+        )
+
+    # -- staged-tree discovery ------------------------------------------------
+
+    def _scan_stage(self, segdir: str):
+        """Discover a staged snapshot tree's shape: nested ``k=v``
+        leaf partitions, top-level sidecar entries (``_``/``.``
+        prefixed — exactly what Spark ignores when reading data), and
+        whether loose (unpartitioned) data files exist."""
+        part_cols = None
+        leaves: list[str] = []
+        sidecars: list[str] = []
+        has_files = False
+
+        def _is_part(e: str, p: str) -> bool:
+            return (
+                os.path.isdir(p) and "=" in e
+                and not e.startswith(("_", "."))
+            )
+
+        def _walk(d: str, rel: list[str]) -> None:
+            nonlocal part_cols
+            entries = os.listdir(d)
+            subparts = [
+                e for e in entries if _is_part(e, os.path.join(d, e))
+            ]
+            if subparts:
+                for e in subparts:
+                    _walk(os.path.join(d, e), rel + [e])
+            elif rel:
+                leaves.append("/".join(rel))
+                cols = [c.split("=", 1)[0] for c in rel]
+                if part_cols is None:
+                    part_cols = cols
+                elif part_cols != cols:
+                    raise ValueError(
+                        f"inconsistent partition nesting in stage: "
+                        f"{part_cols} vs {cols}"
+                    )
+
+        for e in os.listdir(segdir):
+            p = os.path.join(segdir, e)
+            if _is_part(e, p):
+                _walk(p, [e])
+            elif e.startswith(("_", ".")):
+                if e != "_SUCCESS" and not e.endswith(".crc"):
+                    sidecars.append(e)
+            elif os.path.isfile(p):
+                has_files = True
+        return part_cols, leaves, sidecars, has_files
+
+    def _adopt_stage(self, path: str, stage: str) -> str:
+        """Move a staged tree under the store as an (uncommitted)
+        segment. A crash after this rename leaves an orphan no
+        manifest references — swept by ``repair``, invisible to every
+        reader meanwhile."""
+        os.makedirs(path, exist_ok=True)
+        seg = f"{self._SEG_PREFIX}{uuid.uuid4().hex[:8]}"
+        os.rename(stage, os.path.join(path, seg))
+        return seg
+
+    def _merge_from_stage(
+        self, path, stage, replace_all, named_parts=None, part_col=None
+    ) -> None:
+        """Shared commit body for swap/merge/replace: adopt the stage
+        as a segment, then publish ONE manifest describing the new
+        snapshot."""
+        seg = self._adopt_stage(path, stage)
+        segdir = os.path.join(path, seg)
+        cols, leaves, sides, has_files = self._scan_stage(segdir)
+        m = self._next(path)
+        if replace_all:
+            m["part_cols"] = cols
+            m["partitions"] = {lf: f"{seg}/{lf}" for lf in leaves}
+            m["segments"] = [seg] if has_files else []
+            m["sidecars"] = {s: f"{seg}/{s}" for s in sides}
+        else:
+            if cols is not None:
+                if m["part_cols"] is None:
+                    m["part_cols"] = cols
+                elif m["part_cols"] != cols:
+                    raise ValueError(
+                        f"partition columns {cols} do not match the "
+                        f"store's {m['part_cols']}"
+                    )
+            if named_parts is not None:
+                # replace semantics: a named first-level partition
+                # absent from the stage is dropped wholesale
+                named = {f"{part_col}={p}" for p in named_parts}
+                m["partitions"] = {
+                    lf: loc for lf, loc in m["partitions"].items()
+                    if lf.split("/", 1)[0] not in named
+                }
+            for lf in leaves:
+                m["partitions"][lf] = f"{seg}/{lf}"
+            if has_files:
+                m["segments"].append(seg)
+            for s in sides:
+                m["sidecars"][s] = f"{seg}/{s}"
+        self._commit(path, m)
+
+    # -- interface ------------------------------------------------------------
+
+    def repair(self, root: str, path: str) -> None:
+        """Sweep debris a crashed mutator can leave: staging siblings
+        (stage minted, never adopted), manifest tmp files, and
+        segments referenced by NO manifest in the log (adopted, never
+        committed). Data referenced by any manifest is never touched —
+        there is no half-swap to roll back; the previous manifest is
+        still the truth."""
+        base = os.path.basename(path)
+        if os.path.isdir(root):
+            for d in os.listdir(root):
+                if d.startswith(f"{base}{self._STAGE_MARK}"):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        if not os.path.isdir(path):
+            return
+        ld = self._log_dir(path)
+        if os.path.isdir(ld):
+            for n in os.listdir(ld):
+                if ".tmp-" in n:
+                    try:
+                        os.remove(os.path.join(ld, n))
+                    except OSError:
+                        pass
+        referenced = set()
+        for n in self._manifest_names(path):
+            with open(os.path.join(ld, n), encoding="utf-8") as f:
+                m = json.load(f)
+            for loc in m.get("partitions", {}).values():
+                referenced.add(loc.split("/", 1)[0])
+            referenced.update(m.get("segments", []))
+            for loc in m.get("sidecars", {}).values():
+                referenced.add(loc.split("/", 1)[0])
+        for d in os.listdir(path):
+            if (
+                d.startswith((self._SEG_PREFIX, self._SIDE_PREFIX))
+                and d not in referenced
+            ):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+    def exists(self, path: str) -> bool:
+        """A store exists once its first manifest committed (the
+        directory alone can predate the commit by one crash)."""
+        return bool(self._manifest_names(path))
+
+    def has_data(self, path: str) -> bool:
+        m = self._latest(path)
+        return bool(m and (m["partitions"] or m["segments"]))
+
+    def read(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: str | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """Scan exactly the manifest-listed paths: one read per
+        segment of partitioned leaves (``basePath`` recovers the
+        partition columns with Spark's own inference — same typing
+        rules as the parquet backend) plus one for unpartitioned
+        segments, unioned by name. Uncommitted/superseded segments on
+        disk are never visible — the manifest IS the file listing."""
+        m = self._latest(path)
+        if m is None:
+            # no committed snapshot: an empty store reads empty under
+            # an explicit schema (never raw-scans the dir — orphan
+            # segments must stay invisible); schemaless is a caller
+            # bug, like the parquet backend's cannot-infer error
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            raise ValueError(f"no committed snapshot at {path}")
+
+        def _reader():
+            r = spark.read
+            if schema is not None:
+                r = r.schema(schema)
+            if merge_schema:
+                r = r.option("mergeSchema", "true")
+            return r
+
+        by_seg = {}
+        for lf, loc in m["partitions"].items():
+            seg = loc.split("/", 1)[0]
+            by_seg.setdefault(seg, []).append(os.path.join(path, loc))
+        parts = [
+            _reader()
+            .option("basePath", os.path.join(path, seg))
+            .parquet(*sorted(leaves))
+            for seg, leaves in sorted(by_seg.items())
+        ]
+        segs = [os.path.join(path, s) for s in m["segments"]]
+        if segs:
+            parts.append(_reader().parquet(*segs))
+        if not parts:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            raise ValueError(f"empty store with no schema at {path}")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=merge_schema)
+        return df
+
+    def overwrite_partitions(self, df: DataFrame, path: str, part_col) -> None:
+        cols = [part_col] if isinstance(part_col, str) else list(part_col)
+        stage = self.stage_path(path)
+        df.write.mode("overwrite").partitionBy(*cols).parquet(stage)
+        self._merge_from_stage(path, stage, replace_all=False)
+
+    def append(self, df: DataFrame, path: str) -> None:
+        stage = self.stage_path(path)
+        df.write.mode("overwrite").parquet(stage)
+        self._merge_from_stage(path, stage, replace_all=False)
+
+    def stage_path(self, path: str) -> str:
+        """Staging sibling (outside the store — the store directory is
+        only ever created by a commit, so ``exists`` can't observe a
+        half-created store)."""
+        return f"{path}{self._STAGE_MARK}{uuid.uuid4().hex[:8]}"
+
+    def commit_swap(self, path: str, stage: str) -> None:
+        self._merge_from_stage(path, stage, replace_all=True)
+
+    def merge_staged_partitions(self, path, stage, part_col) -> None:
+        self._merge_from_stage(path, stage, replace_all=False)
+
+    def replace_staged_partitions(self, path, stage, part_col, parts) -> None:
+        self._merge_from_stage(
+            path, stage, replace_all=False,
+            named_parts=list(parts), part_col=part_col,
+        )
+
+    def swap_rewrite(
+        self, spark: SparkSession, path: str, df: DataFrame, part_col=None
+    ) -> None:
+        stage = self.stage_path(path)
+        w = df.write.mode("overwrite")
+        if part_col:
+            cols = [part_col] if isinstance(part_col, str) else list(part_col)
+            w = w.partitionBy(*cols)
+        w.parquet(stage)
+        self.commit_swap(path, stage)
+
+    def swap_partitions(self, spark, path, df, part_col, parts) -> None:
+        stage = self.stage_path(path)
+        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+        self.replace_staged_partitions(path, stage, part_col, parts)
+
+    def drop_partition(
+        self, path: str, part_dir: str,
+        husk_prefix: str = "_expired_", defer_delete: bool = False,
+    ):
+        """Pure log entry (the Delta ``DELETE WHERE`` on a partition
+        predicate): one manifest commit removes every leaf under the
+        named first-level partition. Returns None — there is no husk;
+        data files are reclaimed by ``sweep_husks`` (VACUUM)."""
+        m = self._next(path)
+        hit = [
+            lf for lf in m["partitions"]
+            if lf == part_dir or lf.startswith(part_dir + "/")
+        ]
+        if not hit:
+            raise FileNotFoundError(
+                f"no committed partition {part_dir!r} in {path}"
+            )
+        for lf in hit:
+            del m["partitions"][lf]
+        self._commit(path, m)
+        return None
+
+    def sweep_husks(self, path: str, husk_prefix: str = "_expired_") -> None:
+        """VACUUM: reclaim everything the LATEST manifest does not
+        reference — whole superseded/orphan segments, dropped leaf
+        dirs inside still-live segments — and prune the manifest log
+        to the latest entry (so ``repair``'s referenced-by-any-
+        manifest sweep agrees with the reclaimed state)."""
+        m = self._latest(path)
+        if m is None:
+            return
+        live_segs = set(m["segments"])
+        live_leaves = set()
+        for lf, loc in m["partitions"].items():
+            live_segs.add(loc.split("/", 1)[0])
+            live_leaves.add(loc)
+        for loc in m["sidecars"].values():
+            live_segs.add(loc.split("/", 1)[0])
+        for d in os.listdir(path):
+            p = os.path.join(path, d)
+            if not d.startswith((self._SEG_PREFIX, self._SIDE_PREFIX)):
+                continue
+            if d not in live_segs:
+                shutil.rmtree(p, ignore_errors=True)
+                continue
+            if d in m["segments"]:
+                continue  # unpartitioned data segment: wholly live
+            # live via partitions/sidecars: prune dropped leaf dirs
+            _cols, leaves, _sides, _hf = self._scan_stage(p)
+            for lf in leaves:
+                if f"{d}/{lf}" not in live_leaves:
+                    shutil.rmtree(os.path.join(p, lf), ignore_errors=True)
+        for n in self._manifest_names(path)[:-1]:
+            try:
+                os.remove(os.path.join(self._log_dir(path), n))
+            except OSError:
+                pass
+
+    def list_partitions(self, path: str, part_col: str) -> list[str]:
+        m = self._latest(path)
+        if m is None:
+            return []
+        prefix = f"{part_col}="
+        return sorted({
+            lf.split("/", 1)[0].split("=", 1)[1]
+            for lf in m["partitions"]
+            if lf.split("/", 1)[0].startswith(prefix)
+        })
+
+    def read_sidecar(self, path: str, name: str):
+        m = self._latest(path)
+        if m is None or name not in m.get("sidecars", {}):
+            return None
+        p = os.path.join(path, m["sidecars"][name])
+        if not os.path.isfile(p):
+            return None
+        with open(p, encoding="utf-8") as f:
+            return f.read()
+
+    def write_sidecar(self, path: str, name: str, text: str) -> None:
+        """Metadata-only commit: the sidecar lands in its own
+        ``side-`` dir and one manifest replace makes it the
+        snapshot's."""
+        side = f"{self._SIDE_PREFIX}{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(path, side), exist_ok=True)
+        atomic_write_text(os.path.join(path, side, name), text)
+        m = self._next(path)
+        m["sidecars"][name] = f"{side}/{name}"
+        self._commit(path, m)
+
+    # artifact publish is backend-independent (plain filesystem move
+    # of a rebuildable artifact — see ParquetSwapFormat's docstring)
+    publish_staged_artifact = ParquetSwapFormat.publish_staged_artifact
+
+
+_BACKENDS = {
+    "parquet-swap": ParquetSwapFormat,
+    "log-manifest": LogManifestFormat,
+}
+_INSTANCES = {}
+_FORCED = [None]  # test/deployment override slot
+
+
+def set_table_format(name) -> None:
+    """Force the active backend by name ('parquet-swap' /
+    'log-manifest'), or None to fall back to the
+    ``SPARK_GRAFT_TABLE_FORMAT`` env var (default parquet-swap)."""
+    if name is not None and name not in _BACKENDS:
+        raise ValueError(f"unknown table format {name!r}")
+    _FORCED[0] = name
+
+
+def get_table_format_name() -> str:
+    if _FORCED[0] is not None:
+        return _FORCED[0]
+    return os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet-swap")
+
+
+def _active():
+    name = get_table_format_name()
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown table format {name!r}")
+    if name not in _INSTANCES:
+        _INSTANCES[name] = _BACKENDS[name]()
+    return _INSTANCES[name]
+
+
+class _FormatProxy:
+    """The process-wide backend handle. Delegates every call to the
+    configured backend at CALL time, so ``from ... import FORMAT``
+    (the repo-wide idiom) honors a backend switch made after import —
+    selection is SPARK_GRAFT_TABLE_FORMAT or ``set_table_format``,
+    per-process, exactly how a Delta deployment would pick its
+    runtime."""
+
+    def __getattr__(self, attr):
+        return getattr(_active(), attr)
+
+
+#: the process-wide backend. Every store mutator and the conformance
+#: tier (tests/test_table_format.py) go through it; the backend is a
+#: config choice (env SPARK_GRAFT_TABLE_FORMAT / set_table_format).
+FORMAT = _FormatProxy()
