@@ -1245,14 +1245,22 @@ def build_dedup_lsh_index(docs: DataFrame, path: str) -> None:
     partitioned by band (the probe joins on (band, key); at real scale
     bucket each band directory by key via operators/scale.py so probes
     co-locate shuffle-free)."""
-    band_keys(docs).write.mode("overwrite").partitionBy("band").parquet(path)
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
+    )
+
+    FORMAT.swap_rewrite(docs.sparkSession, path, band_keys(docs), "band")
 
 
 def append_dedup_lsh_index(new_docs: DataFrame, path: str) -> None:
     """Incrementally index newly accepted docs: band rows APPEND —
     existing index files are never rewritten (same economics as the
     ANN index appends in operators/similarity.py)."""
-    band_keys(new_docs).write.mode("append").partitionBy("band").parquet(path)
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
+    )
+
+    FORMAT.append_partitioned(band_keys(new_docs), path, "band")
 
 
 def probe_dedup_lsh_index(
@@ -1262,7 +1270,11 @@ def probe_dedup_lsh_index(
     distinct (doc_new, doc_hist) sharing >= 1 full band. The probe
     shuffles only the batch's band rows (|batch| x bands) against the
     index join — history text is never read, never shuffled."""
-    hist = spark.read.parquet(path)
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
+    )
+
+    hist = FORMAT.read(spark, path)
     probe = band_keys(new_docs)
     return (
         probe.alias("n")
@@ -1505,20 +1517,20 @@ def append_dedup_lsh_index_capped(
     from pyspark import StorageLevel
 
     from flink_realtime_data_warehouse_spark.streaming.table_format import (
-        _repair_swap_dir,
+        FORMAT,
     )
 
     spark = new_docs.sparkSession
     for sub in ("df", "bands"):  # roll back a crashed compaction swap
-        _repair_swap_dir(path, f"{path}/{sub}")
-    stored = spark.read.parquet(f"{path}/df")
+        FORMAT.repair(path, f"{path}/{sub}")
+    stored = FORMAT.read(spark, f"{path}/df", _LSH_STORE_SCHEMAS["df"])
     sh_capped, delta = _capped_batch_shingles(new_docs, stored, cap)
     sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        _bands_from_shingles(sh_capped).write.mode("append").partitionBy(
-            "band"
-        ).parquet(f"{path}/bands")
-        delta.write.mode("append").parquet(f"{path}/df")
+        FORMAT.append_partitioned(
+            _bands_from_shingles(sh_capped), f"{path}/bands", "band"
+        )
+        FORMAT.append(delta, f"{path}/df")
     finally:
         sh_capped.unpersist()
 
@@ -1543,11 +1555,11 @@ def _is_pbatch_layout(store: str) -> bool:
     """True when a persisted LSH sub-store was written by the streaming
     ingest (one ``pbatch=`` partition dir per micro-batch) rather than
     the batch builders (unpartitioned df / band-partitioned bands)."""
-    import os
-
-    return os.path.isdir(store) and any(
-        d.startswith("pbatch=") for d in os.listdir(store)
+    from flink_realtime_data_warehouse_spark.streaming.table_format import (
+        FORMAT,
     )
+
+    return bool(FORMAT.list_partitions(store, "pbatch"))
 
 
 def compact_dedup_lsh_index_capped(
@@ -1596,19 +1608,15 @@ def compact_dedup_lsh_index_capped(
     ):
         store = os.path.join(path, sub)
         FORMAT.repair(path, store)
-        if not any(
-            f.endswith(".parquet")
-            for _r, _d, files in os.walk(store)
-            for f in files
-        ):
+        if not FORMAT.has_data(store):
             continue  # zero-row store: nothing to fold, inference would fail
         tmp = FORMAT.stage_path(store)
         if _is_pbatch_layout(store):
             # explicit schema: a zero-row dynamic-overwrite batch leaves
             # partition dirs with no data files, which breaks inference
-            src = spark.read.schema(
-                f"{_LSH_STORE_SCHEMAS[sub]}, pbatch string"
-            ).parquet(store)
+            src = FORMAT.read(
+                spark, store, f"{_LSH_STORE_SCHEMAS[sub]}, pbatch string"
+            )
             keep = (
                 src.filter(F.col("pbatch") == exclude_pbatch)
                 if exclude_pbatch is not None
@@ -1628,7 +1636,7 @@ def compact_dedup_lsh_index_capped(
                 "pbatch"
             ).parquet(tmp)
         else:
-            src = spark.read.parquet(store)
+            src = FORMAT.read(spark, store, _LSH_STORE_SCHEMAS[sub])
             w = rewrite(src).write.mode("overwrite")
             if sub == "bands":
                 w = w.partitionBy("band")
@@ -1647,15 +1655,15 @@ def probe_dedup_lsh_index_capped(
     the probe's collision volume bounded where the uncapped probe
     drifts superlinear (SKEW.json)."""
     from flink_realtime_data_warehouse_spark.streaming.table_format import (
-        _repair_swap_dir,
+        FORMAT,
     )
 
     for sub in ("df", "bands"):  # roll back a crashed compaction swap
-        _repair_swap_dir(path, f"{path}/{sub}")
-    stored = spark.read.parquet(f"{path}/df")
+        FORMAT.repair(path, f"{path}/{sub}")
+    stored = FORMAT.read(spark, f"{path}/df", _LSH_STORE_SCHEMAS["df"])
     sh_capped, _ = _capped_batch_shingles(new_docs, stored, cap)
     probe = _bands_from_shingles(sh_capped)
-    hist = spark.read.parquet(f"{path}/bands")
+    hist = FORMAT.read(spark, f"{path}/bands", _LSH_STORE_SCHEMAS["bands"])
     return (
         probe.alias("n")
         .join(

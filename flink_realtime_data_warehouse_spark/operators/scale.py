@@ -65,7 +65,7 @@ def compact_parquet_dir(
 
     FORMAT.repair(os.path.dirname(path) or ".", path)
     before = _count_files(path)
-    df = spark.read.parquet(path)
+    df = FORMAT.read(spark, path)
     n = df.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     FORMAT.swap_rewrite(spark, path, df.repartition(n_files))

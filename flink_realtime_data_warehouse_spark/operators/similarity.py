@@ -225,11 +225,22 @@ _bucket_matrix = _make_bucket_matrix(LSH_TABLES, LSH_ROWS)
 _INDEX_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _index_df(spark: SparkSession, path: str) -> DataFrame:
+def _index_df(
+    spark: SparkSession, path: str, via_format: bool = False
+) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
     df = _INDEX_DF_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(path)
+        if via_format:
+            # streaming cells store: seam-managed (manifest-aware)
+            from flink_realtime_data_warehouse_spark.streaming.table_format import (
+                FORMAT,
+            )
+
+            df = FORMAT.read(spark, path)
+        else:
+            # batch-built write-once index tree: plain parquet
+            df = spark.read.parquet(path)
         _INDEX_DF_CACHE[key] = df
     return df
 
@@ -1176,19 +1187,20 @@ def ann_ivf_probe(
     # so the quantizer artifacts and delta store beside it survive the
     # swap); batch-built indexes keep their cell dirs at the top level
     cells_path = os.path.join(index_path, "cells")
-    if os.path.isdir(cells_path) or any(
+    streaming_layout = os.path.isdir(cells_path) or any(
         d.startswith("cells__") for d in os.listdir(index_path)
-    ):
+    )
+    if streaming_layout:
         from flink_realtime_data_warehouse_spark.streaming.table_format import (
-            _repair_swap_dir,
+            FORMAT,
         )
 
-        _repair_swap_dir(index_path, cells_path)
-        _repair_swap_dir(index_path, os.path.join(index_path, "_deltas"))
+        FORMAT.repair(index_path, cells_path)
+        FORMAT.repair(index_path, os.path.join(index_path, "_deltas"))
         vec_root = cells_path
     else:
         vec_root = index_path
-    pruned = _index_df(spark, vec_root).filter(
+    pruned = _index_df(spark, vec_root, via_format=streaming_layout).filter(
         F.col("cell").isin(sorted(part_to_q))
     )
     # streaming delta tail (start_embedding_ingest): vectors ingested
@@ -1201,11 +1213,16 @@ def ann_ivf_probe(
     # in both the main index and the tail).
     deltas_path = os.path.join(index_path, "_deltas")
     if os.path.isdir(deltas_path):
+        from flink_realtime_data_warehouse_spark.streaming.table_format import (
+            FORMAT,
+        )
+
         tail = (
-            spark.read.schema(
-                "cell int, vec_id bigint, v array<float>, pbatch string"
+            FORMAT.read(
+                spark,
+                deltas_path,
+                "cell int, vec_id bigint, v array<float>, pbatch string",
             )
-            .parquet(deltas_path)
             .filter(F.col("cell").isin(sorted(part_to_q)))
             .select("cell", "vec_id", "v")
         )

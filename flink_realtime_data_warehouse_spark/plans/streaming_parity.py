@@ -27,6 +27,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_realtime_data_warehouse_spark.plans.registry import query
+from flink_realtime_data_warehouse_spark.streaming.table_format import (
+    FORMAT,
+)
 from flink_realtime_data_warehouse_spark.sources.tables import load_table
 from flink_realtime_data_warehouse_spark.streaming.state import (
     VISITOR_EVENT_SCHEMA,
@@ -685,9 +688,10 @@ def histdedup_gate_streaming_parity(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     near_path = os.path.join(out, "near_dups")
-    near = spark.read.schema("doc_id bigint, doc_hist bigint, pbatch string")
     try:
-        result = near.parquet(near_path)
+        result = FORMAT.read(
+            spark, near_path, "doc_id bigint, doc_hist bigint, pbatch string"
+        )
     except Exception:  # zero-row tier: no batch ever wrote the sink
         result = spark.createDataFrame(
             [], "doc_id bigint, doc_hist bigint, pbatch string"
@@ -889,9 +893,10 @@ def lake_takedown_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     clean_path = os.path.join(out, "clean")
-    clean = spark.read.schema("doc_id bigint, text string, pbatch string")
     try:
-        result = clean.parquet(clean_path)
+        result = FORMAT.read(
+            spark, clean_path, "doc_id bigint, text string, pbatch string"
+        )
     except Exception:  # zero-row tier: no batch ever wrote the sink
         result = spark.createDataFrame([], "doc_id bigint, text string, pbatch string")
     return result.select("doc_id").orderBy("doc_id")
@@ -982,9 +987,12 @@ def lake_pii_scrubbed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, stream, out, os.path.join(root, "ckpt"), redact_pii=True
     ).awaitTermination()
 
-    clean = spark.read.schema("doc_id bigint, text string, pbatch string")
     try:
-        result = clean.parquet(os.path.join(out, "clean"))
+        result = FORMAT.read(
+            spark,
+            os.path.join(out, "clean"),
+            "doc_id bigint, text string, pbatch string",
+        )
     except Exception:  # zero-row tier: no batch ever wrote the sink
         result = spark.createDataFrame(
             [], "doc_id bigint, text string, pbatch string"
@@ -1078,7 +1086,7 @@ def histdedup_bloom_streaming_parity(
 
     def _read(sub: str, schema: str) -> DataFrame:
         try:
-            return spark.read.schema(schema).parquet(os.path.join(out, sub))
+            return FORMAT.read(spark, os.path.join(out, sub), schema)
         except Exception:  # zero-row tier: the sink was never written
             return spark.createDataFrame([], schema)
 

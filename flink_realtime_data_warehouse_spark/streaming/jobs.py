@@ -24,6 +24,10 @@ from flink_realtime_data_warehouse_spark.streaming.state import (
     daily_unique_visitors,
     detect_bounces,
 )
+from flink_realtime_data_warehouse_spark.streaming.table_format import (
+    FORMAT,
+    atomic_write_text,
+)
 
 
 def base_log_job(
@@ -75,13 +79,10 @@ def base_log_job(
             batch.unpersist()
             return
         # corrected flat log (same idempotent per-batch overwrite)
-        (
-            batch.drop("payload_json")
-            .withColumn("_batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch_id")
-            .parquet(os.path.join(out_root, "dwd_traffic_corrected_log"))
+        FORMAT.overwrite_partitions(
+            batch.drop("payload_json").withColumn("_batch_id", F.lit(batch_id)),
+            os.path.join(out_root, "dwd_traffic_corrected_log"),
+            "_batch_id",
         )
         restored = batch.withColumn(
             "payload", F.from_json("payload_json", payload_schema)
@@ -103,12 +104,10 @@ def base_log_job(
                     # an empty dynamic-overwrite write would leave a
                     # schemaless directory; nothing to replace either way
                     continue
-                (
-                    df.withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_batch_id")
-                    .parquet(os.path.join(out_root, f"dwd_traffic_{name}_log"))
+                FORMAT.overwrite_partitions(
+                    df.withColumn("_batch_id", F.lit(batch_id)),
+                    os.path.join(out_root, f"dwd_traffic_{name}_log"),
+                    "_batch_id",
                 )
         finally:
             restored.unpersist()
@@ -369,12 +368,10 @@ def start_streaming_decontam(
         flagged = F.coalesce(F.col("contaminated"), F.lit(0)) == 1
 
         def _sink(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("pbatch", F.lit(batch_id).cast("bigint"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pbatch")
-                .parquet(path)
+            FORMAT.overwrite_partitions(
+                df.withColumn("pbatch", F.lit(batch_id).cast("bigint")),
+                path,
+                "pbatch",
             )
 
         _sink(
@@ -462,12 +459,10 @@ def start_training_ingest_pipeline(
         low_q = F.coalesce(F.col("quality_e4"), F.lit(0)) < quality_threshold
 
         def _sink(df: DataFrame, name: str) -> None:
-            (
-                df.withColumn("pbatch", F.lit(batch_id).cast("bigint"))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pbatch")
-                .parquet(f"{out_root}/{name}")
+            FORMAT.overwrite_partitions(
+                df.withColumn("pbatch", F.lit(batch_id).cast("bigint")),
+                f"{out_root}/{name}",
+                "pbatch",
             )
 
         _sink(scored.filter(flagged), "quarantine")
@@ -570,11 +565,11 @@ def compact_ann_ivf_deltas(
     deltas = os.path.join(index_root, "_deltas")
     FORMAT.repair(index_root, cells)
     FORMAT.repair(index_root, deltas)
-    if not os.path.isdir(deltas) or not os.path.isdir(cells):
+    if not FORMAT.exists(deltas) or not FORMAT.exists(cells):
         return
-    d = spark.read.schema(
-        "cell int, vec_id bigint, v array<float>, pbatch string"
-    ).parquet(deltas)
+    d = FORMAT.read(
+        spark, deltas, "cell int, vec_id bigint, v array<float>, pbatch string"
+    )
     keep = (
         d.filter(F.col("pbatch") == exclude_pbatch)
         if exclude_pbatch is not None
@@ -587,7 +582,9 @@ def compact_ann_ivf_deltas(
     )
     if fold.limit(1).count() == 0:
         return  # nothing to fold — leave both stores untouched
-    main = spark.read.parquet(cells).select("cell", "vec_id", "v")
+    main = FORMAT.read(
+        spark, cells, "cell int, vec_id bigint, v array<float>"
+    ).select("cell", "vec_id", "v")
     merged = (
         main.unionByName(fold.select("cell", "vec_id", "v"))
         .dropDuplicates(["vec_id"])
@@ -670,12 +667,8 @@ def start_embedding_ingest(
             if built_by == pbatch:
                 return  # replay of the builder batch: the index IS its sink
             delta = ivf_assign_delta(spark, vecs, index_root)
-            (
-                delta.withColumn("pbatch", F.lit(pbatch))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pbatch")
-                .parquet(deltas)
+            FORMAT.overwrite_partitions(
+                delta.withColumn("pbatch", F.lit(pbatch)), deltas, "pbatch"
             )
         else:
             if vecs.limit(1).count() == 0:
@@ -694,17 +687,25 @@ def start_embedding_ingest(
             build_ann_ivf_index(
                 spark, vecs, staging, n_list=nl, two_level=True
             )
-            os.makedirs(cells, exist_ok=True)
-            for d in os.listdir(staging):
-                src = os.path.join(staging, d)
-                if d.startswith("cell="):
-                    os.rename(src, os.path.join(cells, d))
-                elif d in ("_centroids.json", "_subcentroids", "_meta.json"):
-                    os.rename(src, os.path.join(index_root, d))
-            shutil.rmtree(staging, ignore_errors=True)
+            # publish through the seam (r10 verdict item 2): each
+            # quantizer artifact moves into place with
+            # publish_staged_artifact, then the remaining staged tree —
+            # exactly the cell= partitions — commits as the cells
+            # store in one seam swap. The multi-artifact publish is
+            # NOT atomic as a set, and doesn't need to be: a kill
+            # anywhere before the marker write below leaves no
+            # _built_pbatch marker, so the next batch clears every
+            # artifact and re-derives a byte-identical build
+            # (deterministic rebuild — the right recovery here).
+            for art in ("_centroids.json", "_subcentroids", "_meta.json"):
+                src = os.path.join(staging, art)
+                if os.path.exists(src):
+                    FORMAT.publish_staged_artifact(
+                        os.path.join(index_root, art), src
+                    )
+            FORMAT.commit_swap(cells, staging)
             _invalidate_index_df(spark, staging)
-            with open(marker, "w", encoding="utf-8") as f:
-                f.write(pbatch)
+            atomic_write_text(marker, pbatch)
         _invalidate_index_df(spark, cells)
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_ann_ivf_deltas(spark, index_root, exclude_pbatch=pbatch)
@@ -743,9 +744,9 @@ def compact_history_digest_store(
 
     store = os.path.join(out_root, "digests")
     FORMAT.repair(out_root, store)
-    if not os.path.isdir(store):
+    if not FORMAT.exists(store):
         return
-    src = spark.read.schema("content_hash string, pbatch string").parquet(store)
+    src = FORMAT.read(spark, store, "content_hash string, pbatch string")
     keep = (
         src.filter(F.col("pbatch") == exclude_pbatch)
         if exclude_pbatch is not None
@@ -774,12 +775,11 @@ def compact_history_digest_store(
     # (false negatives). Written BEFORE the store swap: a crash
     # between costs at most one spurious rebuild, never a subset probe.
     bloom_path = os.path.join(out_root, "bloom")
-    sidecar = os.path.join(bloom_path, "_covered.json")
-    if os.path.isfile(sidecar):
+    side_text = FORMAT.read_sidecar(bloom_path, "_covered.json")
+    if side_text is not None:
         try:
-            with open(sidecar) as f:
-                covered = set(json.load(f))
-        except (OSError, ValueError):
+            covered = set(json.loads(side_text))
+        except ValueError:
             covered = set()
         folded_parts = set(FORMAT.list_partitions(store, "pbatch")) - (
             {exclude_pbatch} if exclude_pbatch is not None else set()
@@ -788,10 +788,9 @@ def compact_history_digest_store(
             new_covered = (covered - folded_parts) | {COMPACTED_PBATCH}
         else:
             new_covered = set()
-        stmp = sidecar + ".tmp"
-        with open(stmp, "w") as f:
-            json.dump(sorted(new_covered), f)
-        os.replace(stmp, sidecar)
+        FORMAT.write_sidecar(
+            bloom_path, "_covered.json", json.dumps(sorted(new_covered))
+        )
     FORMAT.commit_swap(store, tmp)
 
 
@@ -960,10 +959,10 @@ def start_history_dedup_ingest(
     run_id = _incarnation_id(checkpoint)
 
     def _store_exists(p: str) -> bool:
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(p)
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(path))
+        # "exists" is backend-defined: a directory for the parquet
+        # store, a committed manifest for the log store (the dir alone
+        # can predate the first commit by one crash)
+        return FORMAT.exists(p)
 
     def _digest_store_exists() -> bool:
         # roll back a digest compaction crashed mid-swap BEFORE the
@@ -984,10 +983,12 @@ def start_history_dedup_ingest(
         watermark written atomically with every filter swap. A legacy
         store without the sidecar reports empty coverage, forcing one
         rebuild (the safe migration)."""
+        text = FORMAT.read_sidecar(bloom_path, "_covered.json")
+        if text is None:
+            return set()
         try:
-            with open(os.path.join(bloom_path, "_covered.json")) as f:
-                return set(json.load(f))
-        except (OSError, ValueError):
+            return set(json.loads(text))
+        except ValueError:
             return set()
 
     def _swap_write_bloom(rows: DataFrame, covered: set[str]) -> None:
@@ -1029,8 +1030,7 @@ def start_history_dedup_ingest(
         if _store_exists(bloom_path):
             meta = {
                 r["pkey"]: (int(r["n_keys"]), int(r["m_bits"]))
-                for r in spark.read.schema(_BLOOM_SCHEMA)
-                .parquet(bloom_path)
+                for r in FORMAT.read(spark, bloom_path, _BLOOM_SCHEMA)
                 .select("pkey", "n_keys", "m_bits")
                 .collect()
             }
@@ -1041,8 +1041,9 @@ def start_history_dedup_ingest(
                 overflow = True
         if overflow:
             hist = (
-                spark.read.schema("content_hash string, pbatch string")
-                .parquet(digests_path)
+                FORMAT.read(
+                    spark, digests_path, "content_hash string, pbatch string"
+                )
                 .filter(~F.col("pbatch").eqNullSafe(pbatch))
                 .select("content_hash")
                 if _digest_store_exists()
@@ -1054,7 +1055,7 @@ def start_history_dedup_ingest(
             )
         else:
             rows = or_bloom_membership(
-                spark.read.schema(_BLOOM_SCHEMA).parquet(bloom_path),
+                FORMAT.read(spark, bloom_path, _BLOOM_SCHEMA),
                 new_digests,
             )
         # the in-flight pbatch joins the watermark NOW: its digest
@@ -1072,9 +1073,9 @@ def start_history_dedup_ingest(
         # parity row end-to-end)
         def _history() -> DataFrame:
             if _digest_store_exists():
-                return spark.read.schema(
-                    "content_hash string, pbatch string"
-                ).parquet(digests_path).filter(
+                return FORMAT.read(
+                    spark, digests_path, "content_hash string, pbatch string"
+                ).filter(
                     # null-safe: rows from an out-of-band (pre-sentinel)
                     # compaction read pbatch as NULL and must stay history
                     ~F.col("pbatch").eqNullSafe(pbatch)
@@ -1105,15 +1106,17 @@ def start_history_dedup_ingest(
                 # costs false positives)
                 _swap_write_bloom(
                     build_bloom_membership(
-                        spark.read.schema("content_hash string, pbatch string")
-                        .parquet(digests_path)
-                        .select("content_hash"),
+                        FORMAT.read(
+                            spark,
+                            digests_path,
+                            "content_hash string, pbatch string",
+                        ).select("content_hash"),
                         headroom=bloom_headroom,
                     ),
                     covered=_digest_parts(),
                 )
             if _store_exists(bloom_path):
-                blooms = spark.read.schema(_BLOOM_SCHEMA).parquet(bloom_path)
+                blooms = FORMAT.read(spark, bloom_path, _BLOOM_SCHEMA)
                 flagged = probe_bloom_membership(inc, blooms).persist(
                     StorageLevel.MEMORY_AND_DISK
                 )
@@ -1147,12 +1150,8 @@ def start_history_dedup_ingest(
         )
 
         def _sink(df: DataFrame, path: str) -> None:
-            (
-                df.withColumn("pbatch", F.lit(pbatch))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("pbatch")
-                .parquet(path)
+            FORMAT.overwrite_partitions(
+                df.withColumn("pbatch", F.lit(pbatch)), path, "pbatch"
             )
 
         try:
@@ -1165,8 +1164,7 @@ def start_history_dedup_ingest(
                 f"{out_root}/_tombstones"
             ):
                 tomb = (
-                    spark.read.schema("doc_id bigint")
-                    .parquet(f"{out_root}/_tombstones")
+                    FORMAT.read(spark, f"{out_root}/_tombstones", "doc_id bigint")
                     .distinct()
                 )
                 doc_rows = routed.join(F.broadcast(tomb), "doc_id", "left_anti")
@@ -1221,9 +1219,9 @@ def start_history_dedup_ingest(
                 # whose pbatch reads as NULL — survive as history
                 # instead of vanishing under NULL != x
                 stored_df = (
-                    spark.read.schema("s bigint, df bigint, pbatch string")
-                    .parquet(lsh_df_path)
-                    .filter(~F.col("pbatch").eqNullSafe(pbatch))
+                    FORMAT.read(
+                        spark, lsh_df_path, "s bigint, df bigint, pbatch string"
+                    ).filter(~F.col("pbatch").eqNullSafe(pbatch))
                     if _store_exists(lsh_df_path)
                     else None
                 )
@@ -1243,13 +1241,11 @@ def start_history_dedup_ingest(
                 try:
                     bands = _bands_from_shingles(sh_capped)
                     if _store_exists(lsh_bands_path):
-                        hist_bands = (
-                            spark.read.schema(
-                                "doc_id bigint, band int, key string, pbatch string"
-                            )
-                            .parquet(lsh_bands_path)
-                            .filter(~F.col("pbatch").eqNullSafe(pbatch))
-                        )
+                        hist_bands = FORMAT.read(
+                            spark,
+                            lsh_bands_path,
+                            "doc_id bigint, band int, key string, pbatch string",
+                        ).filter(~F.col("pbatch").eqNullSafe(pbatch))
                         near = (
                             bands.alias("n")
                             .join(

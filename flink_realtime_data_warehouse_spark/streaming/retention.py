@@ -90,16 +90,6 @@ _DIGEST_SCHEMA = "content_hash string, pbatch string"
 _SAFE_PART = re.compile(r"^[A-Za-z0-9._\-]+$")
 
 
-def _has_parquet(path: str) -> bool:
-    """True when the store holds at least one data file — a lake whose
-    every batch was empty has partition dirs with no footers, and a
-    mergeSchema read on it would fail inference."""
-    for r, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
-
-
 def _materialize_ids(
     spark: SparkSession, ids, col: str, scratch_root: str
 ) -> DataFrame:
@@ -182,7 +172,7 @@ def takedown_documents(
         clean_path = os.path.join(out_root, "clean")
         FORMAT.repair(out_root, clean_path)
         purged_hashes = None
-        if os.path.isdir(clean_path) and _has_parquet(clean_path):
+        if FORMAT.exists(clean_path) and FORMAT.has_data(clean_path):
             clean = FORMAT.read(spark, clean_path, merge_schema=True)
             if not block_reingest:
                 # hashes safe to unblock = carried by a purged clean doc
@@ -231,7 +221,7 @@ def takedown_documents(
         for rel, schema in _STORE_SCHEMAS.items():
             path = os.path.join(out_root, rel)
             FORMAT.repair(os.path.dirname(path), path)
-            if not os.path.isdir(path):
+            if not FORMAT.exists(path):
                 continue
             df = FORMAT.read(spark, path, schema)
             if rel == "near_dups":
@@ -264,7 +254,7 @@ def takedown_documents(
         if (
             not block_reingest
             and purged_hashes is not None
-            and os.path.isdir(digests_path)
+            and FORMAT.exists(digests_path)
         ):
             dig = FORMAT.read(spark, digests_path, _DIGEST_SCHEMA)
             removed["digests"] = _pruned_purge(
@@ -291,9 +281,9 @@ def reapply_tombstones(
     path after a crash mid-takedown or after a checkpoint replay
     resurrected purged rows from source. Idempotent."""
     path = os.path.join(out_root, "_tombstones")
-    if not os.path.isdir(path):
+    if not FORMAT.exists(path):
         return {}
-    ids = spark.read.schema("doc_id bigint").parquet(path).distinct()
+    ids = FORMAT.read(spark, path, "doc_id bigint").distinct()
     return takedown_documents(
         spark, out_root, ids, block_reingest=block_reingest, _log=False
     )
@@ -331,7 +321,7 @@ def _purge_vector_stores(spark: SparkSession, index_root: str, ids: DataFrame) -
     removed: dict[str, int] = {}
     cells = os.path.join(index_root, "cells")
     FORMAT.repair(index_root, cells)
-    if os.path.isdir(cells) and _has_parquet(cells):
+    if FORMAT.exists(cells) and FORMAT.has_data(cells):
         main = FORMAT.read(spark, cells)
         n = _pruned_purge(
             spark,
@@ -346,7 +336,7 @@ def _purge_vector_stores(spark: SparkSession, index_root: str, ids: DataFrame) -
             _invalidate_index_df(spark, cells)
     deltas = os.path.join(index_root, "_deltas")
     FORMAT.repair(index_root, deltas)
-    if os.path.isdir(deltas):
+    if FORMAT.exists(deltas):
         d = FORMAT.read(
             spark, deltas, "cell int, vec_id bigint, v array<float>, pbatch string"
         )
@@ -364,7 +354,7 @@ def reapply_vector_tombstones(spark: SparkSession, index_root: str) -> dict:
     """Re-run the vector purge for every tombstoned id (crash/replay
     recovery). Idempotent."""
     path = os.path.join(index_root, "_tombstones")
-    if not os.path.isdir(path):
+    if not FORMAT.exists(path):
         return {}
-    ids = spark.read.schema("vec_id bigint").parquet(path).distinct()
+    ids = FORMAT.read(spark, path, "vec_id bigint").distinct()
     return _purge_vector_stores(spark, index_root, ids)

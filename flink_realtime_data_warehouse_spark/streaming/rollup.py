@@ -105,12 +105,7 @@ def make_rollup_merger(store_dir: str, time_col: str = "event_time", value_col: 
             )
             .withColumn("pbatch", F.lit(batch_id).cast("bigint"))
         )
-        (
-            part.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("pday", "pbatch")
-            .parquet(store_dir)
-        )
+        FORMAT.overwrite_partitions(part, store_dir, ["pday", "pbatch"])
 
     return merge
 
@@ -146,7 +141,7 @@ def read_minute_rollup(spark: SparkSession, store_dir: str) -> DataFrame:
     # this, a killed compact leaves the store renamed away and the
     # serving read would silently report an EMPTY rollup
     FORMAT.repair(os.path.dirname(store_dir) or ".", store_dir)
-    if not os.path.isdir(store_dir):
+    if not FORMAT.exists(store_dir):
         # zero batches ever committed (cold start / empty day)
         return spark.createDataFrame([], _SERVING_SCHEMA)
     # explicit schema: a store whose only committed batches were empty
@@ -171,7 +166,7 @@ def compact_minute_rollup(spark: SparkSession, store_dir: str) -> None:
     a transactional table format this whole function is REPLACE WHERE.
     """
     FORMAT.repair(os.path.dirname(store_dir) or ".", store_dir)
-    if not os.path.isdir(store_dir):
+    if not FORMAT.exists(store_dir):
         return
     store = FORMAT.read(spark, store_dir, _STORE_SCHEMA)
     row = store.agg(F.max("pbatch").alias("mb")).first()
@@ -236,7 +231,7 @@ def expire_rollup_chunks(
         # dropping every chunk is spelled older_than_ms explicitly
         raise ValueError("keep_days must be >= 1")
     FORMAT.repair(os.path.dirname(store_dir) or ".", store_dir)
-    if not os.path.isdir(store_dir):
+    if not FORMAT.exists(store_dir):
         return []
     # sweep husks from a prior crashed expiry
     FORMAT.sweep_husks(store_dir)
@@ -268,7 +263,8 @@ def expire_rollup_chunks(
         )
         dropped.append(day)
     for h in husks:
-        shutil.rmtree(h, ignore_errors=True)
+        if h is not None:  # a log-backed store has no physical husk
+            shutil.rmtree(h, ignore_errors=True)
     return dropped
 
 

@@ -27,7 +27,6 @@ from pyspark.sql.window import Window
 
 from flink_realtime_data_warehouse_spark.streaming.table_format import (
     FORMAT,
-    _repair_swap_dir,
 )
 
 
@@ -69,19 +68,14 @@ class DimStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _meta_path(self, table: str) -> str:
-        # underscore prefix → invisible to Spark's file listing
-        return os.path.join(self._path(table), "_dim_meta.json")
-
     def _load_meta(self, table: str) -> dict | None:
-        try:
-            with open(self._meta_path(table)) as f:
-                return json.load(f)
-        except (FileNotFoundError, NotADirectoryError):
-            return None
+        # snapshot-scoped sidecar (underscore prefix -> invisible to
+        # Spark's file listing under either backend)
+        text = FORMAT.read_sidecar(self._path(table), "_dim_meta.json")
+        return json.loads(text) if text is not None else None
 
     def exists(self, table: str) -> bool:
-        return os.path.isdir(self._path(table))
+        return FORMAT.exists(self._path(table))
 
     def _repair(self, table: str) -> None:
         """Crash-recovery sweep, run before any read or mutation.
@@ -101,7 +95,7 @@ class DimStore:
         end-to-end by tests/test_fault_injection.py (kill mid-swap →
         restart → no loss, no dup, untouched partitions
         byte-identical)."""
-        _repair_swap_dir(self.root, self._path(table))
+        FORMAT.repair(self.root, self._path(table))
 
     def read(self, table: str) -> DataFrame:
         # mergeSchema: partition-scoped rewrites leave files with the
@@ -110,8 +104,7 @@ class DimStore:
         # (Delta/Iceberg track this in the table log instead)
         self._repair(table)
         return (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(self._path(table))
+            FORMAT.read(self.spark, self._path(table), merge_schema=True)
             .drop("_pk_part")
         )
 
@@ -151,8 +144,7 @@ class DimStore:
                 r[0] for r in batch.select(part_expr.alias("p")).distinct().collect()
             ]
             current = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(path)
+                FORMAT.read(self.spark, path, merge_schema=True)
                 .filter(F.col("_pk_part").isin(touched))  # partition-pruned scan
                 .drop("_pk_part")
                 .withColumn("_seq", F.lit(-1).cast("long"))
@@ -179,10 +171,13 @@ class DimStore:
         else:
             FORMAT.commit_swap(path, tmp)
         if meta is None:
-            with open(self._meta_path(table), "w") as f:
-                json.dump(
-                    {"n_partitions": n_parts, "pk": pk, "properties": props}, f
-                )
+            FORMAT.write_sidecar(
+                path,
+                "_dim_meta.json",
+                json.dumps(
+                    {"n_partitions": n_parts, "pk": pk, "properties": props}
+                ),
+            )
 
     def delete(self, table: str, keys: DataFrame) -> int:
         """Right-to-be-forgotten delete: remove rows whose PK appears in
@@ -208,7 +203,7 @@ class DimStore:
         # xxhash64 of the native value, and xxhash64('3') != xxhash64(3L):
         # a string-cast here would target the wrong buckets for any
         # non-string PK and the erasure would silently delete nothing
-        stored = self.spark.read.option("mergeSchema", "true").parquet(path)
+        stored = FORMAT.read(self.spark, path, merge_schema=True)
         pk_type = dict(zip(stored.schema.names, [f.dataType for f in stored.schema.fields]))[pk]
         key_df = keys.select(F.col(key_col).cast(pk_type).alias(pk)).distinct()
         part_expr = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_parts)).cast("int")
@@ -346,17 +341,13 @@ class DimHistoryStore:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _meta_path(self, table: str) -> str:
-        return os.path.join(self._path(table), "_dim_meta.json")
-
     def exists(self, table: str) -> bool:
-        return os.path.isdir(self._path(table))
+        return FORMAT.exists(self._path(table))
 
     def read(self, table: str) -> DataFrame:
-        _repair_swap_dir(self.root, self._path(table))
+        FORMAT.repair(self.root, self._path(table))
         return (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(self._path(table))
+            FORMAT.read(self.spark, self._path(table), merge_schema=True)
             .drop("_pk_part")
         )
 
@@ -389,15 +380,12 @@ class DimHistoryStore:
         touched hash partitions are read back and swapped.
         """
         path = self._path(table)
-        _repair_swap_dir(self.root, path)
+        FORMAT.repair(self.root, path)
         exists = self.exists(table)
         meta = None
         if exists:
-            try:
-                with open(self._meta_path(table)) as f:
-                    meta = json.load(f)
-            except FileNotFoundError:
-                meta = None
+            text = FORMAT.read_sidecar(path, "_dim_meta.json")
+            meta = json.loads(text) if text is not None else None
         n_parts = int(meta["n_partitions"]) if meta else self.n_partitions
         part_expr = F.pmod(F.xxhash64(F.col(pk)), F.lit(n_parts)).cast("int")
 
@@ -414,8 +402,7 @@ class DimHistoryStore:
                 r[0] for r in b.select(part_expr.alias("p")).distinct().collect()
             ]
             cur = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(path)
+                FORMAT.read(self.spark, path, merge_schema=True)
                 .filter(F.col("_pk_part").isin(touched))
                 .drop("_pk_part", "is_current")
             )
@@ -439,5 +426,8 @@ class DimHistoryStore:
         else:
             FORMAT.commit_swap(path, tmp)
         if meta is None:
-            with open(self._meta_path(table), "w") as f:
-                json.dump({"n_partitions": n_parts, "pk": pk, "ts_col": ts_col}, f)
+            FORMAT.write_sidecar(
+                path,
+                "_dim_meta.json",
+                json.dumps({"n_partitions": n_parts, "pk": pk, "ts_col": ts_col}),
+            )

@@ -181,6 +181,14 @@ class ParquetSwapFormat:
         Delta: ``mode("append")``."""
         df.write.mode("append").parquet(path)
 
+    def append_partitioned(self, df: DataFrame, path: str, part_col) -> None:
+        """Append rows INTO their partitions (the LSH band stores'
+        per-batch growth): files accumulate per partition dir; nothing
+        is replaced. Delta: ``mode("append")`` on a partitioned
+        table."""
+        cols = [part_col] if isinstance(part_col, str) else list(part_col)
+        df.write.mode("append").partitionBy(*cols).parquet(path)
+
     # -- staging primitives -------------------------------------------------
 
     def stage_path(self, path: str) -> str:
@@ -555,18 +563,21 @@ class LogManifestFormat:
         return seg
 
     def _merge_from_stage(
-        self, path, stage, replace_all, named_parts=None, part_col=None
+        self, path, stage, replace_all, named_parts=None, part_col=None,
+        append_parts=False,
     ) -> None:
-        """Shared commit body for swap/merge/replace: adopt the stage
-        as a segment, then publish ONE manifest describing the new
-        snapshot."""
+        """Shared commit body for swap/merge/replace/append: adopt the
+        stage as a segment, then publish ONE manifest describing the
+        new snapshot. Partition values map to LISTS of segment leaves
+        (one per un-compacted append — the Iceberg file-list shape);
+        replace sets the list, ``append_parts`` extends it."""
         seg = self._adopt_stage(path, stage)
         segdir = os.path.join(path, seg)
         cols, leaves, sides, has_files = self._scan_stage(segdir)
         m = self._next(path)
         if replace_all:
             m["part_cols"] = cols
-            m["partitions"] = {lf: f"{seg}/{lf}" for lf in leaves}
+            m["partitions"] = {lf: [f"{seg}/{lf}"] for lf in leaves}
             m["segments"] = [seg] if has_files else []
             m["sidecars"] = {s: f"{seg}/{s}" for s in sides}
         else:
@@ -583,11 +594,14 @@ class LogManifestFormat:
                 # absent from the stage is dropped wholesale
                 named = {f"{part_col}={p}" for p in named_parts}
                 m["partitions"] = {
-                    lf: loc for lf, loc in m["partitions"].items()
+                    lf: locs for lf, locs in m["partitions"].items()
                     if lf.split("/", 1)[0] not in named
                 }
             for lf in leaves:
-                m["partitions"][lf] = f"{seg}/{lf}"
+                if append_parts:
+                    m["partitions"].setdefault(lf, []).append(f"{seg}/{lf}")
+                else:
+                    m["partitions"][lf] = [f"{seg}/{lf}"]
             if has_files:
                 m["segments"].append(seg)
             for s in sides:
@@ -622,8 +636,9 @@ class LogManifestFormat:
         for n in self._manifest_names(path):
             with open(os.path.join(ld, n), encoding="utf-8") as f:
                 m = json.load(f)
-            for loc in m.get("partitions", {}).values():
-                referenced.add(loc.split("/", 1)[0])
+            for locs in m.get("partitions", {}).values():
+                for loc in locs:
+                    referenced.add(loc.split("/", 1)[0])
             referenced.update(m.get("segments", []))
             for loc in m.get("sidecars", {}).values():
                 referenced.add(loc.split("/", 1)[0])
@@ -675,9 +690,10 @@ class LogManifestFormat:
             return r
 
         by_seg = {}
-        for lf, loc in m["partitions"].items():
-            seg = loc.split("/", 1)[0]
-            by_seg.setdefault(seg, []).append(os.path.join(path, loc))
+        for lf, locs in m["partitions"].items():
+            for loc in locs:
+                seg = loc.split("/", 1)[0]
+                by_seg.setdefault(seg, []).append(os.path.join(path, loc))
         parts = [
             _reader()
             .option("basePath", os.path.join(path, seg))
@@ -706,6 +722,13 @@ class LogManifestFormat:
         stage = self.stage_path(path)
         df.write.mode("overwrite").parquet(stage)
         self._merge_from_stage(path, stage, replace_all=False)
+
+    def append_partitioned(self, df: DataFrame, path: str, part_col) -> None:
+        cols = [part_col] if isinstance(part_col, str) else list(part_col)
+        stage = self.stage_path(path)
+        df.write.mode("overwrite").partitionBy(*cols).parquet(stage)
+        self._merge_from_stage(path, stage, replace_all=False,
+                               append_parts=True)
 
     def stage_path(self, path: str) -> str:
         """Staging sibling (outside the store — the store directory is
@@ -774,9 +797,10 @@ class LogManifestFormat:
             return
         live_segs = set(m["segments"])
         live_leaves = set()
-        for lf, loc in m["partitions"].items():
-            live_segs.add(loc.split("/", 1)[0])
-            live_leaves.add(loc)
+        for lf, locs in m["partitions"].items():
+            for loc in locs:
+                live_segs.add(loc.split("/", 1)[0])
+                live_leaves.add(loc)
         for loc in m["sidecars"].values():
             live_segs.add(loc.split("/", 1)[0])
         for d in os.listdir(path):
