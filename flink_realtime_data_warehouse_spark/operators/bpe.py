@@ -13,19 +13,25 @@ The model (deliberately oracle-expressible):
 - **Pre-tokenization**: ``[a-z0-9]+`` runs over ``lower(text)`` (the
   GPT-2-style regex split reduced to its alnum core — whitespace and
   punctuation carry no token mass here).
-- **Training** (one-shot pair statistics): adjacent character pairs
-  are counted ONCE over the word vocabulary, weighted by word
-  frequency, and the top ``BPE_MERGES`` pairs (count DESC, pair ASC —
-  total deterministic order) become the merge table, ranked. This is
-  the first round of Sennrich-style BPE generalized to K merges
-  without re-counting between merges — the re-count is what makes
-  true BPE training inherently sequential (each merge changes the
-  pair distribution), and a K-round sequential scan over a 100-TB
-  corpus is exactly the kind of driver-side loop this repo bans. The
-  one-shot variant keeps training to TWO map-combinable aggregations
-  (vocab, pair counts) plus a K-row collect, at the cost of merges
-  that cannot reference earlier merges' output symbols. The trade is
-  documented, deterministic, and oracle-stateable.
+- **Training** (compositional, r11 — verdict item 3): standard
+  practice trains on the collected word-frequency VOCABULARY, not the
+  corpus. One map-combinable aggregation builds the vocab, the top
+  ``BPE_VOCAB_CAP`` words by (count DESC, word ASC — total
+  deterministic order) are collected (bounded driver memory, the
+  centroid pattern), and ``BPE_MERGES`` TRUE sequential Sennrich
+  rounds run driver-side over that dict: count adjacent symbol pairs
+  weighted by word frequency, merge the top pair (count DESC, pair
+  ASC), re-count. Every merged unit is a SINGLE private-use char
+  (U+E000+rank), so a pair is always a 2-char string and later
+  merges compose over earlier merges' output symbols naturally —
+  "th"+"e" CAN form "the", which the r10 one-shot variant
+  (``train_bpe_merges_oneshot``, kept as the measured baseline)
+  structurally could not. The oracle states the SAME procedure with
+  the K rounds unrolled as plain CTEs over the same capped vocab —
+  both engines share replace() semantics (left-to-right,
+  non-overlapping) and binary string collation, so the merge tables
+  are equal by construction and the driver's value-hash compare
+  stays meaningful.
 - **Application** (map-only): each document's words are joined with a
   single space (never part of any merge pair), then each ranked merge
   is applied as a plain ``replace(s, pair, chr(0xE000 + rank))`` —
@@ -38,11 +44,13 @@ The model (deliberately oracle-expressible):
   (subtracting the separators); every merged pair occurrence saves
   exactly one token.
 
-Scale shape: training is two shuffles keyed by word/pair (partial
-aggregation applies) and a K-row driver collect — the centroid
-pattern, not a corpus collect. Application is one chained-expression
-projection: zero joins, zero shuffles, whole-stage codegen, identical
-at 100 TB. K is a constant (48), so the expression depth is fixed.
+Scale shape: training is ONE shuffle keyed by word (partial
+aggregation applies) and a capped-vocab collect (4096 rows — the
+centroid pattern, not a corpus collect; the driver loop is
+O(V·len·K) ≈ 1.6M char ops, microseconds of wall). Application is one
+chained-expression projection: zero joins, zero shuffles, whole-stage
+codegen, identical at 100 TB. K is a constant (48), so the expression
+depth is fixed.
 """
 
 from __future__ import annotations
@@ -60,20 +68,75 @@ BPE_WORD_RE = "[a-z0-9]+"
 #: substitution alphabet base — Unicode private-use area, guaranteed
 #: absent from the corpus (ASCII by construction) and from every pair
 BPE_SUB_BASE = 0xE000
+#: training-vocabulary cap: the top-V words by frequency are the
+#: Sennrich training dict (bounded driver memory at ANY corpus size;
+#: tail words contribute negligible pair mass, the standard trade)
+BPE_VOCAB_CAP = 4096
 
 
 def _words(text_col: Column) -> Column:
     return F.regexp_extract_all(F.lower(text_col), F.lit(BPE_WORD_RE), F.lit(0))
 
 
+def _collect_vocab(
+    docs: DataFrame, text_col: str, vocab_cap: int
+) -> list[tuple[str, int]]:
+    """Top-``vocab_cap`` (word, count) by count DESC, word ASC — ONE
+    map-combinable aggregation + a bounded TakeOrdered collect."""
+    vocab = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    rows = vocab.orderBy(F.col("c").desc(), "w").limit(vocab_cap).collect()
+    return [(r["w"], int(r["c"])) for r in rows]
+
+
 def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = BPE_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> list[str]:
+    """Compositional (true sequential Sennrich) training over the
+    capped word-frequency vocabulary: ``k`` rounds of count-merge-
+    recount driver-side. Each round counts every adjacent symbol pair
+    (overlaps included — the standard statistic), merges the top pair
+    (count DESC, pair ASC) into the round's private-use symbol via
+    non-overlapping left-to-right replace, and re-counts. Because
+    merged symbols are single chars, pairs stay 2-char strings and
+    the ranked merge table drives the SAME chained-``replace`` apply
+    as before — rounds compose (``th``+``e`` → ``the``). Stops early
+    if the vocabulary runs out of pairs (every word fully merged)."""
+    words = _collect_vocab(docs, text_col, vocab_cap)
+    states = [w for w, _c in words]
+    counts = [c for _w, c in words]
+    merges: list[str] = []
+    for rank in range(1, k + 1):
+        pair_counts: dict[str, int] = {}
+        for s, c in zip(states, counts):
+            for i in range(len(s) - 1):
+                p = s[i : i + 2]
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        sub = chr(BPE_SUB_BASE + rank)
+        merges.append(best)
+        states = [s.replace(best, sub) for s in states]
+    return merges
+
+
+def train_bpe_merges_oneshot(
     docs: DataFrame, text_col: str = "text", k: int = BPE_MERGES
 ) -> list[str]:
-    """Train the ranked merge table: top-``k`` adjacent character
-    pairs over the word vocabulary, weighted by word frequency,
-    deterministic total order (count DESC, pair ASC). Returns the
-    pairs in rank order (rank 1 first). Two aggregations + a k-row
-    collect — nothing corpus-sized reaches the driver."""
+    """The r10 one-shot variant, kept as the measured baseline for the
+    compositional-vs-oneshot compression pin (tests/test_bpe.py): top
+    ``k`` adjacent CHARACTER pairs counted once over the full word
+    vocabulary — merges cannot reference earlier merges' output
+    symbols, so multi-round units ("the" via "th"+"e") never form."""
     vocab = (
         docs.filter(F.col(text_col).isNotNull())
         .select(F.explode(_words(F.col(text_col))).alias("w"))
@@ -122,24 +185,55 @@ def ws_token_count(text_col: Column) -> Column:
 def bpe_oracle_cte(k: int = BPE_MERGES, table: str = "documents") -> str:
     """The DuckDB statement of the SAME model, as named CTEs ending in
     ``bpe_counts(doc_id, n_bpe_tokens, n_ws_tokens)``. Callers embed it
-    under ``WITH RECURSIVE``. The recursion applies merge rank r+1 to
-    every document row at rank r — O(rows x K) intermediate rows, fine
-    at oracle scale; ``coalesce(array_to_string(..), '')`` papers over
-    DuckDB returning NULL (not '') for an empty list join."""
+    under ``WITH RECURSIVE``.
+
+    Training (compositional, r11) is the K Sennrich rounds UNROLLED as
+    plain CTE blocks over the capped vocabulary — each round counts
+    adjacent symbol pairs (sum over vocab states, overlaps included),
+    takes the top pair (cnt DESC, p ASC — DuckDB's binary collation ==
+    Python's codepoint order), and rewrites the states with
+    ``replace`` onto the round's private-use char, exactly the driver
+    loop in ``train_bpe_merges``. An exhausted round (no pairs left)
+    yields an empty ``mg_k``; ``coalesce(.., chr(1)||chr(1))`` makes
+    its replace a no-op — the impossible pair never occurs, matching
+    the Python loop's early ``break``. O(K · |vocab|) intermediate
+    rows, trivial at oracle scale.
+
+    Application is unchanged: the recursive CTE applies merge rank
+    r+1 to every document row at rank r — O(rows x K) intermediate
+    rows; ``coalesce(array_to_string(..), '')`` papers over DuckDB
+    returning NULL (not '') for an empty list join."""
+    noop = "chr(1)||chr(1)"  # never occurs in any state
+    # MATERIALIZED is load-bearing: each round references the previous
+    # state CTE twice (pair count + rewrite); inlined, the chain would
+    # expand 2^K plan copies of the base scan
+    rounds = []
+    for r in range(1, k + 1):
+        prev = f"bpe_st{r - 1}"
+        rounds.append(f"""
+bpe_pr{r} AS MATERIALIZED (
+  SELECT substr(s, CAST(i AS INT), 2) AS p, sum(c) AS cnt
+  FROM (SELECT s, c, unnest(range(1, length(s))) AS i FROM {prev})
+  GROUP BY 1),
+bpe_mg{r} AS MATERIALIZED (
+  SELECT p FROM bpe_pr{r} ORDER BY cnt DESC, p LIMIT 1),
+bpe_st{r} AS MATERIALIZED (
+  SELECT replace(s, coalesce((SELECT p FROM bpe_mg{r}), {noop}),
+                 chr({BPE_SUB_BASE + r})) AS s, c
+  FROM {prev}),""")
+    merge_union = "\n  UNION ALL ".join(
+        f"SELECT {r} AS r, p FROM bpe_mg{r}" for r in range(1, k + 1)
+    )
     return f"""
 bpe_words AS (
   SELECT unnest(regexp_extract_all(lower(text), '{BPE_WORD_RE}')) AS w
   FROM {table} WHERE text IS NOT NULL),
-bpe_vocab AS (
-  SELECT w, count(*) AS c FROM bpe_words GROUP BY w HAVING length(w) >= 2),
-bpe_idx AS (
-  SELECT w, c, unnest(range(1, length(w))) AS i FROM bpe_vocab),
-bpe_pairs AS (
-  SELECT substr(w, CAST(i AS INT), 2) AS p, sum(c) AS cnt
-  FROM bpe_idx GROUP BY 1),
+bpe_vocab AS MATERIALIZED (
+  SELECT w, count(*) AS c FROM bpe_words GROUP BY w HAVING length(w) >= 2
+  ORDER BY c DESC, w LIMIT {BPE_VOCAB_CAP}),
+bpe_st0 AS MATERIALIZED (SELECT w AS s, c FROM bpe_vocab),{"".join(rounds)}
 bpe_merges AS (
-  SELECT p, CAST(row_number() OVER (ORDER BY cnt DESC, p) AS INT) AS r
-  FROM (SELECT * FROM bpe_pairs ORDER BY cnt DESC, p LIMIT {k})),
+  SELECT CAST(r AS INT) AS r, p FROM ({merge_union})),
 bpe_nm AS (SELECT count(*) AS n FROM bpe_merges),
 bpe_base AS (
   SELECT doc_id,

@@ -24,11 +24,21 @@ def _docs(spark, rows):
 
 
 def test_training_counts_and_tiebreak(spark):
-    # "abab" contributes ab x2, ba x1 per occurrence; two docs double it;
-    # "zz" ties nothing. Expected order: ab(4) > ba(2) = zz(2) with the
-    # tie broken lexicographically (ba before zz).
+    # Compositional rounds: round 1 counts ab(4) > ba(2) = zz(2) and
+    # merges "ab" -> U+E001, so "ba" NEVER forms again (its chars were
+    # consumed — the defining difference from the one-shot variant,
+    # whose table here is ["ab","ba","zz"]). Round 2 ties zz(2) with
+    # the merged pair U+E001,U+E001 (2) and lexicographic order picks
+    # "zz" (codepoints below private-use); round 3 merges the merged
+    # symbols — composition over an earlier round's OUTPUT.
     docs = _docs(spark, [(1, "abab zz"), (2, "abab zz")])
-    assert train_bpe_merges(docs, k=3) == ["ab", "ba", "zz"]
+    sub1 = chr(BPE_SUB_BASE + 1)
+    assert train_bpe_merges(docs, k=3) == ["ab", "zz", sub1 + sub1]
+    from flink_realtime_data_warehouse_spark.operators.bpe import (
+        train_bpe_merges_oneshot,
+    )
+
+    assert train_bpe_merges_oneshot(docs, k=3) == ["ab", "ba", "zz"]
 
 
 def test_training_is_frequency_weighted_over_occurrences(spark):
@@ -113,15 +123,20 @@ def test_budget_units_diverge_on_the_corpus(spark):
 
 
 def test_bpe_counts_exceed_word_counts(spark):
-    """BPE tokens (sub-word) strictly exceed word counts on multi-word
-    prose — the direction of the systematic mispricing."""
+    """BPE tokens (sub-word) exceed word counts on multi-word prose —
+    the direction of the systematic mispricing. >= is the invariant
+    (every word is at least one token; a word fully merged by chained
+    compositional rounds prices exactly 1); strictly-greater must hold
+    for the bulk of the corpus or the unit fix would be vacuous."""
     from flink_realtime_data_warehouse_spark.plans.loader import load_all
 
     Q, _ = load_all()
     rows = Q["text_bpe_token_count"](spark, SF).collect()
     multi = [r for r in rows if (r.n_ws_tokens or 0) > 1]
     assert multi
-    assert all(r.n_bpe_tokens > r.n_ws_tokens for r in multi)
+    assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in multi)
+    strict = sum(1 for r in multi if r.n_bpe_tokens > r.n_ws_tokens)
+    assert strict >= len(multi) // 2
     # and the merges actually compress: fewer BPE tokens than raw chars
     from flink_realtime_data_warehouse_spark.operators.bpe import _words
     from flink_realtime_data_warehouse_spark.sources.tables import load_table
@@ -135,6 +150,32 @@ def test_bpe_counts_exceed_word_counts(spark):
         ).collect()
     }
     assert any(r.n_bpe_tokens < chars[r.doc_id] for r in rows)
+
+
+def test_compositional_beats_oneshot_strictly(spark):
+    """The r10 verdict's acceptance pin: under the SAME K and corpus,
+    compositional training prices the corpus in STRICTLY fewer tokens
+    than the one-shot table (multi-round units exist — at least one
+    merge pair contains an earlier round's substitution symbol), and
+    the gap is large (64,248 vs 88,146 on the fixture when pinned —
+    ~27% fewer; assert a conservative 10% so corpus regen can move
+    the numbers without breaking the point)."""
+    from flink_realtime_data_warehouse_spark.operators.bpe import (
+        train_bpe_merges_oneshot,
+    )
+    from flink_realtime_data_warehouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    m_comp = train_bpe_merges(docs)
+    m_one = train_bpe_merges_oneshot(docs)
+    assert any(
+        any(ord(ch) >= BPE_SUB_BASE for ch in p) for p in m_comp
+    ), "no merge references an earlier round's symbol — not compositional"
+    tot = docs.select(
+        F.sum(bpe_token_count(F.col("text"), m_comp)).alias("comp"),
+        F.sum(bpe_token_count(F.col("text"), m_one)).alias("one"),
+    ).first()
+    assert tot["comp"] < tot["one"] * 0.9
 
 
 def test_pack_units_diverge_on_the_corpus(spark):
