@@ -516,10 +516,10 @@ class LogManifestFormat:
         has_files = False
 
         def _is_part(e: str, p: str) -> bool:
-            return (
-                os.path.isdir(p) and "=" in e
-                and not e.startswith(("_", "."))
-            )
+            # a partition dir is ANY "<col>=<val>" directory — including
+            # underscore-led columns (DimStore's "_pk_part=N"); sidecar
+            # dirs are the underscore/dot entries WITHOUT "="
+            return os.path.isdir(p) and "=" in e and not e.startswith(".")
 
         def _walk(d: str, rel: list[str]) -> None:
             nonlocal part_cols
@@ -545,7 +545,7 @@ class LogManifestFormat:
             p = os.path.join(segdir, e)
             if _is_part(e, p):
                 _walk(p, [e])
-            elif e.startswith(("_", ".")):
+            elif e.startswith(("_", ".")) and "=" not in e:
                 if e != "_SUCCESS" and not e.endswith(".crc"):
                     sidecars.append(e)
             elif os.path.isfile(p):

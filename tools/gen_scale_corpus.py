@@ -32,9 +32,38 @@ import argparse
 import json
 import os
 
+import math
+import shutil
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+#: parts per table (r10 verdict item 4): single-file corpora made every
+#: map-only kernel serialize onto ONE task between scale points, so
+#: wall-time exponents confounded operator growth with task granularity
+#: — 32 parts keeps all 32 local cores busy at every multiplier. The
+#: table path becomes a DIRECTORY of part files (Spark reads it
+#: identically); --files 1 restores the old single-file layout.
+DEFAULT_FILES = 32
+
+
+def _write(tbl: pa.Table, out_dir: str, name: str, n_files: int) -> None:
+    path = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.isfile(path):
+        os.remove(path)
+    if n_files <= 1:
+        pq.write_table(tbl, path)
+        return
+    os.makedirs(path)
+    step = max(1, math.ceil(tbl.num_rows / n_files))
+    for i in range(n_files):
+        part = tbl.slice(i * step, step)
+        if part.num_rows == 0:
+            break
+        pq.write_table(part, os.path.join(path, f"part-{i:05d}.parquet"))
 
 BASE_VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "fast",
@@ -82,7 +111,8 @@ def _zipf_probs(n: int, s: float) -> np.ndarray:
 
 
 def gen_documents(
-    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False
+    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False,
+    n_files: int = DEFAULT_FILES,
 ) -> int:
     n = int(BASE_DOCS * mult)
     vocab = [
@@ -125,12 +155,13 @@ def gen_documents(
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+    _write(tbl, out_dir, "documents", n_files)
     return n
 
 
 def gen_embeddings(
-    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False
+    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False,
+    n_files: int = DEFAULT_FILES,
 ) -> int:
     n = int(BASE_EMB * mult)
     centers = rng.normal(0.0, 1.0, size=(N_CLUSTERS, EMB_DIM))
@@ -157,12 +188,13 @@ def gen_embeddings(
             "label": pa.array(labels.tolist(), pa.int32()),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+    _write(tbl, out_dir, "embeddings", n_files)
     return n
 
 
 def gen_events(
-    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False
+    out_dir: str, mult: float, rng: np.random.Generator, zipf: bool = False,
+    n_files: int = DEFAULT_FILES,
 ) -> int:
     n = int(BASE_EVENTS * mult)
     n_users = int(BASE_USERS * mult)
@@ -194,14 +226,17 @@ def gen_events(
             ),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "events.parquet"))
+    _write(tbl, out_dir, "events", n_files)
     return n
 
 
 BASE_CUSTOMERS = 15_000
 
 
-def gen_customer(out_dir: str, mult: float, rng: np.random.Generator) -> int:
+def gen_customer(
+    out_dir: str, mult: float, rng: np.random.Generator,
+    n_files: int = DEFAULT_FILES,
+) -> int:
     """Minimal customer dimension (the columns the streaming-throughput
     changelog synthesizer reads) so the streaming path can also be
     measured at a second scale."""
@@ -218,23 +253,28 @@ def gen_customer(out_dir: str, mult: float, rng: np.random.Generator) -> int:
             ),
         }
     )
-    pq.write_table(tbl, os.path.join(out_dir, "customer.parquet"))
+    _write(tbl, out_dir, "customer", n_files)
     return n
 
 
 def generate_corpus(
-    out_dir: str, mult: float, seed: int = 7, zipf: bool = False
+    out_dir: str, mult: float, seed: int = 7, zipf: bool = False,
+    n_files: int = DEFAULT_FILES,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     counts = {
-        "documents": gen_documents(out_dir, mult, rng, zipf),
-        "embeddings": gen_embeddings(out_dir, mult, rng, zipf),
-        "events": gen_events(out_dir, mult, rng, zipf),
-        "customer": gen_customer(out_dir, mult, rng),
+        "documents": gen_documents(out_dir, mult, rng, zipf, n_files),
+        "embeddings": gen_embeddings(out_dir, mult, rng, zipf, n_files),
+        "events": gen_events(out_dir, mult, rng, zipf, n_files),
+        "customer": gen_customer(out_dir, mult, rng, n_files),
     }
     with open(os.path.join(out_dir, "GEN.json"), "w") as f:
-        json.dump({"mult": mult, "seed": seed, "zipf": zipf, **counts}, f)
+        json.dump(
+            {"mult": mult, "seed": seed, "zipf": zipf, "files": n_files,
+             **counts},
+            f,
+        )
     return counts
 
 
@@ -243,6 +283,7 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--mult", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--files", type=int, default=DEFAULT_FILES)
     ap.add_argument(
         "--zipf",
         action="store_true",
@@ -250,7 +291,13 @@ def main() -> None:
         "Zipfian sources, power-law users, dominant embedding cluster)",
     )
     args = ap.parse_args()
-    print(json.dumps(generate_corpus(args.out, args.mult, args.seed, args.zipf)))
+    print(
+        json.dumps(
+            generate_corpus(
+                args.out, args.mult, args.seed, args.zipf, args.files
+            )
+        )
+    )
 
 
 if __name__ == "__main__":
