@@ -1,8 +1,13 @@
-"""Table-format seam (r8 verdict item 5, adopted repo-wide in r10):
-the transactional store operations this repo's parquet rename-swap
-layer provides, behind ONE interface a real table format could
-implement — so swapping in Delta Lake or Iceberg becomes a backend
-choice, not a rewrite.
+"""Table-format seam (r8 verdict item 5, adopted repo-wide in r10,
+PROVEN with a second backend in r11): the transactional store
+operations behind ONE interface, with TWO implementations —
+``ParquetSwapFormat`` (rename-swap, the default) and
+``LogManifestFormat`` (append-log + manifest, the Iceberg/Delta
+shape) — selected per-process by ``SPARK_GRAFT_TABLE_FORMAT`` /
+``set_table_format``. The conformance tier runs parameterized over
+both; the full streaming-parity registry slice replays green under
+either (REPLAY_r11_logmanifest.json), so "swap in Delta/Iceberg"
+is a demonstrated backend choice, not a documented mapping.
 
 Why the seam exists: the reference's Phoenix upsert sink
 (DimSinkFunction.java:23-32) maps, in a lakehouse, to a table format's
@@ -12,7 +17,8 @@ runtime ships in this container. The machinery is fault-injection
 tested, but a production team would replace it — and every store
 mutator that needs replacing funnels through the operations below.
 As of r10 this module is the ONLY place in the package that spells
-the ``__tmp_``/``__old_`` staging discipline: DimStore/DimHistoryStore
+any staging/rename discipline (``__tmp_``/``__old_`` for the parquet
+backend, ``__stage_``/manifest commits here): DimStore/DimHistoryStore
 (streaming/sinks.py), the digest/LSH/bloom compaction folds
 (streaming/jobs.py, operators/dedup.py), the rollup store
 (streaming/rollup.py), file compaction (operators/scale.py), and the
