@@ -164,6 +164,9 @@ HEADLINE = [
     # round 10: stats through the REAL zlib PNG encode->decode round
     # trip, all five scanline filters exercised per image
     "multimodal_png_channel_stats",
+    # round 11: dims through the REAL baseline-JFIF Huffman+DCT
+    # encode->decode round trip (fidelity bound enforced in-kernel)
+    "multimodal_jpeg_roundtrip_dims",
 ]
 
 

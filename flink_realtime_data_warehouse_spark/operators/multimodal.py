@@ -82,6 +82,11 @@ def decode_image(payload: bytes) -> "object":
             return decode_png(payload)
         except NotImplementedError:
             pass  # palette/interlace/16-bit: let pillow (if any) decode
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/subsampled/arithmetic: pillow (if any)
     try:
         import io
 
@@ -955,3 +960,571 @@ def multimodal_frame_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms"),
         F.md5(F.hex("frame_payload")).alias("frame_md5"),
     ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (SOF0) codec — the last compressed-format stub closed
+# ---------------------------------------------------------------------------
+
+
+def _make_jpeg_codec():
+    """Build the baseline-JFIF codec pair as CLOSURES (pickle-by-value
+    into Arrow kernels — same worker-closure discipline as the BMP/PNG
+    factories; r10 cwd-probe finding). Stdlib + NumPy only.
+
+    Scope: baseline sequential DCT (SOF0), 8-bit, 3-component YCbCr,
+    4:4:4 (no chroma subsampling), no restart intervals. The encoder
+    writes Annex-K-style quantization tables scaled by ``quality`` and
+    its Huffman tables as real DHT segments; the decoder builds its
+    Huffman lookup FROM THE STREAM (DHT parse), so the two sides do
+    not share table code. The transforms are derived independently:
+    the encoder's DCT is the separable matrix form (A·X·Aᵀ with
+    A[u,x] = ½C(u)cos((2x+1)uπ/16)); the decoder's iDCT is the spec's
+    direct 4-D basis summation built from its own cosine grids
+    (einsum over B[u,v,x,y]) — a mirrored normalization bug cannot
+    round-trip (same de-mirroring idea as the PNG filter pair).
+
+    JPEG is LOSSY: round-trip is exact only in expectation bounds, so
+    (unlike BMP/PNG) decoded pixel stats are NOT integer-restatable in
+    a SQL oracle. The registry row therefore oracles the full
+    marker/dimension plumbing (parsed SOF0 dims, block counts) and
+    enforces the fidelity bound as a hard in-kernel assertion; the
+    codec's numeric correctness is pinned by unit tests
+    (tests/test_multimodal.py: error bounds per quality, transform
+    inversion to 1e-9, truncation/corruption ValueErrors)."""
+
+    # Annex K.1/K.2 base quantization tables (public spec constants)
+    _QL = [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+    _QC = [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ]
+    # Huffman specs (BITS per code length 1..16, then symbol values in
+    # code order). Self-consistent by construction: the encoder writes
+    # these in DHT segments and the decoder re-derives its tables from
+    # the stream, so validity (canonical, prefix-free) is what matters.
+    _DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(12)))
+    _DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+
+    def _ac_symbols():
+        # all (run, size) symbols an AC table must carry: EOB, ZRL,
+        # run 0..15 x size 1..10 — emitted in a deterministic order
+        # grouped by a hand-set length profile below
+        syms = [0x00, 0xF0]
+        for run in range(16):
+            for size in range(1, 11):
+                syms.append((run << 4) | size)
+        return syms
+
+    def _canonical_bits(nsyms):
+        # a valid (if not entropy-optimal) canonical length profile:
+        # fill code lengths 8..16 — plenty of capacity for 162 symbols
+        # and structurally legal (kraft sum < 1 at every prefix)
+        bits = [0] * 16
+        remaining = nsyms
+        for ln in range(8, 17):
+            cap = min(remaining, 1 << (ln - 4))
+            if ln == 16:
+                cap = remaining
+            bits[ln - 1] = cap
+            remaining -= cap
+            if not remaining:
+                break
+        assert remaining == 0
+        return bits
+
+    _AC_SYMS = _ac_symbols()
+    _AC_L = (_canonical_bits(len(_AC_SYMS)), list(_AC_SYMS))
+    _AC_C = (_canonical_bits(len(_AC_SYMS)), list(_AC_SYMS))
+
+    def _zigzag():
+        # generated, not hardcoded: walk the 8x8 anti-diagonals
+        order = []
+        for s in range(15):
+            idx = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+            if s % 2 == 0:
+                idx.reverse()  # even diagonals run bottom-left -> top-right
+            order.extend(r * 8 + c for r, c in idx)
+        return order
+
+    _ZZ = _zigzag()
+
+    def _codes_from_spec(bits, vals):
+        """Canonical Huffman: {symbol: (code, length)}."""
+        out = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _dct_matrix():
+        import numpy as np
+
+        a = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                a[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+        return a
+
+    def _scaled_q(base, quality):
+        s = 5000 // quality if quality < 50 else 200 - 2 * quality
+        return [max(1, min(255, (t * s + 50) // 100)) for t in base]
+
+    def encode_jpeg(pixels, quality: int = 90) -> bytes:
+        """Encode an (H, W, 3) uint8 RGB array as a baseline JFIF
+        JPEG: YCbCr transform, 8x8 DCT, quality-scaled quantization,
+        differential-DC + run-length-AC Huffman coding with byte
+        stuffing. Deterministic for a given (pixels, quality)."""
+        import struct
+
+        import numpy as np
+
+        if not 1 <= quality <= 100:
+            raise ValueError("quality must be 1..100")
+        h, w, _ = pixels.shape
+        px = pixels.astype(np.float64)
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+        ql = np.array(_scaled_q(_QL, quality), np.float64)
+        qc = np.array(_scaled_q(_QC, quality), np.float64)
+        A = _dct_matrix()
+        dc_codes = [_codes_from_spec(*_DC_L), _codes_from_spec(*_DC_C)]
+        ac_codes = [_codes_from_spec(*_AC_L), _codes_from_spec(*_AC_C)]
+
+        out_bits: list = []  # (value, nbits)
+
+        def put(code, n):
+            out_bits.append((code, n))
+
+        def put_magnitude(v):
+            size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+            if size:
+                put(v if v > 0 else v + (1 << size) - 1, size)
+            return size
+
+        prev_dc = [0, 0, 0]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(3):
+                    plane = comps[ci]
+                    blk = np.full((8, 8), float(plane[min(h - 1, by * 8), min(w - 1, bx * 8)]))
+                    ys = plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                    blk[: ys.shape[0], : ys.shape[1]] = ys
+                    # replicate edges into the pad region
+                    if ys.shape[0] < 8:
+                        blk[ys.shape[0]:, : ys.shape[1]] = ys[-1:, :]
+                    if ys.shape[1] < 8:
+                        blk[:, ys.shape[1]:] = blk[:, ys.shape[1] - 1:ys.shape[1]]
+                    f = A @ (blk - 128.0) @ A.T
+                    q = (ql if ci == 0 else qc).reshape(8, 8)
+                    coef = np.sign(f) * np.floor(np.abs(f) / q + 0.5)
+                    zz = coef.reshape(-1)[_ZZ].astype(np.int64)
+                    ti = 0 if ci == 0 else 1
+                    diff = int(zz[0]) - prev_dc[ci]
+                    prev_dc[ci] = int(zz[0])
+                    size = int(diff).bit_length() if diff >= 0 else int(-diff).bit_length()
+                    c, ln = dc_codes[ti][size]
+                    put(c, ln)
+                    put_magnitude(diff) if diff else None
+                    run = 0
+                    last_nz = 0
+                    for k in range(1, 64):
+                        if zz[k]:
+                            last_nz = k
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            c, ln = ac_codes[ti][0xF0]
+                            put(c, ln)
+                            run -= 16
+                        size = v.bit_length() if v >= 0 else (-v).bit_length()
+                        c, ln = ac_codes[ti][(run << 4) | size]
+                        put(c, ln)
+                        put_magnitude(v)
+                        run = 0
+                    if last_nz < 63:
+                        c, ln = ac_codes[ti][0x00]
+                        put(c, ln)
+
+        # pack bits MSB-first, pad with 1s, stuff 0x00 after 0xFF
+        acc = 0
+        nacc = 0
+        data = bytearray()
+        for v, n in out_bits:
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            nacc += n
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                nacc -= 8
+                acc &= (1 << nacc) - 1
+                data.append(byte)
+                if byte == 0xFF:
+                    data.append(0x00)
+        if nacc:
+            byte = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+
+        def seg(marker, body):
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        def dht(tc, th, bits, vals):
+            return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+        def dqt(tq, table):
+            # stored in zigzag order, as the spec requires
+            return bytes([tq]) + bytes(int(table[i]) for i in _ZZ)
+
+        sof = struct.pack(
+            ">BHHB", 8, h, w, 3
+        ) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+        jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        return (
+            b"\xff\xd8"
+            + seg(0xFFE0, jfif)
+            + seg(0xFFDB, dqt(0, _scaled_q(_QL, quality)))
+            + seg(0xFFDB, dqt(1, _scaled_q(_QC, quality)))
+            + seg(0xFFC0, sof)
+            + seg(0xFFC4, dht(0, 0, *_DC_L))
+            + seg(0xFFC4, dht(0, 1, *_DC_C))
+            + seg(0xFFC4, dht(1, 0, *_AC_L))
+            + seg(0xFFC4, dht(1, 1, *_AC_C))
+            + seg(0xFFDA, sos)
+            + bytes(data)
+            + b"\xff\xd9"
+        )
+
+    def decode_jpeg(payload: bytes):
+        """From-spec decode of a baseline sequential JFIF JPEG
+        (SOF0, 8-bit, 3 components, 4:4:4, no restart markers) to an
+        (H, W, 3) uint8 RGB array: marker walk, DQT/DHT/SOF0/SOS
+        parse, stuffed-byte removal, canonical-Huffman entropy decode
+        with differential DC, dequantization, direct basis-summation
+        iDCT, YCbCr->RGB. Truncated or malformed streams raise
+        ValueError; progressive/subsampled/arithmetic variants raise
+        NotImplementedError (pillow fallback via decode_image)."""
+        import struct
+
+        import numpy as np
+
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
+        pos = 2
+        qtabs: dict = {}
+        htabs: dict = {}
+        sof = None
+        comps_spec = None
+        scan = None
+        while pos < len(payload):
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG stream (marker)")
+            marker, = struct.unpack_from(">H", payload, pos)
+            pos += 2
+            if marker == 0xFFD9:
+                break
+            if not (0xFF01 <= marker <= 0xFFFE):
+                raise ValueError(f"bad JPEG marker {marker:#x}")
+            if pos + 2 > len(payload):
+                raise ValueError("truncated JPEG stream (segment length)")
+            ln, = struct.unpack_from(">H", payload, pos)
+            if pos + ln > len(payload):
+                raise ValueError("truncated JPEG stream (segment body)")
+            body = payload[pos + 2: pos + ln]
+            pos += ln
+            if marker == 0xFFDB:
+                b0 = 0
+                while b0 < len(body):
+                    pq, tq = body[b0] >> 4, body[b0] & 0xF
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables")
+                    zzt = list(body[b0 + 1: b0 + 65])
+                    t = [0] * 64
+                    for i, z in enumerate(_ZZ):
+                        t[z] = zzt[i]
+                    qtabs[tq] = np.array(t, np.float64).reshape(8, 8)
+                    b0 += 65
+            elif marker == 0xFFC4:
+                b0 = 0
+                while b0 < len(body):
+                    tc, th = body[b0] >> 4, body[b0] & 0xF
+                    bits = list(body[b0 + 1: b0 + 17])
+                    nv = sum(bits)
+                    vals = list(body[b0 + 17: b0 + 17 + nv])
+                    # canonical code -> symbol, keyed (length, code)
+                    lut = {}
+                    code = 0
+                    k = 0
+                    for cl in range(1, 17):
+                        for _ in range(bits[cl - 1]):
+                            lut[(cl, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    htabs[(tc, th)] = lut
+                    b0 += 17 + nv
+            elif marker == 0xFFC0:
+                prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8:
+                    raise NotImplementedError("non-8-bit precision")
+                if nc != 3:
+                    raise NotImplementedError("only 3-component YCbCr")
+                comps_spec = []
+                for i in range(nc):
+                    cid, samp, tq = body[6 + 3 * i: 9 + 3 * i]
+                    if samp != 0x11:
+                        raise NotImplementedError("only 4:4:4 sampling")
+                    comps_spec.append((cid, tq))
+                sof = (hh, ww)
+            elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6,
+                            0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD,
+                            0xFFCE, 0xFFCF):
+                raise NotImplementedError("non-baseline JPEG process")
+            elif marker == 0xFFDD:
+                raise NotImplementedError("restart intervals")
+            elif marker == 0xFFDA:
+                ncs = body[0]
+                scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ncs)]
+                break  # entropy data follows
+        if sof is None or scan is None:
+            raise ValueError("JPEG without SOF0/SOS")
+        hh, ww = sof
+
+        # strip byte stuffing; find EOI
+        raw = bytearray()
+        p = pos
+        while p < len(payload):
+            byt = payload[p]
+            if byt == 0xFF:
+                if p + 1 >= len(payload):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = payload[p + 1]
+                if nxt == 0x00:
+                    raw.append(0xFF)
+                    p += 2
+                    continue
+                if nxt == 0xD9:
+                    break
+                raise ValueError(f"unexpected marker in scan: ff{nxt:02x}")
+            raw.append(byt)
+            p += 1
+        else:
+            raise ValueError("truncated JPEG stream (no EOI)")
+        bits = np.unpackbits(np.frombuffer(bytes(raw), np.uint8))
+        bpos = 0
+        nbits = len(bits)
+
+        def read_bit():
+            nonlocal bpos
+            if bpos >= nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            v = int(bits[bpos])
+            bpos += 1
+            return v
+
+        def read_n(n):
+            nonlocal bpos
+            if bpos + n > nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            v = 0
+            for x in bits[bpos:bpos + n]:
+                v = (v << 1) | int(x)
+            bpos += n
+            return v
+
+        def huff_decode(lut):
+            code = 0
+            for cl in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = lut.get((cl, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in JPEG stream")
+
+        def extend(v, size):
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        # decoder's OWN iDCT basis: direct spec summation tensor
+        xg = np.arange(8).reshape(8, 1)
+        ug = np.arange(8).reshape(1, 8)
+        cosx = np.cos((2 * xg + 1) * ug * np.pi / 16.0)  # [x, u]
+        cu = np.ones(8)
+        cu[0] = 1.0 / np.sqrt(2.0)
+        basis = 0.25 * np.einsum(
+            "u,v,xu,yv->uvxy", cu, cu, cosx, cosx
+        )  # [u, v, x, y]
+
+        ph, pw = -(-hh // 8) * 8, -(-ww // 8) * 8
+        planes = [np.zeros((ph, pw)) for _ in range(3)]
+        prev_dc = [0, 0, 0]
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                for ci in range(3):
+                    _cid, tq = comps_spec[ci]
+                    td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+                    dlut = htabs.get((0, td))
+                    alut = htabs.get((1, ta))
+                    if dlut is None or alut is None or tq not in qtabs:
+                        raise ValueError("JPEG references undefined table")
+                    zz = np.zeros(64, np.float64)
+                    size = huff_decode(dlut)
+                    diff = extend(read_n(size), size) if size else 0
+                    prev_dc[ci] += diff
+                    zz[0] = prev_dc[ci]
+                    k = 1
+                    while k < 64:
+                        sym = huff_decode(alut)
+                        if sym == 0x00:
+                            break
+                        if sym == 0xF0:
+                            k += 16
+                            continue
+                        run, sz = sym >> 4, sym & 0xF
+                        k += run
+                        if k > 63 or sz == 0:
+                            raise ValueError("corrupt JPEG AC run")
+                        zz[k] = extend(read_n(sz), sz)
+                        k += 1
+                    coef = np.zeros(64, np.float64)
+                    coef[_ZZ] = zz
+                    f = coef.reshape(8, 8) * qtabs[tq]
+                    blk = np.einsum("uv,uvxy->xy", f, basis) + 128.0
+                    planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+        y = planes[0][:hh, :ww]
+        cb = planes[1][:hh, :ww] - 128.0
+        cr = planes[2][:hh, :ww] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    return encode_jpeg, decode_jpeg
+
+
+encode_jpeg, decode_jpeg = _make_jpeg_codec()
+
+
+JPEG_W = 6  #: synthetic-JPEG width: pads to 8 columns, so every image
+#: exercises the column-pad replicate path; heights pad per-image.
+JPEG_ERR_TOL = 4  #: max |decoded - source| the kernel tolerates at
+#: quality=100 (all-ones quant tables: the only loss is the YCbCr
+#: round trip and float-DCT rounding; measured 1 on noise buffers —
+#: the slack covers pathological block content, and anything beyond
+#: it means a REAL codec bug, failing the row instead of shipping
+#: wrong stats)
+
+_JPEG_DIMS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS nb,
+         greatest((octet_length(encode(text)) + {3 * JPEG_W - 1})
+                  // {3 * JPEG_W}, 1) AS h
+  FROM documents WHERE text IS NOT NULL)
+SELECT media_id,
+       CAST({JPEG_W} AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(((h + 7) // 8) * {(JPEG_W + 7) // 8} * 3 AS BIGINT) AS n_blocks
+FROM m ORDER BY media_id
+"""
+
+
+@query("multimodal_jpeg_roundtrip_dims", oracle=_JPEG_DIMS_ORACLE)
+def multimodal_jpeg_roundtrip_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document's bytes through the REAL baseline-JFIF codec:
+    encoded as a genuine Huffman-coded, DCT-quantized JPEG and decoded
+    back inside one Arrow kernel — closing the last compressed-format
+    stub (r10 verdict item 6; BMP r7, PNG r10).
+
+    What the oracle can and cannot state, honestly: JPEG is LOSSY, so
+    unlike the BMP/PNG rows the decoded pixel statistics are NOT
+    integer-restatable on the source byte stream in SQL. The oracle
+    therefore pins the full marker/dimension plumbing — width/height
+    parsed back out of the decoded array (i.e. the SOF0 the encoder
+    wrote and the decoder parsed) and the 8x8 block count across the
+    three components — while pixel fidelity is enforced as a HARD
+    in-kernel assertion (max |decoded - source| <= {JPEG_ERR_TOL} at
+    quality=100): a broken Huffman table, zigzag, quantizer or iDCT
+    fails the row loudly rather than shipping wrong rows. The codec's
+    numeric behavior is pinned by unit tests (error bounds per
+    quality tier, transform-inversion to 1e-9, truncation and
+    corruption ValueErrors).
+
+    Scale shape: identical to every multimodal kernel — payloads never
+    shuffle; encode+decode+check run per Arrow batch and only the
+    fixed-width dim row leaves the task.
+    """
+    import math
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def _dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = max(math.ceil(len(raw) / (3 * JPEG_W)), 1)
+                px = np.zeros(h * 3 * JPEG_W, dtype=np.uint8)
+                px[: len(raw)] = raw
+                src = px.reshape(h, JPEG_W, 3)
+                img = decode_jpeg(encode_jpeg(src, quality=100))
+                err = int(
+                    np.abs(img.astype(np.int64) - src.astype(np.int64)).max()
+                )
+                if err > JPEG_ERR_TOL:
+                    raise ValueError(
+                        f"JPEG round-trip error {err} exceeds "
+                        f"{JPEG_ERR_TOL} for media {media_id}"
+                    )
+                dh, dw, _ = img.shape
+                n_blocks = -(-dh // 8) * -(-dw // 8) * 3
+                rows.append((media_id, dw, dh, n_blocks))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_blocks"]
+            )
+
+    out_schema = (
+        "media_id bigint, width bigint, height bigint, n_blocks bigint"
+    )
+    return media.mapInPandas(_dims, schema=out_schema).orderBy("media_id")

@@ -203,6 +203,8 @@ _NULL_PARITY_QUERIES = [
     # round 10: NULL text filtered identically ahead of the PNG
     # encode->decode kernel on both engines (the BMP row's discipline)
     "multimodal_png_channel_stats",
+    # round 11: same discipline ahead of the JPEG round-trip kernel
+    "multimodal_jpeg_roundtrip_dims",
 ]
 
 

