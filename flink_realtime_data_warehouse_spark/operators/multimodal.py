@@ -1093,6 +1093,40 @@ def _make_jpeg_codec():
         s = 5000 // quality if quality < 50 else 200 - 2 * quality
         return [max(1, min(255, (t * s + 50) // 100)) for t in base]
 
+    # hoisted once per process (and pickled by value into kernels):
+    # code tables, the DCT matrix, and a cache of 2^16 fast Huffman
+    # lookup tables keyed by raw DHT spec bytes — identical across
+    # every image one encoder settings produce, so decode pays the
+    # 65536-entry build once, not per image
+    _DC_CODES = (_codes_from_spec(*_DC_L), _codes_from_spec(*_DC_C))
+    _AC_CODES = (_codes_from_spec(*_AC_L), _codes_from_spec(*_AC_C))
+    _FAST_CACHE: dict = {}
+
+    def _fast_table(bits_counts, vals):
+        """2^16 prefix table: tbl[next-16-bits] = (symbol, code length)
+        — one list index replaces up-to-16 bit-by-bit dict probes.
+        Prefixes no canonical code covers stay None (invalid-code
+        detection preserved)."""
+        key = (bytes(bits_counts), bytes(vals))
+        hit = _FAST_CACHE.get(key)
+        if hit is not None:
+            return hit
+        tbl = [None] * 65536
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits_counts[ln - 1]):
+                sym = vals[k]
+                k += 1
+                lo = code << (16 - ln)
+                hi = (code + 1) << (16 - ln)
+                ent = (sym, ln)
+                tbl[lo:hi] = [ent] * (hi - lo)
+                code += 1
+            code <<= 1
+        _FAST_CACHE[key] = tbl
+        return tbl
+
     def encode_jpeg(pixels, quality: int = 90) -> bytes:
         """Encode an (H, W, 3) uint8 RGB array as a baseline JFIF
         JPEG: YCbCr transform, 8x8 DCT, quality-scaled quantization,
@@ -1116,8 +1150,7 @@ def _make_jpeg_codec():
         ql = np.array(_scaled_q(_QL, quality), np.float64)
         qc = np.array(_scaled_q(_QC, quality), np.float64)
         A = _dct_matrix()
-        dc_codes = [_codes_from_spec(*_DC_L), _codes_from_spec(*_DC_C)]
-        ac_codes = [_codes_from_spec(*_AC_L), _codes_from_spec(*_AC_C)]
+        dc_codes, ac_codes = _DC_CODES, _AC_CODES
 
         out_bits: list = []  # (value, nbits)
 
@@ -1154,27 +1187,23 @@ def _make_jpeg_codec():
                     c, ln = dc_codes[ti][size]
                     put(c, ln)
                     put_magnitude(diff) if diff else None
-                    run = 0
-                    last_nz = 0
-                    for k in range(1, 64):
-                        if zz[k]:
-                            last_nz = k
-                    for k in range(1, last_nz + 1):
-                        v = int(zz[k])
-                        if v == 0:
-                            run += 1
-                            continue
+                    nz = np.nonzero(zz[1:])[0] + 1
+                    prev_k = 0
+                    act = ac_codes[ti]
+                    for k in nz:
+                        run = int(k) - prev_k - 1
                         while run > 15:
-                            c, ln = ac_codes[ti][0xF0]
+                            c, ln = act[0xF0]
                             put(c, ln)
                             run -= 16
+                        v = int(zz[k])
                         size = v.bit_length() if v >= 0 else (-v).bit_length()
-                        c, ln = ac_codes[ti][(run << 4) | size]
+                        c, ln = act[(run << 4) | size]
                         put(c, ln)
                         put_magnitude(v)
-                        run = 0
-                    if last_nz < 63:
-                        c, ln = ac_codes[ti][0x00]
+                        prev_k = int(k)
+                    if prev_k < 63:
+                        c, ln = act[0x00]
                         put(c, ln)
 
         # pack bits MSB-first, pad with 1s, stuff 0x00 after 0xFF
@@ -1280,20 +1309,10 @@ def _make_jpeg_codec():
                 b0 = 0
                 while b0 < len(body):
                     tc, th = body[b0] >> 4, body[b0] & 0xF
-                    bits = list(body[b0 + 1: b0 + 17])
-                    nv = sum(bits)
+                    hbits = list(body[b0 + 1: b0 + 17])
+                    nv = sum(hbits)
                     vals = list(body[b0 + 17: b0 + 17 + nv])
-                    # canonical code -> symbol, keyed (length, code)
-                    lut = {}
-                    code = 0
-                    k = 0
-                    for cl in range(1, 17):
-                        for _ in range(bits[cl - 1]):
-                            lut[(cl, code)] = vals[k]
-                            code += 1
-                            k += 1
-                        code <<= 1
-                    htabs[(tc, th)] = lut
+                    htabs[(tc, th)] = _fast_table(hbits, vals)
                     b0 += 17 + nv
             elif marker == 0xFFC0:
                 prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
@@ -1342,36 +1361,41 @@ def _make_jpeg_codec():
             p += 1
         else:
             raise ValueError("truncated JPEG stream (no EOI)")
-        bits = np.unpackbits(np.frombuffer(bytes(raw), np.uint8))
-        bpos = 0
-        nbits = len(bits)
+        bl = np.unpackbits(np.frombuffer(bytes(raw), np.uint8)).astype(np.uint32)
+        nbits = len(bl)
+        # bit16[i] = the next 16 bits at offset i, zero-padded past the
+        # end — one vectorized pass, then plain-int indexing in the loop
+        ext = np.concatenate([bl, np.zeros(16, np.uint32)])
+        from numpy.lib.stride_tricks import sliding_window_view
 
-        def read_bit():
-            nonlocal bpos
-            if bpos >= nbits:
-                raise ValueError("truncated JPEG entropy stream")
-            v = int(bits[bpos])
-            bpos += 1
-            return v
+        pow2 = (1 << np.arange(15, -1, -1)).astype(np.uint32)
+        bit16 = (sliding_window_view(ext, 16)[: nbits + 1] * pow2).sum(
+            axis=1
+        ).tolist()
+        bpos = 0
 
         def read_n(n):
             nonlocal bpos
+            if n == 0:
+                return 0
             if bpos + n > nbits:
                 raise ValueError("truncated JPEG entropy stream")
-            v = 0
-            for x in bits[bpos:bpos + n]:
-                v = (v << 1) | int(x)
+            v = bit16[bpos] >> (16 - n)
             bpos += n
             return v
 
-        def huff_decode(lut):
-            code = 0
-            for cl in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = lut.get((cl, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid Huffman code in JPEG stream")
+        def huff_decode(tbl):
+            nonlocal bpos
+            if bpos >= nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            ent = tbl[bit16[bpos]]
+            if ent is None:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            sym, ln = ent
+            if bpos + ln > nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            bpos += ln
+            return sym
 
         def extend(v, size):
             return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
@@ -1385,6 +1409,7 @@ def _make_jpeg_codec():
         basis = 0.25 * np.einsum(
             "u,v,xu,yv->uvxy", cu, cu, cosx, cosx
         )  # [u, v, x, y]
+        basis64 = basis.reshape(64, 64)  # flat (coef -> pixels) matmul
 
         ph, pw = -(-hh // 8) * 8, -(-ww // 8) * 8
         planes = [np.zeros((ph, pw)) for _ in range(3)]
@@ -1420,7 +1445,7 @@ def _make_jpeg_codec():
                     coef = np.zeros(64, np.float64)
                     coef[_ZZ] = zz
                     f = coef.reshape(8, 8) * qtabs[tq]
-                    blk = np.einsum("uv,uvxy->xy", f, basis) + 128.0
+                    blk = (f.reshape(64) @ basis64).reshape(8, 8) + 128.0
                     planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
         y = planes[0][:hh, :ww]
         cb = planes[1][:hh, :ww] - 128.0
@@ -1495,7 +1520,12 @@ def multimodal_jpeg_roundtrip_dims(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
-    )
+    ).repartition(32, "media_id")
+    # ^ fixture corpora are ONE parquet row group, which would pin the
+    # whole CPU-bound codec kernel to a single task; the explicit
+    # exchange trades a tiny payload shuffle for full-width decode
+    # parallelism. At lake scale inputs arrive pre-split and this
+    # exchange is the first thing to delete.
 
     def _dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
