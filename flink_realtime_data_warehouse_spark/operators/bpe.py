@@ -278,9 +278,14 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model + scale shape; tests pin that the two diverge on this
     corpus — the ~1.3-1.5x systematic mispricing the row exists to
     fix)."""
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs)
-    return docs.select(
+    # the apply chain (regex split + K replaces) is map-only but NOT
+    # cheap per row, and the single-row-group fixture scan would run it
+    # on one task (~0.9 s in-task at sf0.1) — fan it out (fanout.py)
+    return fanout(docs, "doc_id").select(
         "doc_id",
         bpe_token_count(F.col("text"), merges).alias("n_bpe_tokens"),
         ws_token_count(F.col("text")).alias("n_ws_tokens"),
@@ -336,7 +341,14 @@ def sample_token_budget_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs)
-    sized = docs.select(
+    # fan out BEFORE the pricing projection: token_budget_select's plan
+    # traverses ``sized`` from three branches (histogram subquery + the
+    # keep/boundary union), so the K-replace chain is evaluated ~3x per
+    # execution — single-task that was 3 x ~1.4 s at sf0.1 (measured);
+    # fanned out each evaluation is ~0.1 s of full-width map work
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
+    sized = fanout(docs, "doc_id").select(
         "doc_id",
         F.expr(quality_score_sql()).alias("q"),
         bpe_token_count(F.col("text"), merges).alias("nw"),
@@ -402,9 +414,13 @@ def pack_training_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket,
     )
 
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs)
-    toks = docs.select(
+    # fan the K-replace pricing chain out of the single fixture scan
+    # task (fanout.py) — the window below re-shuffles by bucket anyway
+    toks = fanout(docs, "doc_id").select(
         "doc_id",
         hash_bucket(F.col("doc_id"), PACK_N_BUCKETS).alias("bucket"),
         bpe_token_count(F.col("text"), merges).alias("n_tokens"),

@@ -622,6 +622,11 @@ def multimodal_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # deliberately NOT fanned out (fanout.py): the BMP codec is NumPy
+    # slicing/memcpy — measured at sf0.1, the exchange costs as much as
+    # the single-task kernel saves (1.52 s -> 1.62 s). The compressed
+    # codecs (PNG deflate/unfilter, JPEG DCT/Huffman) are where the
+    # fan-out pays.
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
@@ -863,15 +868,26 @@ def multimodal_png_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-sensitive by construction).
 
     Scale shape: identical to every multimodal kernel — payloads never
-    shuffle; encode+deflate+inflate+unfilter+stats run per Arrow batch
-    and only the fixed-width stat row leaves the task.
+    shuffle (beyond the one tiny fan-out exchange below, a fixture
+    artifact); encode+deflate+inflate+unfilter+stats run per Arrow
+    batch and only the fixed-width stat row leaves the task.
     """
     import math
 
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    media = fanout(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ),
+        "media_id",
     )
+    # ^ fixture corpora are ONE parquet row group → one scan task, which
+    # pinned the whole deflate/inflate/unfilter kernel to a single core
+    # (measured 3.3 s in-task at sf0.1; ~5x faster fanned out). At lake
+    # scale inputs arrive pre-split and this exchange is deleted first.
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1517,15 +1533,23 @@ def multimodal_jpeg_roundtrip_dims(spark: SparkSession, sf_dir: str) -> DataFram
     """
     import math
 
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    media = docs.select(
-        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
-    ).repartition(32, "media_id")
+    media = fanout(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ),
+        "media_id",
+    )
     # ^ fixture corpora are ONE parquet row group, which would pin the
     # whole CPU-bound codec kernel to a single task; the explicit
     # exchange trades a tiny payload shuffle for full-width decode
-    # parallelism. At lake scale inputs arrive pre-split and this
-    # exchange is the first thing to delete.
+    # parallelism (fanout.py: sized from defaultParallelism, AQE-exempt,
+    # was a literal 32 — now scales with the bench's core count). At
+    # lake scale inputs arrive pre-split and this exchange is the first
+    # thing to delete.
 
     def _dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

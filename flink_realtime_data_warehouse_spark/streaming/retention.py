@@ -165,6 +165,16 @@ def takedown_documents(
             FORMAT.append(ids, os.path.join(out_root, "_tombstones"))
 
         removed: dict[str, int] = {}
+        #: thunks for the per-store purges — every store lives in its
+        #: own directory and the purge set is already materialized to
+        #: scratch, so the rewrites are independent jobs. Running them
+        #: from a small thread pool overlaps their fixed per-job
+        #: latency (guide §2.6): each purge is a hits-enumeration
+        #: collect + one staging write + renames over TINY data, so
+        #: sequentially the wall is sum-of-latencies while the cluster
+        #: idles. Thread-safety: DataFrame actions are thread-safe, and
+        #: each thunk's filesystem swaps touch only its own store dir.
+        purge_thunks: list = []
 
         # 2) clean (payload) — also the source of purged-content hashes
         #    for the block_reingest=False digest pass, captured BEFORE
@@ -209,13 +219,16 @@ def takedown_documents(
                 ).parquet(hpath)
             # hit enumeration reads only (doc_id, pbatch) — column-pruned
             hits = clean.select("doc_id", "pbatch").join(F.broadcast(ids), "doc_id")
-            removed["clean"] = _pruned_purge(
-                spark,
-                clean_path,
-                clean,
-                hits,
-                lambda part: part.join(F.broadcast(ids), "doc_id", "left_anti"),
-            )
+            purge_thunks.append((
+                "clean",
+                lambda _c=clean, _h=hits: _pruned_purge(
+                    spark,
+                    clean_path,
+                    _c,
+                    _h,
+                    lambda part: part.join(F.broadcast(ids), "doc_id", "left_anti"),
+                ),
+            ))
 
         # 3) doc-keyed evidence stores
         for rel, schema in _STORE_SCHEMAS.items():
@@ -246,9 +259,15 @@ def takedown_documents(
                     return part.join(F.broadcast(_ids), "doc_id", "left_anti")
 
                 keep_fn = _keep
-            removed[rel] = _pruned_purge(spark, path, df, hits, keep_fn)
+            purge_thunks.append((
+                rel,
+                lambda _p=path, _df=df, _h=hits, _k=keep_fn: _pruned_purge(
+                    spark, _p, _df, _h, _k
+                ),
+            ))
 
-        # 4) digests — policy pass
+        # 4) digests — policy pass (reads only the already-materialized
+        #    scratch hash set, so it is independent of the other purges)
         digests_path = os.path.join(out_root, "digests")
         FORMAT.repair(out_root, digests_path)
         if (
@@ -257,17 +276,37 @@ def takedown_documents(
             and FORMAT.exists(digests_path)
         ):
             dig = FORMAT.read(spark, digests_path, _DIGEST_SCHEMA)
-            removed["digests"] = _pruned_purge(
-                spark,
-                digests_path,
-                dig,
-                dig.join(F.broadcast(purged_hashes), "content_hash"),
-                lambda part: part.join(
-                    F.broadcast(purged_hashes), "content_hash", "left_anti"
+            purge_thunks.append((
+                "digests",
+                lambda: _pruned_purge(
+                    spark,
+                    digests_path,
+                    dig,
+                    dig.join(F.broadcast(purged_hashes), "content_hash"),
+                    lambda part: part.join(
+                        F.broadcast(purged_hashes), "content_hash", "left_anti"
+                    ),
                 ),
-            )
+            ))
         else:
             removed["digests"] = 0
+
+        # run every store's purge concurrently: 3 in flight is enough
+        # to hide the per-job latency without contending for executors
+        # (guide §2.6). Exceptions propagate — a failed purge must fail
+        # the takedown loudly (the tombstone log makes re-runs converge).
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(purge_thunks) <= 1:
+            for name, thunk in purge_thunks:
+                removed[name] = thunk()
+        else:
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [
+                    (name, pool.submit(thunk)) for name, thunk in purge_thunks
+                ]
+                for name, fut in futures:
+                    removed[name] = fut.result()
 
         return removed
     finally:
