@@ -1037,20 +1037,38 @@ def dedup_substring_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Nothing is quadratic: cost tracks gram positions, i.e. corpus
     length, times two shuffles of 8-byte keys.
     """
+    from pyspark.sql.window import Window
+
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     docs = load_table(spark, sf_dir, "documents")
-    pos = _exploded_shingle_hashes(docs)
-    shared = (
-        pos.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("s", F.lit(1).alias("dup_flag"))
-    )
+    pos = _exploded_shingle_hashes(fanout(docs, "doc_id"))
+    # One pass over the position stream instead of two (r11 opt): the
+    # old shape aggregated `pos` for the shared-gram set AND joined the
+    # full position stream against it — the explode+hash subtree ran
+    # twice and every position crossed the s-exchange a second time for
+    # the join. Collapsing positions to (doc_id, s, c) first (map-side
+    # partial agg shrinks repeats before the exchange), the distinct-doc
+    # count per shingle is a window over the already-aggregated pairs
+    # (rows per s == distinct docs containing s, so count(*) over the
+    # s-partition IS countDistinct(doc_id)), and the per-doc stats fold
+    # from the same relation — no join ever touches position-granular
+    # rows. Exchanges now carry distinct (doc_id, s) pairs only.
+    # (the docs fan-out above parallelizes the explode+md5 map work —
+    # the single-row-group fixture scan would pin it to one task; an
+    # additional s-keyed fan-out before the window was measured and
+    # REVERTED: re-exchanging the aggregated pairs cost more than the
+    # wider window sort saved at sf0.1)
+    g = pos.groupBy("doc_id", "s").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("s"))
     per = (
-        pos.join(shared, "s", "left")
+        g.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("dup_flag").alias("dup_grams"),
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_grams"
+            ),
         )
     )
     return (

@@ -466,26 +466,49 @@ def dq_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle construction + 60-bit hash reduction is dedup's shared
     # helper, so this matrix can never drift from the per-document
     # containment check it cross-source-izes
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
+    # fanout ×2 (r11 opt): the fixture's single-row-group scan pinned
+    # the explode+md5 map work to ONE task, and AQE's byte-based
+    # coalescing folded the collect_set reduce side to 1-2 tasks (the
+    # (source, s) rows are few bytes but the agg is CPU-heavy). The
+    # numbered repartitions are AQE-exempt and sized from the core
+    # count; groupBy("s") reuses the second exchange's clustering, so
+    # no extra shuffle appears.
     srcsets = (
-        _exploded_shingle_hashes(docs, key="source")
+        fanout(_exploded_shingle_hashes(fanout(docs, "doc_id"), key="source"), "s")
         .groupBy("s")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
     )
-    tot = (
-        srcsets.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    # unordered pairs generated map-side from the tiny sorted array
-    pair_expr = (
+    # r11 opt: totals and pairs used to be two separate consumers of
+    # `srcsets`, so the explode + shingle aggregation subtree executed
+    # TWICE (Spark does not share unmaterialized subtrees). One explode
+    # now emits singleton structs (src_b NULL → per-source totals) and
+    # unordered-pair structs from the same tiny sorted array, one
+    # aggregation folds both, and the |sources|²-bounded result is
+    # localCheckpoint'd so the three downstream consumers (pairs + the
+    # two broadcast total sides) read the materialized rows instead of
+    # re-running the shingle pass.
+    combined_expr = (
+        "concat("
+        "transform(srcs, x -> struct(x AS src_a, CAST(NULL AS STRING) AS src_b)), "
+        "CASE WHEN size(srcs) >= 2 THEN "
         "flatten(transform(sequence(0, size(srcs) - 2), i -> "
-        "transform(sequence(i + 1, size(srcs) - 1), j -> struct(srcs[i] AS src_a, srcs[j] AS src_b))))"
+        "transform(sequence(i + 1, size(srcs) - 1), j -> struct(srcs[i] AS src_a, srcs[j] AS src_b)))) "
+        "ELSE CAST(array() AS array<struct<src_a:string,src_b:string>>) END)"
     )
-    pairs = (
-        srcsets.filter(F.size("srcs") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    counts = (
+        srcsets.select(F.explode(F.expr(combined_expr)).alias("p"))
+        .select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.filter(F.col("src_b").isNull()).select(
+        F.col("src_a").alias("source"), F.col("n")
+    )
+    pairs = counts.filter(F.col("src_b").isNotNull()).select(
+        "src_a", "src_b", F.col("n").alias("n_shared")
     )
     ta = tot.withColumnRenamed("source", "src_a").withColumnRenamed("n", "na")
     tb = tot.withColumnRenamed("source", "src_b").withColumnRenamed("n", "nb")

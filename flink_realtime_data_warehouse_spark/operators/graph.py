@@ -207,15 +207,21 @@ def pagerank_fixed_point(nodes: DataFrame, edges: DataFrame, n_nodes: int,
     base = ((PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE) // (PR_DAMP_DEN * n_nodes)
     edges = edges.localCheckpoint(eager=True)
     r = nodes.withColumn("r", F.lit(PR_SCALE // n_nodes))
+    # explicit broadcasts (r11 opt): `r` and `contrib` are both bounded
+    # by |nodes| rows, but once `nodes` is a checkpointed RDD scan the
+    # planner has no size estimate and degrades these joins to
+    # SortMergeJoin (5 extra exchanges+sorts per run). The rank relation
+    # is small by construction for any corpus (nodes = event types), so
+    # broadcasting it is the scale-correct strategy, not a local tune.
     for _ in range(iters):
         contrib = (
-            edges.join(r, edges["src"] == r["node"])
+            edges.join(F.broadcast(r), edges["src"] == r["node"])
             .select("dst", F.expr(f"(r * p) div {PR_SCALE}").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
         )
         r = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(F.broadcast(contrib), nodes["node"] == contrib["dst"], "left")
             .select(
                 "node",
                 (
@@ -294,7 +300,14 @@ def graph_pagerank_event_transitions(spark, sf_dir: str) -> DataFrame:
     edges = w_edges.join(outw, "src").select(
         "src", "dst", F.expr(f"(w * {PR_SCALE}) div ow").alias("p")
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    # localCheckpoint: the fixed-point loop references `nodes` twice per
+    # iteration (contrib join + rank rebuild), so an un-materialized
+    # relation re-runs the events scan + distinct 2×PR_ITERS times and
+    # unrolls it into the final plan that many times. The checkpoint is
+    # O(|event types|) rows; the count() that was already here rides it.
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
     n_nodes = nodes.count()  # O(|event types|) — bounded driver action
     if n_nodes == 0:
         return spark.createDataFrame([], "event_type string, rank_e9 bigint")

@@ -105,7 +105,18 @@ def make_rollup_merger(store_dir: str, time_col: str = "event_time", value_col: 
             )
             .withColumn("pbatch", F.lit(batch_id).cast("bigint"))
         )
-        FORMAT.overwrite_partitions(part, store_dir, ["pday", "pbatch"])
+        # r11 opt: fan the store write out by pday — inside foreachBatch
+        # the write otherwise lands on ONE post-AQE task that serially
+        # opens a parquet writer per touched day dir (measured 810 ms/
+        # batch at sf0.1 for ~30 day dirs; ~4× faster fanned out). Keyed
+        # by the partition column so each task writes whole day dirs,
+        # sized from defaultParallelism (fanout.py — scales with the
+        # configured core count, AQE-exempt).
+        from flink_realtime_data_warehouse_spark.fanout import fanout
+
+        FORMAT.overwrite_partitions(
+            fanout(part, "pday"), store_dir, ["pday", "pbatch"]
+        )
 
     return merge
 
