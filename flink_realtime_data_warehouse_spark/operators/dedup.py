@@ -204,9 +204,19 @@ def _cached_relation(docs: DataFrame, variant: tuple, builder) -> DataFrame:
 
 def _shingle_df(docs: DataFrame) -> DataFrame:
     """distinct (doc_id, shingle-hash) pairs — the inverted-index
-    input, cached per (session, docs plan, file stamp)."""
+    input, cached per (session, docs plan, file stamp).
+
+    The builder fans the corpus out of the scan before exploding
+    (fanout.py): fixture corpora are one parquet row group, so the
+    explode+md5 map work would otherwise run on a single task. Paid
+    once per cache entry; at lake scale inputs arrive pre-split and
+    the exchange is the first thing to delete."""
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     return _cached_relation(
-        docs, ("base",), lambda: _exploded_shingle_hashes(docs).distinct()
+        docs,
+        ("base",),
+        lambda: _exploded_shingle_hashes(fanout(docs, "doc_id")).distinct(),
     )
 
 
@@ -452,8 +462,15 @@ def _minhash_sig_exprs() -> list[Column]:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     # min() is duplicate-insensitive, so the signature path skips the
     # distinct() shuffle the Jaccard path needs — one pass less over
-    # ~|docs|·|shingles| rows
-    return _exploded_shingle_hashes(docs).groupBy("doc_id").agg(*_minhash_sig_exprs())
+    # ~|docs|·|shingles| rows; the fan-out runs the explode+md5 wide
+    # (single-row-group fixture scan, fanout.py)
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
+    return (
+        _exploded_shingle_hashes(fanout(docs, "doc_id"))
+        .groupBy("doc_id")
+        .agg(*_minhash_sig_exprs())
+    )
 
 
 _SIG_ORACLE_COLS = ",\n           ".join(
@@ -1483,7 +1500,12 @@ def _capped_batch_shingles(
     applied to the ingest path.
     """
     if sh is None:
-        sh = _exploded_shingle_hashes(new_docs).distinct()
+        # fan the batch out of its (often single-file) scan so the
+        # explode+md5 runs wide — same rationale as _shingle_df's
+        # cached builder (fanout.py)
+        from flink_realtime_data_warehouse_spark.fanout import fanout
+
+        sh = _exploded_shingle_hashes(fanout(new_docs, "doc_id")).distinct()
     delta = _df_store_delta(sh)
     acc = (
         delta

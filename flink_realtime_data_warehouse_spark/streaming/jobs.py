@@ -1227,9 +1227,15 @@ def start_history_dedup_ingest(
                 )
                 # ONE persisted shingle relation feeds all four gate
                 # lineages (df delta, hot set, band append, probe) —
-                # without it the explode+distinct re-runs per lineage
+                # without it the explode+distinct re-runs per lineage.
+                # The fan-out runs the explode wide: a micro-batch is
+                # typically ONE source file = one scan task (fanout.py)
+                from flink_realtime_data_warehouse_spark.fanout import (
+                    fanout,
+                )
+
                 sh = (
-                    _exploded_shingle_hashes(new_docs)
+                    _exploded_shingle_hashes(fanout(new_docs, "doc_id"))
                     .distinct()
                     .persist(StorageLevel.MEMORY_AND_DISK)
                 )
