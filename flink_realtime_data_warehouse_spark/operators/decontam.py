@@ -55,8 +55,13 @@ def _gram_hashes(docs: DataFrame, n: int = DECONTAM_N) -> DataFrame:
         "ELSE CAST(array() AS array<string>) END"
     )
     g_hash = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    # fanout (r11 opt): fixture corpora/micro-batches are one split, so
+    # the explode+md5 map work would run on a single task (fanout.py;
+    # at lake scale inputs arrive pre-split — delete first)
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     return (
-        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        fanout(docs, "doc_id").select("doc_id", F.split("text", " ").alias("ws"))
         .select("doc_id", F.explode(F.expr(gram_expr)).alias("g"))
         .select("doc_id", g_hash.alias("s"))
         .distinct()

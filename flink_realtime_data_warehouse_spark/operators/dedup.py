@@ -1642,9 +1642,13 @@ def compact_dedup_lsh_index_capped(
 
     import os
 
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
     for sub, rewrite in (
         ("df", lambda d: d.groupBy("s").agg(F.sum("df").alias("df"))),
-        ("bands", lambda d: d.repartition("band")),
+        # fanout, not bare repartition("band"): AQE's byte-based
+        # coalescing could fold the rewrite onto one writer task
+        ("bands", lambda d: fanout(d, "band")),
     ):
         store = os.path.join(path, sub)
         FORMAT.repair(path, store)

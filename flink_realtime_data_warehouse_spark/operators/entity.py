@@ -58,8 +58,13 @@ def blocked_fuzzy_pairs(
     # a small corpus arrives as one parquet split and AQE will happily
     # run the comparator stage as a single task; spreading the probe
     # side across the block keys parallelizes the DP work and is the
-    # partitioning the sort-merge join wants at lake scale anyway
-    a = k.repartition("w1", "lb").alias("a")
+    # partitioning the sort-merge join wants at lake scale anyway.
+    # fanout (r11 opt): the bare repartition(col) is REPARTITION_BY_COL,
+    # which AQE's byte-based coalescing may fold back onto one task —
+    # the numbered form is exempt and sized from the core count.
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
+    a = fanout(k, "w1", "lb").alias("a")
     b = k.alias("b")
     # bounded-distance levenshtein returns -1 past the threshold: one
     # expression both filters and yields the distance

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flink_realtime_data_warehouse_spark.fanout import fanout
 from flink_realtime_data_warehouse_spark.plans.registry import query
 from flink_realtime_data_warehouse_spark.sources.tables import load_table
 
@@ -307,7 +308,7 @@ def build_ann_lsh_index(spark: SparkSession, emb: DataFrame, location: str) -> N
     # co-locate each bucket before writing: one file per pcode
     # partition instead of |tasks| × |buckets| small files
     (
-        index.repartition("pcode")
+        fanout(index, "pcode")
         .write.mode("overwrite")
         .partitionBy("pcode")
         .parquet(location)
@@ -331,7 +332,7 @@ def append_ann_lsh_vectors(spark: SparkSession, new_emb: DataFrame, location: st
         schema="pcode int, vec_id bigint, v array<float>",
     )
     (
-        delta.repartition("pcode")
+        fanout(delta, "pcode")
         .write.mode("append")
         .partitionBy("pcode")
         .parquet(location)
@@ -852,7 +853,7 @@ def build_ann_ivf_index(
             schema="cell int, vec_id bigint, v array<float>",
         )
         (
-            final.repartition("cell")
+            fanout(final, "cell")
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(location)
@@ -947,7 +948,7 @@ def build_ann_ivf_index(
         (
             combined.filter(F.col("kind") == "v")
             .select("cell", "vec_id", "v")
-            .repartition("cell")
+            .transform(lambda d: fanout(d, "cell"))
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(location)
@@ -1095,7 +1096,7 @@ def append_ann_ivf_vectors(spark: SparkSession, new_emb: DataFrame, location: st
     store in streaming/jobs.py::start_embedding_ingest instead."""
     delta = ivf_assign_delta(spark, new_emb, location)
     (
-        delta.repartition("cell")
+        fanout(delta, "cell")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(location)

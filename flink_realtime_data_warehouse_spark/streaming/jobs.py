@@ -589,7 +589,11 @@ def compact_ann_ivf_deltas(
         main.unionByName(fold.select("cell", "vec_id", "v"))
         .dropDuplicates(["vec_id"])
     )
-    FORMAT.swap_rewrite(spark, cells, merged.repartition("cell"), "cell")
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
+    # fanout instead of bare repartition("cell"): AQE's byte-based
+    # coalescing could fold the rewrite onto one writer task (r11 opt)
+    FORMAT.swap_rewrite(spark, cells, fanout(merged, "cell"), "cell")
     # now shrink the delta store to the kept (in-flight) partition; a
     # crash between the two swaps leaves folded rows in BOTH stores —
     # the probe's vec_id dedup keeps answers correct and the next fold
