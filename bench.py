@@ -259,6 +259,24 @@ def main() -> None:
     queries["ann_pq_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     ann_pq_warm = round(time.perf_counter() - t0, 3)
 
+    # BPE cold-train scalar (r11 verdict item 5): the session merge
+    # memo means the three BPE rows' median-of-3 reports warm-apply
+    # cost only; this times ONE cold train (memo cleared first) so the
+    # train cost stays visible per round — the ann_lsh_warm_sec
+    # pattern. The train re-warms the memo with exactly the key the
+    # rows use, so their timings keep the same (warm) composition as
+    # r11.
+    from flink_realtime_data_warehouse_spark.operators import bpe as _bpe
+    from flink_realtime_data_warehouse_spark.sources.tables import (
+        load_table as _load_table,
+    )
+
+    with _bpe._MERGES_LOCK:
+        _bpe._MERGES_CACHE.clear()
+    t0 = time.perf_counter()
+    _bpe.train_bpe_merges(_load_table(spark, sf_dir, "documents"))
+    bpe_train = round(time.perf_counter() - t0, 3)
+
     # fixed synthetic workload (data-independent: in-memory range +
     # one shuffle) — a per-round box-speed calibration so cross-round
     # query deltas can be separated from host drift (r2 verdict: r1→r2
@@ -355,6 +373,9 @@ def main() -> None:
         "streaming": streaming,
         "ann_lsh_warm_sec": ann_lsh_warm,
         "ann_pq_warm_sec": ann_pq_warm,
+        # cold Sennrich train (memo cleared) — the scalar that keeps
+        # train cost visible while the rows report warm-apply
+        "bpe_train_sec": bpe_train,
         "queries": timings,
         "queries_min": timings_min,
     }

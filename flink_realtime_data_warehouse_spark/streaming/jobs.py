@@ -677,6 +677,15 @@ def start_embedding_ingest(
         else:
             if vecs.limit(1).count() == 0:
                 return  # nothing to build yet — wait for vectors
+            # r12 opt (guide §5 caching): the cold build traverses the
+            # batch four times (seed collect + one scan per Lloyd
+            # iteration + the level-1 assignment), and each traversal
+            # re-parsed the JSON source and re-ran the dropDuplicates
+            # shuffle. Persist the deduplicated batch for the build's
+            # lifetime so those passes scan the cache instead.
+            from pyspark import StorageLevel
+
+            vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
             # clear a half-built attempt, then deterministic rebuild
             os.makedirs(index_root, exist_ok=True)
             for stale in ("cells", "_subcentroids", "_centroids.json",
@@ -688,9 +697,12 @@ def start_embedding_ingest(
                     os.remove(p)
             staging = os.path.join(index_root, "__build_staging")
             shutil.rmtree(staging, ignore_errors=True)
-            build_ann_ivf_index(
-                spark, vecs, staging, n_list=nl, two_level=True
-            )
+            try:
+                build_ann_ivf_index(
+                    spark, vecs, staging, n_list=nl, two_level=True
+                )
+            finally:
+                vecs.unpersist()
             # publish through the seam (r10 verdict item 2): each
             # quantizer artifact moves into place with
             # publish_staged_artifact, then the remaining staged tree —
@@ -1154,8 +1166,20 @@ def start_history_dedup_ingest(
         )
 
         def _sink(df: DataFrame, path: str) -> None:
+            # r12 opt (guide §6 small files): the per-batch sink
+            # relations read from PERSISTED parents, and AQE does not
+            # re-partition cached plans (canChangeCachedPlanOutputPartitioning
+            # is off by default) — so every sink wrote one file per
+            # cached partition (32/batch/store at the bench width) and
+            # each later batch's store reads paid the per-file open
+            # cost. A REBALANCE hint at the write only (the exchange
+            # sits ABOVE the cache scan, where AQE does apply) sizes
+            # the writer by advisory bytes: one file per tiny batch
+            # delta, more as batches grow — never a constant.
             FORMAT.overwrite_partitions(
-                df.withColumn("pbatch", F.lit(pbatch)), path, "pbatch"
+                df.withColumn("pbatch", F.lit(pbatch)).hint("rebalance"),
+                path,
+                "pbatch",
             )
 
         try:
@@ -1246,10 +1270,18 @@ def start_history_dedup_ingest(
                 sh_capped, delta = _capped_batch_shingles(
                     new_docs, stored_df, NGRAM_DF_CAP, sh=sh
                 )
-                # two sinks + the probe traverse the capped relation
-                sh_capped = sh_capped.persist(StorageLevel.MEMORY_AND_DISK)
+                # r12 opt: persist BANDS, not the capped shingles — the
+                # probe join and the band sink both consume bands, and
+                # persisting the relation one step earlier made each of
+                # them re-run the minhash aggregation (the heaviest
+                # per-batch stage: 128 min-exprs over every shingle,
+                # measured ~2 s of the gated batch) from the cache.
+                # sh_capped has exactly one consumer now (this
+                # materialization), so it needs no persist of its own.
+                bands = _bands_from_shingles(sh_capped).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
                 try:
-                    bands = _bands_from_shingles(sh_capped)
                     if _store_exists(lsh_bands_path):
                         hist_bands = FORMAT.read(
                             spark,
@@ -1277,7 +1309,7 @@ def start_history_dedup_ingest(
                     _sink(bands, lsh_bands_path)
                     _sink(delta, lsh_df_path)
                 finally:
-                    sh_capped.unpersist()
+                    bands.unpersist()
                     sh.unpersist()
             if compact_every and (batch_id + 1) % compact_every == 0:
                 compact_history_digest_store(

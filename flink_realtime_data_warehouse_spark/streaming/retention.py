@@ -89,6 +89,13 @@ _DIGEST_SCHEMA = "content_hash string, pbatch string"
 #: this repo's ingest jobs) falls back to the whole-store swap
 _SAFE_PART = re.compile(r"^[A-Za-z0-9._\-]+$")
 
+#: purge-overlap width (guide §2.6). 1 = sequential; the r11 driver
+#: capture flagged the pooled purges as a possible regression, so the
+#: r12 A/B re-adjudicated it same-window (OPTIMIZATION_r12.md) — kept
+#: pooled. A constant (not an env knob) so deployments retune it in
+#: one place.
+PURGE_POOL_WORKERS = 3
+
 
 def _materialize_ids(
     spark: SparkSession, ids, col: str, scratch_root: str
@@ -297,11 +304,11 @@ def takedown_documents(
         # the takedown loudly (the tombstone log makes re-runs converge).
         from concurrent.futures import ThreadPoolExecutor
 
-        if len(purge_thunks) <= 1:
+        if len(purge_thunks) <= 1 or PURGE_POOL_WORKERS <= 1:
             for name, thunk in purge_thunks:
                 removed[name] = thunk()
         else:
-            with ThreadPoolExecutor(max_workers=3) as pool:
+            with ThreadPoolExecutor(max_workers=PURGE_POOL_WORKERS) as pool:
                 futures = [
                     (name, pool.submit(thunk)) for name, thunk in purge_thunks
                 ]
