@@ -15,6 +15,11 @@ import pytest
 
 import __spark_entry__ as entrymod
 
+#: every-query empty/null-injection sweep — deselected from the default (driver-window) profile;
+#: runs in the recorded slow-tier pass (see pytest.ini)
+pytestmark = pytest.mark.slowtier
+
+
 _TABLES = [
     "region",
     "nation",

@@ -16,6 +16,11 @@ from flink_realtime_data_warehouse_spark.streaming import (
 )
 from flink_realtime_data_warehouse_spark.streaming.sinks import DimStore
 
+#: kill-matrix fault-injection tier — deselected from the default (driver-window) profile;
+#: runs in the recorded slow-tier pass (see pytest.ini)
+pytestmark = pytest.mark.slowtier
+
+
 
 class _FaultyOS:
     """Proxy for the ``os`` module that crashes on the N-th

@@ -17,6 +17,11 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.oracle_utils import compare_query_to_oracle
 
+#: hostile-session sweep — deselected from the default (driver-window) profile;
+#: runs in the recorded slow-tier pass (see pytest.ini)
+pytestmark = pytest.mark.slowtier
+
+
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
 

@@ -15,6 +15,13 @@ from __future__ import annotations
 
 import __spark_entry__ as entrymod
 
+#: 177-plan hygiene sweep — deselected from the default (driver-window) profile;
+#: runs in the recorded slow-tier pass (see pytest.ini)
+import pytest
+
+pytestmark = pytest.mark.slowtier
+
+
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 

@@ -12,6 +12,13 @@ import sys
 
 import __spark_entry__ as entrymod
 
+#: 177-plan snapshot sweep — deselected from the default (driver-window) profile;
+#: runs in the recorded slow-tier pass (see pytest.ini)
+import pytest
+
+pytestmark = pytest.mark.slowtier
+
+
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )

@@ -5,6 +5,7 @@ deterministic, total, and task-sized."""
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -215,6 +216,7 @@ def test_ivf_two_level_append_assigns_hierarchically(spark, tmp_path):
     assert a == b
 
 
+@pytest.mark.slowtier  # ~2 min recursive-split drive — slow-tier pass only
 def test_level2_budget_escalates_to_third_level_on_dominant_cell(spark, monkeypatch):
     """r8 verdict item 6: a dominant level-1 cell past the task budget
     now ESCALATES — the over-budget cell (and only it) is split by a
