@@ -622,12 +622,16 @@ def multimodal_bmp_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # deliberately NOT fanned out (fanout.py): the BMP codec is NumPy
-    # slicing/memcpy — measured at sf0.1, the exchange costs as much as
-    # the single-task kernel saves (1.52 s -> 1.62 s). The compressed
-    # codecs (PNG deflate/unfilter, JPEG DCT/Huffman) are where the
-    # fan-out pays.
-    media = docs.select(
+    # fanned out (fanout.py) as of r12: the r11 single-window reading
+    # (1.52 s -> 1.62 s, "exchange ≈ kernel cost") did not replicate —
+    # re-measured TWICE in different windows at sf0.1 (r11 verdict
+    # item 6), the fanned form wins both (min-of-3: 1.05 -> 0.95 and
+    # 1.12 -> 1.00), and it retires the last single-task codec kernel.
+    # At lake scale inputs arrive pre-split and this exchange is the
+    # first thing to delete, like every other fanout call site.
+    from flink_realtime_data_warehouse_spark.fanout import fanout
+
+    media = fanout(docs, "doc_id").select(
         F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
     )
 
